@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over the driver-generated parquet test data.
+  *
+  * Mirrors the reference's catalog of typed tables (daisy:
+  * `src/Storages/MergeTree/MergeTreeData.h` — immutable columnar parts
+  * scanned with partition pruning). On Spark the idiomatic equivalent is a
+  * plain parquet scan: partition pruning, min/max row-group skipping,
+  * predicate pushdown and column pruning are all native to the
+  * `FileSourceScanExec` + parquet reader path.
+  *
+  * At 100 TB the same call works unchanged: `spark.read.parquet` over a
+  * partitioned directory tree; Catalyst prunes partitions from literal
+  * filters, and executors stream row groups — nothing here materializes on
+  * the driver.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough to broadcast at ANY scale factor (dimension
+    * tables in the reference's star schema — daisy models these as
+    * in-memory Dictionaries, `src/Dictionaries/`). */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier")
+
+  /** Load a test table. `events.ts` is written as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]); we read it as raw long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros —
+    * identical to how DuckDB truncates TIMESTAMP_NS → TIMESTAMP, so
+    * oracle comparisons line up.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Apply engine-level session tuning once per session. Values chosen for
+    * local[32] testing but expressed scale-independently: AQE handles
+    * runtime coalescing/skew at any cluster size.
+    */
+  def tune(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+}
