@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udaf
+import graft.functions.aggs._
+
+/** Column-level API for the custom aggregate functions — the analytics
+  * surface the reference registers in
+  * /root/reference/src/AggregateFunctions/registerAggregateFunctions.cpp
+  * that has no Spark built-in. Exposed as UDAF-wrapped `Aggregator`s
+  * (partial states merge associatively, so they distribute exactly like
+  * built-in aggregates: map-side partial, shuffle of states, final merge).
+  */
+object GraftFunctions {
+
+  /** Max funnel step reached within `windowUs` micros. Args: event time in
+    * epoch micros, 1-based step index (0 = not a funnel event). */
+  def window_funnel(windowUs: Long, nSteps: Int)(tsUs: Column, step: Column): Column =
+    udaf(new WindowFunnelAgg(windowUs, nSteps)).apply(tsUs, step)
+
+  /** True iff steps 1..nSteps occur in strictly increasing time order. */
+  def sequence_match(nSteps: Int)(tsUs: Column, step: Column): Column =
+    udaf(new SequenceMatchAgg(nSteps)).apply(tsUs, step)
+
+  /** Count of non-overlapping step-1..nSteps chains in time order. */
+  def sequence_count(nSteps: Int)(tsUs: Column, step: Column): Column =
+    udaf(new SequenceCountAgg(nSteps)).apply(tsUs, step)
+
+  /** Cohort retention over an array of per-row conditions. */
+  def retention(nConds: Int)(conds: Column): Column =
+    udaf(new RetentionAgg(nConds)).apply(conds)
+
+  /** Exact distinct count up to n, else n+1. */
+  def uniq_up_to(n: Int)(x: Column): Column =
+    udaf(new UniqUpToAgg(n)).apply(x)
+
+  /** Sum of positive deltas of `value` between ts-consecutive rows. */
+  def delta_sum_timestamp(tsUs: Column, value: Column): Column =
+    udaf(new DeltaSumTimestampAgg).apply(tsUs, value)
+
+  /** SpaceSaving top-k heavy hitters: array<struct(value, count)>. */
+  def top_k(k: Int, capacity: Int)(x: Column): Column =
+    udaf(new TopKAgg(k, capacity)).apply(x)
+
+  /** RoaringBitmap-backed exact distinct count of int keys. */
+  def group_bitmap(x: Column): Column =
+    udaf(new GroupBitmapAgg).apply(x)
+}

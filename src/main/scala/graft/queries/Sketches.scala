@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Sketch / approximate-aggregation surface (daisy: uniq, uniqHLL12,
+  * uniqCombined — `src/AggregateFunctions/AggregateFunctionUniq.cpp`;
+  * the -State/-Merge combinators that expose mergeable binary sketch
+  * columns — `registerAggregateFunctions.cpp:122-131`).
+  *
+  * Spark-native mapping: Apache DataSketches HLL via hll_sketch_agg /
+  * hll_union_agg / hll_sketch_estimate — a stable binary representation
+  * that merges across jobs, which IS the -State/-Merge contract. Results
+  * are approximate, so these get rows-only driver checks; exactness
+  * bounds are asserted in AggregatorSpec.
+  */
+object Sketches extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // uniq / uniqHLL12 analogue: approximate distinct per group.
+    "q_uniq_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             count(lit(1)).as("n"))
+    }),
+
+    // uniqState → uniqMerge: per-segment HLL sketch states merged to a
+    // global estimate (mergeable across jobs/batches — the streaming
+    // partial-agg pattern at 100 TB: sketches shuffle, raw keys don't).
+    "q_uniq_state_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val perSeg = c.groupBy(col("c_mktsegment"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("state"))
+      perSeg.agg(
+        hll_sketch_estimate(hll_union_agg(col("state"))).as("est_total_customers"),
+        count(lit(1)).as("n_states"))
+    }),
+
+    // quantileTDigest analogue: approx_percentile (positive-indexed
+    // quantile sketch; mergeable partial states internally).
+    "q_quantile_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_approx"),
+             approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"))
+    }))
+
+  def oracles: Map[String, String] = Map.empty
+}
