@@ -45,10 +45,15 @@ def main():
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        gcols = [d[0] for d in got.description]
-        grows = got.fetchall()
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+        except Exception as e:
+            print(f"  ✗ {name}: SPARK OUTPUT MISSING/UNREADABLE: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             status = f"rows-only ({len(grows)} rows)"
             n_rowsonly += 1
