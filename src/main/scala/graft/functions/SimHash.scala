@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash over a token array (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002 — the standard
+  * near-duplicate fingerprint; reference has no direct equivalent, this is
+  * part of the training-data dedup surface).
+  *
+  * Per token: a stable 64-bit FNV-1a hash votes +1/-1 on each bit; the
+  * fingerprint sets bits with positive vote sums. Documents differing in a
+  * few tokens land within small Hamming distance.
+  *
+  * Implemented as a Catalyst `Expression` (preference (b) in SURVEY §2.9:
+  * native expression over UDF): no SerDe per row beyond the array read,
+  * null-safe, usable in any Column position. CodegenFallback keeps it
+  * correct inside WholeStageCodegen stages; the eval itself is a tight
+  * primitive loop.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<string>, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = SimHash64.fnv1a64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Stable public 64-bit FNV-1a over UTF-8 bytes. */
+  def fnv1a64(s: UTF8String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def fnv1a64(s: String): Long = fnv1a64(UTF8String.fromString(s))
+}
+
+/** Column-level entry points for custom scalar expressions.
+  *
+  * Custom expressions are registered into the session FunctionRegistry
+  * (the Spark-native extension point — same registry the built-ins live
+  * in) and invoked via call_function, so they compose with any Column and
+  * appear in SQL too.
+  */
+object GraftScalar {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions.call_function
+
+  @volatile private var registered = false
+
+  /** Idempotently register graft custom expressions with the session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    registered = true
+  }
+
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Hamming distance between two long fingerprints. */
+  def hamming64(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    bit_count(a.bitwiseXOR(b)).cast("int")
+  }
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** Training-data pipeline surface: deduplication tiers, embedding
+  * similarity search, text analysis, multimodal columns — the large-scale
+  * corpus operations layered on the documents/embeddings tables.
+  */
+object DataOps extends QueryModule {
+
+  /** Driver-side lookup of one query vector (a query PARAMETER, like a
+    * literal in SQL — not a data-path collect). */
+  private def queryVector(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+  def queries: Map[String, Q] = Map(
+    // ---- dedup ----
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // MinHash+LSH near-dup pairs (rows-only: sketch-dependent).
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5)
+    }),
+
+    // SimHash fingerprint near-dup pairs (rows-only; custom expression).
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // exact n-gram Jaccard, aggregated per language block (oracled).
+    "q_ngram_jaccard_stats" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          blockCol = "lang", lenCol = "n_chars", lenTol = 50, n = 3, threshold = 0.0)
+        .join(t(s, dir, "documents").select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"), round(max(col("jaccard")), 4).as("max_jac"))
+    }),
+
+    // embedding-cosine near-dup: top-15 most similar pairs (oracled).
+    "q_near_dup_embedding" -> ((s, dir) => {
+      Ann.topSimilarPairs(t(s, dir, "embeddings"), "vec_id", "embedding", topN = 15)
+    }),
+
+    // ---- similarity search ----
+    "q_ann_cosine_topk" -> ((s, dir) => {
+      Ann.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVector(s, dir), k = 10)
+    }),
+
+    // LSH-bucketed ANN (rows-only; recall asserted in AnnSpec).
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVector(s, dir), k = 10, nPlanes = 6)
+    }),
+
+    "q_embedding_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings").groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c1"),
+        round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("c2"))
+    }),
+
+    // ---- text analysis ----
+    "q_lang_id" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("detected_lang"),
+        TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("en")).cast("long").as("hits_en"),
+        TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("es")).cast("long").as("hits_es"),
+        TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("de")).cast("long").as("hits_de"),
+        TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("fr")).cast("long").as("hits_fr"))
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeEstimate(col("text")).as("bpe_estimate"))
+    }),
+
+    "q_doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+        substring(TextAnalysis.fingerprint(col("text")), 1, 8).as("fp_short"))
+    }),
+
+    // ---- multimodal (stubbed codec; real batch plumbing) ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("id"), col("kind"), col("n_bytes"),
+                col("n_frames").cast("long").as("n_frames"))
+    }),
+
+    "q_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ngram_jaccard_stats" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |   string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |sh AS (SELECT doc_id, lang, n_chars,
+        |   list_distinct(list_filter(
+        |     list_transform(toks, (x, i) -> CASE WHEN i <= len(toks) - 2
+        |       THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+        |     s -> s IS NOT NULL)) AS sh
+        | FROM d),
+        |pairs AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        | FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | WHERE abs(a.n_chars - b.n_chars) <= 50)
+        |SELECT lang, count(*) AS n_pairs, round(max(jaccard), 4) AS max_jac
+        |FROM pairs GROUP BY lang""".stripMargin,
+
+    "q_near_dup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 15""".stripMargin,
+
+    "q_ann_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id AS id,
+        | round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 6) AS cosine
+        |FROM embeddings, q
+        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    "q_embedding_centroids" ->
+      """SELECT label, count(*) AS n,
+        | round(avg(embedding[1]::DOUBLE), 6) AS c1,
+        | round(avg(embedding[2]::DOUBLE), 6) AS c2
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::BIGINT AS hits_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','y','es')))::BIGINT AS hits_es,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist')))::BIGINT AS hits_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','de','et','est')))::BIGINT AS hits_fr
+        | FROM d)
+        |SELECT doc_id,
+        | CASE WHEN hits_fr > 0 AND hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+        |      WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+        |      WHEN hits_en > 0 AND hits_en >= hits_de THEN 'en'
+        |      WHEN hits_de > 0 THEN 'de'
+        |      ELSE 'und' END AS detected_lang,
+        | hits_en, hits_es, hits_de, hits_fr
+        |FROM h""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  round(len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::DOUBLE /
+        |    greatest(len(toks), 1), 4) AS stop_ratio,
+        |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE /
+        |    greatest(len(toks), 1)::DOUBLE AS mean_len,
+        |  least(len(toks) / 50.0, 1.0) AS length_score
+        | FROM d)
+        |SELECT doc_id, n_tokens, stop_ratio,
+        | round((length_score +
+        |        (CASE WHEN mean_len BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END) +
+        |        least(stop_ratio * 5, 1.0)) / 3, 4) AS quality
+        |FROM m""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))::BIGINT AS ws_tokens,
+        | greatest(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')),
+        |          ceil(length(text) / 4.0))::BIGINT AS bpe_estimate
+        |FROM documents""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+        | substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 8) AS fp_short
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | octet_length(text::BLOB)::BIGINT AS n_bytes,
+        | ceil(octet_length(text::BLOB) / 256.0)::BIGINT AS n_frames
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ann, Dedup, Multimodal}
+import graft.functions.GraftScalar
+
+class DataOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized texts") {
+    val d = docs(
+      1L -> "Hello  World", 2L -> "hello world", 3L -> "different doc",
+      4L -> " hello world ")
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 3).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds near-duplicates and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash pairs: near-identical docs within hamming 3, unrelated not") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val unrelated = (200 to 260).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash64 expression is deterministic and order-sensitive-ish") {
+    val d = Seq((1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")),
+      (3L, Seq("x", "y", "z"))).toDF("id", "toks")
+    val fps = d.select($"id", GraftScalar.simhash64($"toks").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("ngram jaccard: permuted doc scores low, near-identical high") {
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val shuffled = scala.util.Random.shuffle((1 to 30).map(i => s"t$i").toList).mkString(" ")
+    val nearDup = base.replace("t15", "qq")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> shuffled)
+      .withColumn("blk", lit("x")).withColumn("len", length($"text"))
+    val out = Dedup.ngramJaccardPairs(d, "doc_id", "text", "blk", "len",
+      lenTol = 1000, n = 3, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) > 0.7)
+    assert(out((1L, 3L)) < 0.2)
+  }
+
+  test("brute-force ANN: query's own vector ranks first with cosine 1") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 3).select($"embedding").head.getSeq[Float](0)
+    val top = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getAs[Long]("id") == 3L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-6)
+  }
+
+  test("LSH ANN returns a subset consistent with brute force ranking") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val lsh = Ann.lshTopK(emb, "vec_id", "embedding", q, 10, nPlanes = 4).collect()
+    assert(lsh.nonEmpty)
+    // the query vector itself always shares its own bucket → rank 1
+    assert(lsh.head.getAs[Long]("id") == 0L)
+    // candidates are genuinely similar: top LSH hits appear in brute-force top-50
+    val hitRate = lsh.take(5).count(r => brute.contains(r.getAs[Long]("id"))) / 5.0
+    assert(hitRate >= 0.2, s"hitRate=$hitRate")
+  }
+
+  test("multimodal: features + frame sampling through mapPartitions") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.load(spark, sf, "documents"))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0 && f.mean_byte > 0 && f.byte_entropy > 0)
+      assert(f.n_frames == Multimodal.nFrames(f.n_bytes.toInt))
+      assert(Set("image", "audio", "video").contains(f.kind))
+    }
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_bytes.length <= Multimodal.FrameSize))
+  }
+}
