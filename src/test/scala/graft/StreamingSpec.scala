@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.IngestRow
+
+/** Drives the streaming operators with MemoryStream sources and memory
+  * sinks (batch-synchronous via processAllAvailable). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("ingest pipeline: _time defaulting + idempotent dedup") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[IngestRow]
+    val deduped = StreamOps.dedupByIdem(
+      StreamOps.withTimeDefaulting(src.toDF()))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      src.addData(
+        IngestRow("k1", ts(0), 1L, "view", 1.0),
+        IngestRow("k1", ts(0), 1L, "view", 1.0), // dup _idem
+        IngestRow("k2", ts(1), 1L, "click", 2.0),
+        IngestRow("k3", null, 2L, "view", 3.0))  // null _time → defaulted
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 3)
+      assert(rows.forall(!_.isNullAt(rows.head.fieldIndex("_time"))))
+    } finally q.stop()
+  }
+
+  test("tumbling event-time aggregation with watermark") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[IngestRow]
+    val agg = StreamOps.tumblingAgg(src.toDF(), "_time", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumble_out").start()
+    try {
+      src.addData(
+        IngestRow("a", ts(0), 1L, "view", 1.0),
+        IngestRow("b", ts(1), 1L, "view", 2.0),
+        IngestRow("c", ts(6), 2L, "view", 3.0),
+        IngestRow("d", ts(7), 2L, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "view", 2L),
+        ("2024-01-01 10:05:00.0", "view", 1L),
+        ("2024-01-01 10:05:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows close on gap") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[IngestRow]
+    val agg = StreamOps.sessionAgg(src.toDF(), "_time", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 2min apart (one session), then 20min gap (new session)
+      src.addData(
+        IngestRow("a", ts(0), 1L, "view", 1.0),
+        IngestRow("b", ts(2), 1L, "view", 1.0),
+        IngestRow("c", ts(22), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(rows.sorted.toSeq == Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("ReplacingMergeTree latest-row via flatMapGroupsWithState across batches") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[IngestRow]
+    val latest = StreamOps.latestPerKey(src.toDS())
+    val q = latest.writeStream.outputMode("update")
+      .format("memory").queryName("latest_out").start()
+    try {
+      src.addData(IngestRow("a", ts(0), 1L, "view", 1.0))
+      q.processAllAvailable()
+      src.addData(IngestRow("b", ts(5), 1L, "purchase", 9.0)) // newer
+      src.addData(IngestRow("c", ts(2), 1L, "click", 5.0))    // older — ignored
+      q.processAllAvailable()
+      // last Update-mode emission for key 1 must be the ts(5) purchase
+      val emissions = spark.table("latest_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(emissions.last._3 == "purchase" ||
+        emissions.count(_._3 == "purchase") == 1)
+      assert(!emissions.exists(e => e._3 == "click" && e._2 > ts(5).getTime * 1000))
+    } finally q.stop()
+  }
+
+  test("materialized view via foreachBatch with periodic trigger") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[IngestRow]
+    val q = src.toDF().writeStream
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.groupBy($"event_type").count()
+          .write.mode("overwrite").format("noop").save()
+        ()
+      }.start()
+    try {
+      src.addData(IngestRow("a", ts(0), 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(q.lastProgress != null || q.status != null)
+    } finally q.stop()
+  }
+}
