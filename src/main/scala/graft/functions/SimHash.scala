@@ -97,10 +97,14 @@ object GraftScalar {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_arr", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registered = true
   }
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  def dotArr(a: Column, b: Column): Column = call_function("dot_arr", a, b)
 
   /** Hamming distance between two long fingerprints. */
   def hamming64(a: Column, b: Column): Column = {

@@ -22,13 +22,11 @@ object Ann {
   /** Cosine similarity between an embedding column and a literal query
     * vector, as a pure Column expression. */
   def cosineToQuery(emb: Column, query: Seq[Float]): Column = {
-    // widen float→double BEFORE multiplying — float-precision products
-    // drift from the DuckDB oracle's double arithmetic.
+    // double accumulation via the native dot_arr expression (float inputs
+    // are widened per element — matches the DuckDB oracle's double math).
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    val dot = aggregate(zip_with(emb, q, (a, b) => a.cast("double") * b),
-      lit(0.0d), (acc, x) => acc + x)
-    val ne = sqrt(aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
-      lit(0.0d), (acc, x) => acc + x))
+    val dot = graft.functions.GraftScalar.dotArr(emb, q)
+    val ne = sqrt(graft.functions.GraftScalar.dotArr(emb, emb))
     val nq = math.sqrt(query.map(v => v.toDouble * v).sum)
     dot / (ne * lit(nq))
   }
@@ -82,17 +80,23 @@ object Ann {
     * O(n²) — intended for candidate sets, not the full corpus. */
   def topSimilarPairs(df: DataFrame, idCol: String, embCol: String,
                       topN: Int): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
-    val dot = aggregate(zip_with(col("emb_a"), col("emb_b"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-    def norm(c: Column) =
-      sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
-        lit(0.0d), (acc, x) => acc + x))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    import graft.functions.GraftScalar.dotArr
+    // norms computed ONCE per vector, not once per pair; repartition the
+    // probe side so the pair loop parallelizes even from one input file.
+    val withNorm = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      sqrt(dotArr(col(embCol), col(embCol))).as("nrm"))
+      .repartition(col("id"))
+    val a = withNorm.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    // broadcast the build side explicitly: leaves the probe side's 32-way
+    // partitioning intact (BroadcastNestedLoopJoin) instead of letting the
+    // planner pick a cartesian shuffle.
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot / (norm(col("emb_a")) * norm(col("emb_b"))), 6).as("cosine"))
+        round(dotArr(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }

@@ -32,22 +32,33 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of `text` (distinct, sorted for determinism). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(normalized(text), " ")
+  /** Word n-gram shingles from a PRE-MATERIALIZED token array column.
+    *
+    * The token column must be a bound attribute (use
+    * `.withColumn("toks", split(normalized(text), " "))` first), NOT the
+    * split expression inline: interpreted eval has no common-subexpression
+    * elimination, so an inline `split(regexp_replace(...))` referenced
+    * inside the transform lambda re-tokenizes the whole document once PER
+    * ELEMENT — O(len²) regex work per row (observed 100× slowdowns). */
+  def shinglesFromToks(toks: Column, n: Int): Column =
     array_distinct(filter(
       transform(toks, (_, i) =>
         when(i <= size(toks) - n,
           array_join(slice(toks, i + 1, lit(n)), " "))),
       x => x.isNotNull))
-  }
 
-  /** MinHash signature: for seed s in 0..numHashes-1, the min over
-    * shingles of xxhash64(seed, shingle). Pure Column expressions — stays
-    * in codegen, no UDF. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** Convenience: tokens column for shinglesFromToks. */
+  def tokenize(text: Column): Column = split(normalized(text), " ")
+
+  /** MinHash signature family: each shingle is string-hashed ONCE, then
+    * the i-th hash function re-hashes the resulting LONG with seed i —
+    * fixed-width integer hashing instead of the naive 64× string hashing
+    * that dominated the benchmark. (A multiply-add universal family would
+    * be cheaper still but overflows under ANSI mode, which the session
+    * keeps ON for oracle parity.) Pure Column expressions — no UDF. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleCol, s => xxhash64(seed, s))))
+      i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
 
   /** LSH candidate pairs from banded minhash signatures, verified with
     * exact Jaccard over the shingle sets. Output: (id_a, id_b, jaccard)
@@ -63,15 +74,29 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val sigs = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // hash each shingle ONCE; signatures and verification both work on
+    // the long hashes (collision probability ~ |shingles|²/2^64 ≈ 0).
+    // repartition by id: corpus files are few/large, and shingling is the
+    // CPU-heavy step — spread it across all cores before computing.
+    // persisted: (a) reused three times (signatures + both verify joins);
+    // (b) the cache is a hard optimizer barrier — without it
+    // CollapseProject inlines the `hs` expression into the 64-seed outer
+    // lambda and re-shingles every document 64 times per row. Same
+    // requirement as Spark MLlib's MinHashLSH (cache your input).
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .repartition(col("id"))
+      .withColumn("toks", tokenize(col("_text")))
+      .select(col("id"),
+        transform(shinglesFromToks(col("toks"), shingleSize), s => xxhash64(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = hashed.withColumn("sig", minhashSignature(col("hs"), numHashes))
 
-    // (band_id, band_hash, id, shingles): one row per band per doc.
+    // (band, bucket, id) ONLY — shingle payloads are NOT carried through
+    // the band join (carrying them multiplied shuffle volume 16× and
+    // dominated runtime).
     val banded = sigs.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, array_join(
           transform(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
@@ -79,20 +104,21 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    // same-bucket candidates (id_a < id_b), deduped across bands.
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // exact-Jaccard verification only on the (few) candidates: re-join the
+    // hashed shingle sets by id.
     candidates
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -102,8 +128,10 @@ object Dedup {
     * Hamming distance 3 must agree on at least one chunk). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"),
-      GraftScalar.simhash64(split(normalized(col(textCol)), " ")).as("fp"))
+    val fp = df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        GraftScalar.simhash64(split(normalized(col("_text")), " ")).as("fp"))
     // 4 chunks of 16 bits each as blocking keys
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(array((0 to 3).map(i =>
@@ -123,22 +151,55 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity on blocked candidate pairs (blocking:
-    * same `blockCol` value and |n_chars| within `lenTol`). */
+    * same `blockCol` value and |len| within `lenTol`).
+    *
+    * Intersections are computed by a shingle-level self-join + count
+    * (inverted-index style) instead of pairwise array_intersect: cost is
+    * Σ per-shingle freq², which is near-linear for natural corpora, and
+    * the blocked pair frame carries only ids+sizes — no array payloads
+    * shuffle. This is the formulation that survives 100×: both joins are
+    * plain equi-joins Catalyst shuffles by key.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, lenCol: String,
                         lenTol: Int, n: Int, threshold: Double): DataFrame = {
+    // persisted: reused by both the inverted index and the size frame
+    // (and acts as the optimizer barrier — see minhashLshPairs).
     val withSh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(lenCol).as("len"), shingles(col(textCol), n).as("sh"))
-    val a = withSh.select(col("blk"), col("id").as("id_a"),
-      col("len").as("len_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("blk"), col("id").as("id_b"),
-      col("len").as("len_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
+      col(lenCol).as("len"), col(textCol).as("_text"))
+      .repartition(col("id"))
+      .withColumn("toks", tokenize(col("_text")))
+      .select(col("id"), col("blk"), col("len"),
+        shinglesFromToks(col("toks"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = withSh.select(col("id"), col("blk"), col("len"),
+      size(col("sh")).as("sz"))
+
+    // inverted index: (blk, shingle-hash, id, len); shingles are distinct
+    // per doc so counts are set intersections.
+    val toks = withSh.select(col("blk"), col("id"), col("len"),
+      explode(col("sh")).as("s")).withColumn("h", xxhash64(col("s"))).drop("s")
+    val inter = toks.select(col("blk"), col("h"), col("id").as("id_a"), col("len").as("len_a"))
+      .join(toks.select(col("blk"), col("h"), col("id").as("id_b"), col("len").as("len_b")),
+        Seq("blk", "h"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= lenTol)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"))
+
+    // all blocked pairs (ids + sizes only) left-joined with intersections
+    // so zero-overlap pairs keep jaccard 0.
+    val pairs = sizes.select(col("blk"), col("id").as("id_a"),
+        col("len").as("len_a"), col("sz").as("sz_a"))
+      .join(sizes.select(col("blk"), col("id").as("id_b"),
+        col("len").as("len_b"), col("sz").as("sz_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= lenTol)
+
+    pairs.join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        coalesce(col("i"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("i"), lit(0L))), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

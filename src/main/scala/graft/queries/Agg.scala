@@ -120,11 +120,13 @@ object Agg extends QueryModule {
     // AggregateFunctionQuantile.cpp:124-165): exact interpolated
     // percentiles; Spark `percentile` == DuckDB `quantile_cont`.
     "q_quantiles" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"),
+          round(element_at(col("ps"), 4), 4).as("p99"))
     }),
 
     // groupArray/arraySort (reference: AggregateFunctionGroupArray.cpp) —
