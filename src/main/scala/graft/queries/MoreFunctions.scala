@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Second tier of the scalar/aggregate surface: numeric array transforms
+  * (arrayDifference/arrayCumSum — daisy src/Functions/array/),
+  * reference-specific rounding (roundToExp2/roundDuration/roundAge —
+  * src/Functions/registerFunctionsRound), IP codecs
+  * (IPv4NumToString/StringToNum — src/Functions/FunctionsCoding),
+  * readable formatting (formatReadableSize, bar —
+  * src/Functions/FunctionsMiscellaneous), LIKE-scan shapes (BASELINE
+  * Q13-class), and the -Array/-ForEach/-Resample combinators
+  * (registerAggregateFunctions.cpp:122-131).
+  */
+object MoreFunctions extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // arrayDifference / arrayCumSum / arrayReduce over per-order arrays.
+    "q_func_array_numeric" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("arr"))
+      base.select(
+        col("l_orderkey"),
+        array_join(transform(col("arr"), (x, i) =>
+          when(i === 0, x).otherwise(x - element_at(col("arr"), i))), ",").as("diffs"),
+        array_join(transform(col("arr"), (_, i) =>
+          aggregate(slice(col("arr"), lit(1), i + 1), lit(0), (a, b) => a + b)), ",").as("cumsum"),
+        aggregate(col("arr"), lit(0L), (a, b) => a + b).as("arr_sum"),
+        array_max(col("arr")).cast("long").as("arr_max"),
+        size(array_distinct(col("arr"))).cast("long").as("arr_ndistinct"))
+    }),
+
+    // roundToExp2 / roundDuration / roundAge (daisy when-chain semantics).
+    "q_func_rounding" -> ((s, dir) => {
+      val q = col("l_quantity")
+      val sec = col("l_orderkey") % 40000
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(q >= 1, pow(lit(2.0), floor(log(2.0, q)))).otherwise(0.0)
+          .cast("long").as("to_exp2"),
+        when(sec < 1, 0L).when(sec < 10, 1L).when(sec < 30, 10L)
+          .when(sec < 60, 30L).when(sec < 120, 60L).when(sec < 180, 120L)
+          .when(sec < 240, 180L).when(sec < 300, 240L).when(sec < 600, 300L)
+          .when(sec < 1200, 600L).when(sec < 1800, 1200L).when(sec < 3600, 1800L)
+          .when(sec < 7200, 3600L).when(sec < 18000, 7200L)
+          .when(sec < 36000, 18000L).otherwise(36000L).as("round_duration"),
+        when(q < 1, 0L).when(q < 18, 17L).when(q < 25, 18L).when(q < 35, 25L)
+          .when(q < 45, 35L).when(q < 55, 45L).otherwise(55L).as("round_age"))
+    }),
+
+    // IPv4NumToString / IPv4StringToNum roundtrip via bit arithmetic.
+    "q_func_ip" -> ((s, dir) => {
+      val ipnum = (col("c_custkey") * 2654435761L) % 4294967296L
+      val ipstr = concat_ws(".",
+        shiftright(ipnum, 24).bitwiseAND(lit(255L)),
+        shiftright(ipnum, 16).bitwiseAND(lit(255L)),
+        shiftright(ipnum, 8).bitwiseAND(lit(255L)),
+        ipnum.bitwiseAND(lit(255L)))
+      val parts = split(ipstr, "\\.")
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        ipnum.as("ip_num"),
+        ipstr.as("ip_str"),
+        (element_at(parts, 1).cast("long") * 16777216L +
+         element_at(parts, 2).cast("long") * 65536L +
+         element_at(parts, 3).cast("long") * 256L +
+         element_at(parts, 4).cast("long")).as("ip_roundtrip"))
+    }),
+
+    // formatReadableSize + bar.
+    "q_func_readable" -> ((s, dir) => {
+      val x = col("o_totalprice")
+      t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0).select(
+        col("o_orderkey"),
+        when(x >= 1048576, format_string("%.2f MiB", x / 1048576))
+          .when(x >= 1024, format_string("%.2f KiB", x / 1024))
+          .otherwise(format_string("%.2f B", x)).as("readable"),
+        repeat(lit("#"), floor(x / 600000 * 10).cast("int")).as("bar"))
+    }),
+
+    // LIKE-scan shapes (BASELINE Q13 class: phrase scans over strings).
+    "q_like_scan" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").agg(
+        count(when(txt.like("%spark%"), 1)).as("n_spark"),
+        count(when(txt.like("%vector%"), 1)).as("n_vector"),
+        count(when(txt.like("the %"), 1)).as("n_the_prefix"),
+        count(when(!txt.like("%join%"), 1)).as("n_no_join"),
+        count(when(txt.rlike("hash (join|scan)"), 1)).as("n_hash_pair"))
+    }),
+
+    // -Array combinator: aggregate over flattened array column.
+    "q_agg_sum_array" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), explode(col("embedding")).as("v"))
+        .groupBy(col("label"))
+        .agg(round(sum(col("v")), 4).as("sum_all_dims"),
+             count(lit(1)).as("n_values"))
+    }),
+
+    // -ForEach combinator: element-wise aggregation across array columns.
+    "q_agg_foreach" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 4)))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(round(sum(col("col")), 4).as("s"))
+    }),
+
+    // -Resample combinator: bucketed aggregation over a key range.
+    "q_agg_resample" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(floor(col("c_custkey") / 500).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("c_acctbal")), 4).as("avg_bal"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_func_array_numeric" ->
+      """WITH base AS (
+        | SELECT l_orderkey, list_sort(list(l_quantity::INT)) AS arr
+        | FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        | array_to_string(list_transform(arr, (x, i) ->
+        |   CASE WHEN i = 1 THEN x ELSE x - arr[i-1] END), ',') AS diffs,
+        | array_to_string(list_transform(arr, (x, i) ->
+        |   list_sum(arr[1:i])::INT), ',') AS cumsum,
+        | list_sum(arr)::BIGINT AS arr_sum,
+        | list_max(arr)::BIGINT AS arr_max,
+        | len(list_distinct(arr))::BIGINT AS arr_ndistinct
+        |FROM base""".stripMargin,
+
+    "q_func_rounding" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (CASE WHEN l_quantity >= 1 THEN pow(2, floor(log2(l_quantity))) ELSE 0 END)::BIGINT AS to_exp2,
+        | (CASE WHEN l_orderkey % 40000 < 1 THEN 0 WHEN l_orderkey % 40000 < 10 THEN 1
+        |   WHEN l_orderkey % 40000 < 30 THEN 10 WHEN l_orderkey % 40000 < 60 THEN 30
+        |   WHEN l_orderkey % 40000 < 120 THEN 60 WHEN l_orderkey % 40000 < 180 THEN 120
+        |   WHEN l_orderkey % 40000 < 240 THEN 180 WHEN l_orderkey % 40000 < 300 THEN 240
+        |   WHEN l_orderkey % 40000 < 600 THEN 300 WHEN l_orderkey % 40000 < 1200 THEN 600
+        |   WHEN l_orderkey % 40000 < 1800 THEN 1200 WHEN l_orderkey % 40000 < 3600 THEN 1800
+        |   WHEN l_orderkey % 40000 < 7200 THEN 3600 WHEN l_orderkey % 40000 < 18000 THEN 7200
+        |   WHEN l_orderkey % 40000 < 36000 THEN 18000 ELSE 36000 END)::BIGINT AS round_duration,
+        | (CASE WHEN l_quantity < 1 THEN 0 WHEN l_quantity < 18 THEN 17
+        |   WHEN l_quantity < 25 THEN 18 WHEN l_quantity < 35 THEN 25
+        |   WHEN l_quantity < 45 THEN 35 WHEN l_quantity < 55 THEN 45
+        |   ELSE 55 END)::BIGINT AS round_age
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+
+    "q_func_ip" ->
+      """WITH c AS (SELECT c_custkey,
+        |  (c_custkey * 2654435761) % 4294967296 AS ip_num FROM customer),
+        |s AS (SELECT c_custkey, ip_num,
+        |  ((ip_num >> 24) & 255) || '.' || ((ip_num >> 16) & 255) || '.' ||
+        |  ((ip_num >> 8) & 255) || '.' || (ip_num & 255) AS ip_str FROM c)
+        |SELECT c_custkey, ip_num, ip_str,
+        | string_split(ip_str, '.')[1]::BIGINT * 16777216 +
+        | string_split(ip_str, '.')[2]::BIGINT * 65536 +
+        | string_split(ip_str, '.')[3]::BIGINT * 256 +
+        | string_split(ip_str, '.')[4]::BIGINT AS ip_roundtrip
+        |FROM s""".stripMargin,
+
+    "q_func_readable" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice >= 1048576 THEN printf('%.2f MiB', o_totalprice / 1048576)
+        |      WHEN o_totalprice >= 1024 THEN printf('%.2f KiB', o_totalprice / 1024)
+        |      ELSE printf('%.2f B', o_totalprice) END AS readable,
+        | repeat('#', floor(o_totalprice / 600000 * 10)::INT) AS bar
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
+
+    "q_like_scan" ->
+      """SELECT
+        | count(CASE WHEN text LIKE '%spark%' THEN 1 END) AS n_spark,
+        | count(CASE WHEN text LIKE '%vector%' THEN 1 END) AS n_vector,
+        | count(CASE WHEN text LIKE 'the %' THEN 1 END) AS n_the_prefix,
+        | count(CASE WHEN text NOT LIKE '%join%' THEN 1 END) AS n_no_join,
+        | count(CASE WHEN regexp_matches(text, 'hash (join|scan)') THEN 1 END) AS n_hash_pair
+        |FROM documents""".stripMargin,
+
+    "q_agg_sum_array" ->
+      """SELECT label, round(sum(v), 4) AS sum_all_dims, count(*) AS n_values
+        |FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
+        |GROUP BY label""".stripMargin,
+
+    "q_agg_foreach" ->
+      """SELECT label, (u.pos)::BIGINT AS pos, round(sum(u.v), 4) AS s
+        |FROM (SELECT label,
+        |   unnest(list_transform(embedding[1:4], (x, i) ->
+        |     struct_pack(pos := i, v := x))) AS u
+        | FROM embeddings)
+        |GROUP BY label, u.pos""".stripMargin,
+
+    "q_agg_resample" ->
+      """SELECT floor(c_custkey / 500)::BIGINT AS bucket, count(*) AS n,
+        | round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TimeTable
+import graft.sql.Search
+
+/** Plan-quality audit: the physical plans we'd want at 100 TB, asserted.
+  * These guard against regressions that stay correct but stop scaling
+  * (lost pushdown, lost broadcast, partition pruning gone). */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 scan pushes the shipdate filter and prunes columns") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$plan")
+    // projection pruning: the scan schema must NOT include l_orderkey
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("dimension joins broadcast, never shuffle the fact side") {
+    val df = SparkEntry.queries("q_join_multi")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ordered limit compiles to TakeOrderedAndProject (partial top-k)") {
+    val plan = physical(SparkEntry.queries("q_orderby_limit")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("asof join is a single shuffle (no join explosion)") {
+    val df = SparkEntry.queries("q_asof_join")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"asof must not pair-explode:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
+  }
+
+  test("aggregation is partial (map-side combine before shuffle)") {
+    val plan = physical(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("time-partitioned table prunes partitions on bounded read") {
+    val dir = "/root/repo/target/tt_test"
+    val events = Tables.load(spark, sf, "events").withColumnRenamed("ts", "_time")
+    TimeTable.write(events, dir, granularity = TimeTable.Daily,
+      orderBy = Seq("user_id"))
+    val bounded = TimeTable.readBounded(spark, dir,
+      "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    val plan = physical(bounded)
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("_time_bucket"), s"no partition filter:\n$plan")
+    // only the 3 touched day-directories (10th, 11th, 12th boundary) scan
+    val n = bounded.count()
+    val expect = events.filter($"_time" >= "2024-01-10" && $"_time" < "2024-01-12").count()
+    assert(n == expect)
+  }
+
+  test("search time bounds push through the subquery to the scan") {
+    Tables.load(spark, sf, "events").withColumnRenamed("ts", "_time")
+      .createOrReplaceTempView("events_t")
+    val df = Search.timeBounded(spark,
+      "SELECT user_id, value, _time FROM events_t WHERE value > 10",
+      "2024-01-05 00:00:00", "2024-01-06 00:00:00", limit = 0)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // both filters collapse into one Filter above the relation
+    assert(optimized.linesIterator.count(_.trim.startsWith("Filter")) <= 1,
+      s"filters not merged:\n$optimized")
+  }
+
+  test("pipe syntax paging and stages") {
+    Tables.load(spark, sf, "events").withColumnRenamed("ts", "_time")
+      .createOrReplaceTempView("events_t")
+    val df = Search.pipe(spark,
+      "events_t | where event_type = 'view' | select user_id, value | limit 5")
+    assert(df.count() == 5)
+    val paged = Search.timeBounded(spark, "SELECT * FROM events_t",
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00", limit = 10, offset = 5)
+    assert(paged.count() == 10)
+  }
+}
