@@ -99,8 +99,12 @@ object GraftScalar {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_arr", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "siphash64", exprs => SipHash64Expr(exprs.head), "built-in")
     registered = true
   }
+
+  def siphash64(s0: Column): Column = call_function("siphash64", s0)
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage extras: remaining window functions (first/last/nth value),
+  * the reference benchmark's wide-aggregation shape (BASELINE Q30: many
+  * sums in one pass), scalar subqueries (daisy TreeRewriter
+  * executeScalarSubqueries), and GLOBAL IN via broadcast. */
+object Extras extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // first_value / last_value / nth_value over a full-frame window.
+    "q_window_value_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("last_key", last(col("o_orderkey")).over(w))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("first_key"),
+                col("last_key"), col("second_key"))
+    }),
+
+    // Q30-class: one scan, many aggregates (exercises wide partial-agg
+    // buffers — the reference's 90-sums-in-one-pass benchmark shape).
+    "q_wide_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sums = (1 to 12).map { i =>
+        round(sum(when(col("l_partkey") % 12 === (i - 1), col("l_extendedprice"))), 2)
+          .as(s"sum_bucket_$i")
+      }
+      li.agg(sums.head, sums.tail :+ count(lit(1)).as("n_rows"): _*)
+    }),
+
+    // scalar subquery: rows above the global average price.
+    "q_scalar_subquery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgPrice = li.agg(avg(col("l_extendedprice")).as("ap"))
+      li.crossJoin(broadcast(avgPrice))
+        .filter(col("l_extendedprice") > col("ap") * 1.8)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(min(col("l_extendedprice")), 2).as("min_price"))
+    }),
+
+    // GLOBAL IN (broadcast set membership — daisy
+    // InJoinSubqueriesPreprocessor): small key set broadcast to all tasks.
+    "q_global_in" -> ((s, dir) => {
+      val hotParts = t(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(hotParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n_promo_lines"),
+             round(sum(col("l_extendedprice")), 2).as("promo_revenue"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_window_value_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | last_value(o_orderkey) OVER w AS last_key,
+        | nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q_wide_agg" -> {
+      val sums = (1 to 12).map { i =>
+        s"round(sum(CASE WHEN l_partkey % 12 = ${i - 1} THEN l_extendedprice END),2) AS sum_bucket_$i"
+      }.mkString(",\n ")
+      s"SELECT $sums,\n count(*) AS n_rows FROM lineitem"
+    },
+
+    "q_scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n, round(min(l_extendedprice),2) AS min_price
+        |FROM lineitem
+        |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem) * 1.8
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_global_in" ->
+      """SELECT count(*) AS n_promo_lines, round(sum(l_extendedprice),2) AS promo_revenue
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type='PROMO')""".stripMargin)
+}
