@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance jobs — the reference's background machinery as
+  * explicit batch jobs (daisy: TTL expiry
+  * `src/DataStreams/TTLBlockInputStream.cpp`; part merges / OPTIMIZE
+  * `src/Storages/MergeTree/MergeTreeData.cpp` background merges).
+  *
+  * On Spark these are rewrite jobs over the table path: TTL = filtered
+  * rewrite (the scheduled `DELETE WHERE` analogue), OPTIMIZE = file
+  * compaction to a target file count. Both stream through executors —
+  * nothing driver-side — and both write to a temp location then swap, so
+  * a failed job never corrupts the table.
+  */
+object Maintenance {
+
+  /** TTL expiry: drop rows whose `timeCol` is older than `cutoffIso`.
+    * Returns (kept, dropped) counts. */
+  def expireOlderThan(spark: SparkSession, path: String,
+                      timeCol: String, cutoffIso: String): (Long, Long) = {
+    val df = spark.read.parquet(path)
+    val total = df.count()
+    val kept = df.filter(col(timeCol) >= lit(cutoffIso).cast("timestamp"))
+    val tmp = path + ".ttl_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    val keptCount = spark.read.parquet(tmp).count()
+    swap(spark, tmp, path)
+    (keptCount, total - keptCount)
+  }
+
+  /** OPTIMIZE: compact a table directory to `targetFiles` files,
+    * optionally re-sorting (restores row-group skipping after many small
+    * ingest batches — the reference's merge-parts behavior). */
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+              sortBy: Seq[String] = Seq.empty): Long = {
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(targetFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else df.coalesce(targetFiles)
+    val tmp = path + ".opt_tmp"
+    arranged.write.mode("overwrite").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    swap(spark, tmp, path)
+    n
+  }
+
+  private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Current data-file count of a table directory. */
+  def fileCount(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
+  }
+}

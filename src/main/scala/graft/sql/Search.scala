@@ -74,6 +74,14 @@ object Search {
     df
   }
 
+  /** EXPLAIN/analyzer endpoint analogue (daisy
+    * `SQLAnalyzerRestRouterHandler.cpp:207`): returns the analyzed +
+    * physical plan for a SQL string without executing it. */
+  def analyze(spark: SparkSession, sql: String): String = {
+    val qe = spark.sql(sql).queryExecution
+    s"== Optimized ==\n${qe.optimizedPlan}\n== Physical ==\n${qe.executedPlan}"
+  }
+
   /** Split on top-level commas (not inside parens). */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
