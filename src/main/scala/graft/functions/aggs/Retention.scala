@@ -1,5 +1,7 @@
 package graft.functions.aggs
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -8,47 +10,61 @@ import org.apache.spark.sql.expressions.Aggregator
   * /root/reference/src/AggregateFunctions/AggregateFunctionRetention.cpp):
   * per group, flag(i) = whether cond_i held on ANY row; result r(1)=flag(1),
   * r(i)=flag(1) AND flag(i) for i>1 — i.e. cohort retention relative to the
-  * first condition. Constant-size state (one bit per condition), so it
-  * distributes trivially.
+  * first condition. Constant-size state (one flag per condition) mutated in
+  * place, so it distributes trivially.
   */
 class RetentionAgg(nConds: Int)
-    extends Aggregator[Seq[Boolean], Seq[Boolean], Seq[Int]] with Serializable {
+    extends Aggregator[Seq[Boolean], Array[Boolean], Seq[Int]] with Serializable {
 
-  def zero: Seq[Boolean] = Vector.fill(nConds)(false)
+  def zero: Array[Boolean] = new Array[Boolean](nConds)
 
-  def reduce(buf: Seq[Boolean], conds: Seq[Boolean]): Seq[Boolean] = {
-    val c = conds.padTo(nConds, false)
-    Vector.tabulate(nConds)(i => buf(i) || c(i))
+  def reduce(buf: Array[Boolean], conds: Seq[Boolean]): Array[Boolean] = {
+    val m = math.min(nConds, conds.length)
+    var i = 0
+    while (i < m) { if (conds(i)) buf(i) = true; i += 1 }
+    buf
   }
 
-  def merge(a: Seq[Boolean], b: Seq[Boolean]): Seq[Boolean] =
-    Vector.tabulate(nConds)(i => a(i) || b(i))
+  def merge(a: Array[Boolean], b: Array[Boolean]): Array[Boolean] = {
+    var i = 0
+    while (i < nConds) { if (b(i)) a(i) = true; i += 1 }
+    a
+  }
 
-  def finish(buf: Seq[Boolean]): Seq[Int] =
+  def finish(buf: Array[Boolean]): Seq[Int] =
     Vector.tabulate(nConds) { i =>
       if (i == 0) { if (buf(0)) 1 else 0 }
       else if (buf(0) && buf(i)) 1 else 0
     }
 
-  def bufferEncoder: Encoder[Seq[Boolean]] = ExpressionEncoder()
+  def bufferEncoder: Encoder[Array[Boolean]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
 }
 
 /** uniqUpTo(N)(x) (reference: AggregateFunctionUniqUpTo.cpp): exact
   * distinct count while <= N, else N+1. State is bounded at N+1 elements —
-  * the cheap "are there more than N distinct" primitive. */
+  * the cheap "are there more than N distinct" primitive. Live HashSet
+  * buffer; kryo-encoded at shuffle boundaries only. */
 class UniqUpToAgg(n: Int)
-    extends Aggregator[String, Set[String], Long] with Serializable {
+    extends Aggregator[String, mutable.HashSet[String], Long] with Serializable {
 
-  def zero: Set[String] = Set.empty
-  def reduce(buf: Set[String], x: String): Set[String] =
-    if (buf.size > n || x == null) buf else buf + x
-  def merge(a: Set[String], b: Set[String]): Set[String] = {
-    val u = a ++ b
-    if (u.size > n + 1) u.take(n + 1) else u
+  def zero: mutable.HashSet[String] = mutable.HashSet.empty
+
+  def reduce(buf: mutable.HashSet[String], x: String): mutable.HashSet[String] = {
+    if (buf.size <= n && x != null) buf.add(x)
+    buf
   }
-  def finish(buf: Set[String]): Long = math.min(buf.size, n + 1).toLong
-  def bufferEncoder: Encoder[Set[String]] = ExpressionEncoder()
+
+  def merge(a: mutable.HashSet[String], b: mutable.HashSet[String]): mutable.HashSet[String] = {
+    val it = b.iterator
+    while (a.size <= n + 1 && it.hasNext) a.add(it.next())
+    a
+  }
+
+  def finish(buf: mutable.HashSet[String]): Long = math.min(buf.size, n + 1).toLong
+
+  def bufferEncoder: Encoder[mutable.HashSet[String]] =
+    Encoders.kryo[mutable.HashSet[String]]
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
@@ -58,15 +74,23 @@ class UniqUpToAgg(n: Int)
   * parts being time-ordered and keeps O(1) state; under Spark's unordered
   * shuffle we keep the (ts, value) pairs and sort on finish — exact for
   * any input order, O(rows-per-group) state (document: for huge groups
-  * prefer the window-function form, which sorts distributively). */
+  * prefer the window-function form, which sorts distributively).
+  * ArrayBuffer appends in place; kryo-encoded at shuffle only. */
 class DeltaSumTimestampAgg
-    extends Aggregator[(Long, Double), Seq[(Long, Double)], Double] with Serializable {
+    extends Aggregator[(Long, Double), mutable.ArrayBuffer[(Long, Double)], Double]
+    with Serializable {
 
-  def zero: Seq[(Long, Double)] = Vector.empty
-  def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = buf :+ x
-  def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] = a ++ b
+  def zero: mutable.ArrayBuffer[(Long, Double)] = mutable.ArrayBuffer.empty
 
-  def finish(buf: Seq[(Long, Double)]): Double = {
+  def reduce(buf: mutable.ArrayBuffer[(Long, Double)],
+             x: (Long, Double)): mutable.ArrayBuffer[(Long, Double)] = { buf += x; buf }
+
+  def merge(a: mutable.ArrayBuffer[(Long, Double)],
+            b: mutable.ArrayBuffer[(Long, Double)]): mutable.ArrayBuffer[(Long, Double)] = {
+    a ++= b; a
+  }
+
+  def finish(buf: mutable.ArrayBuffer[(Long, Double)]): Double = {
     val sorted = buf.sortBy(_._1)
     var sum = 0.0
     var i = 1
@@ -78,6 +102,7 @@ class DeltaSumTimestampAgg
     sum
   }
 
-  def bufferEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+  def bufferEncoder: Encoder[mutable.ArrayBuffer[(Long, Double)]] =
+    Encoders.kryo[mutable.ArrayBuffer[(Long, Double)]]
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

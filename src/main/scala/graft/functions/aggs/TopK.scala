@@ -1,6 +1,8 @@
 package graft.functions.aggs
 
-import org.apache.spark.sql.Encoder
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -17,76 +19,75 @@ import org.apache.spark.sql.expressions.Aggregator
   * carries O(capacity) per group. When `capacity` >= true distinct count
   * the result is exact; results are returned count-desc, value-asc for
   * determinism.
+  *
+  * The buffer is a LIVE mutable.HashMap (kryo-encoded): Spark keeps
+  * TypedImperativeAggregate buffers as JVM objects between rows and
+  * serializes only at shuffle boundaries, so reduce() is one hash update
+  * in place — an immutable-Map version paid a persistent-map rebuild per
+  * row (profiled at 140 s of the sf0.1 bench).
   */
 class TopKAgg(k: Int, capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]]
+    extends Aggregator[String, mutable.HashMap[String, Long], Seq[(String, Long)]]
     with Serializable {
 
   require(capacity >= k, "capacity must be >= k")
 
-  def zero: Map[String, Long] = Map.empty
+  def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  def reduce(buf: Map[String, Long], x: String): Map[String, Long] = {
-    if (x == null) buf
-    else buf.get(x) match {
-      case Some(c) => buf.updated(x, c + 1)
+  def reduce(buf: mutable.HashMap[String, Long], x: String): mutable.HashMap[String, Long] = {
+    if (x == null) return buf
+    buf.get(x) match {
+      case Some(c) => buf.update(x, c + 1)
       case None =>
-        if (buf.size < capacity) buf.updated(x, 1L)
+        if (buf.size < capacity) buf.update(x, 1L)
         else {
           // SpaceSaving eviction: replace the minimum counter, inheriting
           // its count as the error bound.
           val (minV, minC) = buf.minBy { case (v, c) => (c, v) }
-          (buf - minV).updated(x, minC + 1)
+          buf.remove(minV)
+          buf.update(x, minC + 1)
         }
     }
+    buf
   }
 
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val u = (a.keySet ++ b.keySet).iterator
-      .map(v => v -> (a.getOrElse(v, 0L) + b.getOrElse(v, 0L))).toMap
-    if (u.size <= capacity) u
-    else u.toSeq.sortBy { case (v, c) => (-c, v) }.take(capacity).toMap
+  def merge(a: mutable.HashMap[String, Long],
+            b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (v, c) => a.update(v, a.getOrElse(v, 0L) + c) }
+    if (a.size <= capacity) a
+    else mutable.HashMap.from(
+      a.toSeq.sortBy { case (v, c) => (-c, v) }.take(capacity))
   }
 
-  def finish(buf: Map[String, Long]): Seq[(String, Long)] =
+  def finish(buf: mutable.HashMap[String, Long]): Seq[(String, Long)] =
     buf.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
 
-  def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
   def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 }
 
 /** groupBitmap(x) — distinct-count via Roaring bitmaps over integer keys
   * (reference: src/AggregateFunctions/AggregateFunctionGroupBitmap.cpp,
   * backed by RoaringBitmap just like this one; RoaringBitmap ships with
-  * Spark). Buffer is the serialized bitmap: compressed, associatively
-  * OR-mergeable — the -State/-Merge pattern with a portable binary form.
+  * Spark).
+  *
+  * The buffer is the LIVE RoaringBitmap object (kryo-encoded): Spark's
+  * TypedImperativeAggregate keeps buffers as JVM objects between rows and
+  * serializes only at shuffle boundaries, so reduce() is a single
+  * bitmap.add — a previous Array[Byte]-buffered version ser/deserialized
+  * the bitmap on EVERY row and was ~1000× slower at sf0.1.
   */
 class GroupBitmapAgg
-    extends Aggregator[Int, Array[Byte], Long] with Serializable {
+    extends Aggregator[Int, org.roaringbitmap.RoaringBitmap, Long]
+    with Serializable {
   import org.roaringbitmap.RoaringBitmap
-  import java.io.{ByteArrayOutputStream, DataOutputStream}
-  import java.nio.ByteBuffer
 
-  private def ser(bm: RoaringBitmap): Array[Byte] = {
-    bm.runOptimize()
-    val bos = new ByteArrayOutputStream()
-    bm.serialize(new DataOutputStream(bos))
-    bos.toByteArray
-  }
-  private def deser(b: Array[Byte]): RoaringBitmap = {
-    val bm = new RoaringBitmap()
-    if (b.nonEmpty) bm.deserialize(ByteBuffer.wrap(b))
-    bm
-  }
-
-  def zero: Array[Byte] = Array.empty
-  def reduce(buf: Array[Byte], x: Int): Array[Byte] = {
-    val bm = deser(buf); bm.add(x); ser(bm)
-  }
-  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val bm = deser(a); bm.or(deser(b)); ser(bm)
-  }
-  def finish(buf: Array[Byte]): Long = deser(buf).getLongCardinality
-  def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+  def zero: RoaringBitmap = new RoaringBitmap()
+  def reduce(buf: RoaringBitmap, x: Int): RoaringBitmap = { buf.add(x); buf }
+  def merge(a: RoaringBitmap, b: RoaringBitmap): RoaringBitmap = { a.or(b); a }
+  def finish(buf: RoaringBitmap): Long = buf.getLongCardinality
+  def bufferEncoder: Encoder[RoaringBitmap] =
+    org.apache.spark.sql.Encoders.kryo[RoaringBitmap]
   def outputEncoder: Encoder[Long] = ExpressionEncoder()
 }

@@ -1,11 +1,38 @@
 package graft.functions.aggs
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Input row for funnel-family aggregators: event time in epoch micros and
   * the 1-based funnel step this event matches (0 = matches none). */
 case class StepEvent(tsUs: Long, step: Int)
+
+/** Shared shape for the funnel family: collect matching (ts, step) pairs
+  * into a live ArrayBuffer (in-place append per row; kryo SerDe only at
+  * shuffle boundaries — an immutable-Seq version paid per-row copies),
+  * then run an O(n log n) scan in finish(). */
+abstract class EventCollectAgg[OUT](nSteps: Int)
+    extends Aggregator[StepEvent, mutable.ArrayBuffer[(Long, Int)], OUT]
+    with Serializable {
+
+  def zero: mutable.ArrayBuffer[(Long, Int)] = mutable.ArrayBuffer.empty
+
+  def reduce(buf: mutable.ArrayBuffer[(Long, Int)],
+             e: StepEvent): mutable.ArrayBuffer[(Long, Int)] = {
+    if (e.step >= 1 && e.step <= nSteps) buf += ((e.tsUs, e.step))
+    buf
+  }
+
+  def merge(a: mutable.ArrayBuffer[(Long, Int)],
+            b: mutable.ArrayBuffer[(Long, Int)]): mutable.ArrayBuffer[(Long, Int)] = {
+    a ++= b; a
+  }
+
+  def bufferEncoder: Encoder[mutable.ArrayBuffer[(Long, Int)]] =
+    Encoders.kryo[mutable.ArrayBuffer[(Long, Int)]]
+}
 
 /** windowFunnel(window)(ts, step) — max funnel depth reached within a time
   * window (reference semantics:
@@ -29,17 +56,9 @@ case class StepEvent(tsUs: Long, step: Int)
   * so at 100 TB the only requirement is that a single group's matching
   * events fit in executor memory — same contract as the reference.
   */
-class WindowFunnelAgg(windowUs: Long, nSteps: Int)
-    extends Aggregator[StepEvent, Seq[(Long, Int)], Int] with Serializable {
+class WindowFunnelAgg(windowUs: Long, nSteps: Int) extends EventCollectAgg[Int](nSteps) {
 
-  def zero: Seq[(Long, Int)] = Vector.empty
-
-  def reduce(buf: Seq[(Long, Int)], e: StepEvent): Seq[(Long, Int)] =
-    if (e.step >= 1 && e.step <= nSteps) buf :+ ((e.tsUs, e.step)) else buf
-
-  def merge(a: Seq[(Long, Int)], b: Seq[(Long, Int)]): Seq[(Long, Int)] = a ++ b
-
-  def finish(buf: Seq[(Long, Int)]): Int = {
+  def finish(buf: mutable.ArrayBuffer[(Long, Int)]): Int = {
     val sorted = buf.sortBy(identity)
     val best = Array.fill(nSteps + 1)(Long.MinValue)
     sorted.foreach { case (t, k) =>
@@ -53,7 +72,6 @@ class WindowFunnelAgg(windowUs: Long, nSteps: Int)
     level
   }
 
-  def bufferEncoder: Encoder[Seq[(Long, Int)]] = ExprEnc.seqLongInt
   def outputEncoder: Encoder[Int] = Encoders.scalaInt
 }
 
@@ -62,15 +80,9 @@ class WindowFunnelAgg(windowUs: Long, nSteps: Int)
   * src/AggregateFunctions/AggregateFunctionSequenceMatch.cpp; we support
   * the `.*`-separated pattern family, which is the windowFunnel DP with an
   * unbounded window and strict ordering). */
-class SequenceMatchAgg(nSteps: Int)
-    extends Aggregator[StepEvent, Seq[(Long, Int)], Boolean] with Serializable {
+class SequenceMatchAgg(nSteps: Int) extends EventCollectAgg[Boolean](nSteps) {
 
-  def zero: Seq[(Long, Int)] = Vector.empty
-  def reduce(buf: Seq[(Long, Int)], e: StepEvent): Seq[(Long, Int)] =
-    if (e.step >= 1 && e.step <= nSteps) buf :+ ((e.tsUs, e.step)) else buf
-  def merge(a: Seq[(Long, Int)], b: Seq[(Long, Int)]): Seq[(Long, Int)] = a ++ b
-
-  def finish(buf: Seq[(Long, Int)]): Boolean = {
+  def finish(buf: mutable.ArrayBuffer[(Long, Int)]): Boolean = {
     // earliest time each level can be completed, requiring strict increase
     val sorted = buf.sortBy(identity)
     val done = Array.fill(nSteps + 1)(Long.MaxValue)
@@ -82,22 +94,15 @@ class SequenceMatchAgg(nSteps: Int)
     done(nSteps) != Long.MaxValue
   }
 
-  def bufferEncoder: Encoder[Seq[(Long, Int)]] = ExprEnc.seqLongInt
   def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
 }
 
 /** sequenceCount('(?1).*(?2)…') — number of non-overlapping matches,
   * scanning in time order and greedily restarting after each complete
   * match (reference: AggregateFunctionSequenceMatch.cpp sequenceCount). */
-class SequenceCountAgg(nSteps: Int)
-    extends Aggregator[StepEvent, Seq[(Long, Int)], Long] with Serializable {
+class SequenceCountAgg(nSteps: Int) extends EventCollectAgg[Long](nSteps) {
 
-  def zero: Seq[(Long, Int)] = Vector.empty
-  def reduce(buf: Seq[(Long, Int)], e: StepEvent): Seq[(Long, Int)] =
-    if (e.step >= 1 && e.step <= nSteps) buf :+ ((e.tsUs, e.step)) else buf
-  def merge(a: Seq[(Long, Int)], b: Seq[(Long, Int)]): Seq[(Long, Int)] = a ++ b
-
-  def finish(buf: Seq[(Long, Int)]): Long = {
+  def finish(buf: mutable.ArrayBuffer[(Long, Int)]): Long = {
     val sorted = buf.sortBy(identity)
     var count = 0L
     var next = 1 // next step we need
@@ -109,12 +114,5 @@ class SequenceCountAgg(nSteps: Int)
     count
   }
 
-  def bufferEncoder: Encoder[Seq[(Long, Int)]] = ExprEnc.seqLongInt
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
-}
-
-/** Shared encoders for aggregator buffers. */
-object ExprEnc {
-  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-  implicit val seqLongInt: Encoder[Seq[(Long, Int)]] = ExpressionEncoder()
 }

@@ -5,6 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.GraftFunctions._
 import graft.functions.aggs._
 
+import scala.collection.mutable.ArrayBuffer
+
 /** Brute-force cross-checks for the custom Aggregators. */
 class AggregatorSpec extends AnyFunSuite {
   import TestSpark._
@@ -42,7 +44,7 @@ class AggregatorSpec extends AnyFunSuite {
       val events = Seq.fill(rnd.nextInt(12) + 1)((rnd.nextInt(100).toLong, rnd.nextInt(3) + 1))
       val window = (rnd.nextInt(40) + 5).toLong
       val agg = new WindowFunnelAgg(window, 3)
-      val got = agg.finish(events.toVector)
+      val got = agg.finish(ArrayBuffer.from(events))
       val expect = bruteFunnel(events, window, 3)
       assert(got == expect, s"events=$events window=$window got=$got expect=$expect")
     }
@@ -62,17 +64,17 @@ class AggregatorSpec extends AnyFunSuite {
 
   test("sequenceMatch strict ordering") {
     val agg = new SequenceMatchAgg(2)
-    assert(agg.finish(Vector((1L, 1), (2L, 2))))
-    assert(!agg.finish(Vector((2L, 1), (1L, 2))))
-    assert(!agg.finish(Vector((1L, 1), (1L, 2)))) // equal ts not strict
-    assert(agg.finish(Vector((5L, 2), (1L, 1), (9L, 2))))
+    assert(agg.finish(ArrayBuffer((1L, 1), (2L, 2))))
+    assert(!agg.finish(ArrayBuffer((2L, 1), (1L, 2))))
+    assert(!agg.finish(ArrayBuffer((1L, 1), (1L, 2)))) // equal ts not strict
+    assert(agg.finish(ArrayBuffer((5L, 2), (1L, 1), (9L, 2))))
   }
 
   test("sequenceCount greedy non-overlap") {
     val agg = new SequenceCountAgg(2)
-    assert(agg.finish(Vector((1L, 1), (2L, 2), (3L, 1), (4L, 2))) == 2)
-    assert(agg.finish(Vector((1L, 1), (2L, 1), (3L, 2))) == 1)
-    assert(agg.finish(Vector((1L, 2), (2L, 2))) == 0)
+    assert(agg.finish(ArrayBuffer((1L, 1), (2L, 2), (3L, 1), (4L, 2))) == 2)
+    assert(agg.finish(ArrayBuffer((1L, 1), (2L, 1), (3L, 2))) == 1)
+    assert(agg.finish(ArrayBuffer((1L, 2), (2L, 2))) == 0)
   }
 
   test("retention masks by first condition") {
@@ -93,7 +95,7 @@ class AggregatorSpec extends AnyFunSuite {
   test("deltaSumTimestamp sums positive deltas in ts order") {
     val agg = new DeltaSumTimestampAgg
     // ts order: (1,10) (2,5) (3,20) → deltas -5, +15 → 15
-    val buf = Vector((3L, 20.0), (1L, 10.0), (2L, 5.0))
+    val buf = ArrayBuffer((3L, 20.0), (1L, 10.0), (2L, 5.0))
     assert(agg.finish(buf) == 15.0)
   }
 
