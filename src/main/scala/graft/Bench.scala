@@ -23,12 +23,18 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
+    // Optional arg: comma-separated query-name filter (debugging aid).
+    val only: Option[Set[String]] =
+      args.headOption.filter(_.nonEmpty).map(_.split(",").toSet)
+
     // Warm the JVM: codegen, parquet footer reads, broadcast machinery.
     Seq("q1_pricing_summary", "q_join_multi", "q_window_rank").foreach { n =>
       SparkEntry.queries.get(n).foreach(fn => try run(fn) catch { case _: Throwable => () })
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

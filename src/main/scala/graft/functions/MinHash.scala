@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** minhash_sig(shingleHashes, numHashes) — MinHash signature over a
+  * pre-hashed shingle set (Broder 1997), as a native Catalyst expression.
+  *
+  * sig[i] = min over h in shingleHashes of xxhash64(i, h), bit-identical
+  * to the composable form
+  * `transform(sequence(0, n-1), i => array_min(transform(hs, h =>
+  * xxhash64(i, h))))` (Spark folds xxhash64(i, h) as
+  * XXH64.hashLong(h, XXH64.hashInt(i, 42))) — but computed in ONE pass
+  * over the shingle array with n running minimums instead of n interpreted
+  * lambda sweeps, each of which allocated an intermediate array. The
+  * per-seed inner hashes XXH64.hashInt(i, 42) are precomputed once.
+  *
+  * This mirrors DotProduct's rationale (SURVEY §2.9 preference (b)): the
+  * HOF composition was the minhash-LSH bottleneck at sf0.1.
+  */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(LongType, _) if right.dataType == IntegerType && right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires (array<bigint>, foldable int), got " +
+        s"${left.dataType}, ${right.dataType}")
+  }
+
+  @transient private lazy val numHashes: Int =
+    right.eval().asInstanceOf[Int]
+
+  /** Per-seed state after hashing the seed index: XXH64(i, 42). */
+  @transient private lazy val seedHashes: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val hs = l.asInstanceOf[ArrayData]
+    val n = numHashes
+    val seeds = seedHashes
+    val out = Array.fill(n)(Long.MaxValue)
+    val m = hs.numElements()
+    var j = 0
+    while (j < m) {
+      // a null element hashes to the seed state alone, matching
+      // xxhash64(i, null)'s skip-null fold; callers never produce nulls.
+      val isNull = hs.isNullAt(j)
+      val h = if (isNull) 0L else hs.getLong(j)
+      var i = 0
+      while (i < n) {
+        val v = if (isNull) seeds(i) else XXH64.hashLong(h, seeds(i))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSignature =
+    copy(left = newLeft, right = newRight)
+}

@@ -101,6 +101,8 @@ object GraftScalar {
       "dot_arr", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "siphash64", exprs => SipHash64Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
     registered = true
   }
 
@@ -109,6 +111,12 @@ object GraftScalar {
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 
   def dotArr(a: Column, b: Column): Column = call_function("dot_arr", a, b)
+
+  /** One-pass MinHash signature over pre-hashed shingles. */
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("minhash_sig", shingleHashes, lit(numHashes))
+  }
 
   /** Hamming distance between two long fingerprints. */
   def hamming64(a: Column, b: Column): Column = {

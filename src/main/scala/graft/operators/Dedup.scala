@@ -53,12 +53,13 @@ object Dedup {
   /** MinHash signature family: each shingle is string-hashed ONCE, then
     * the i-th hash function re-hashes the resulting LONG with seed i —
     * fixed-width integer hashing instead of the naive 64× string hashing
-    * that dominated the benchmark. (A multiply-add universal family would
-    * be cheaper still but overflows under ANSI mode, which the session
-    * keeps ON for oracle parity.) Pure Column expressions — no UDF. */
+    * that dominated the benchmark. Computed by the native one-pass
+    * MinHashSignature expression (bit-identical to the HOF composition
+    * `transform(sequence(...), i => array_min(transform(hs, h =>
+    * xxhash64(i, h))))`, which swept the shingle array once per seed
+    * through interpreted lambdas and was the remaining LSH bottleneck). */
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
+    GraftScalar.minhashSig(shingleHashes, numHashes)
 
   /** LSH candidate pairs from banded minhash signatures, verified with
     * exact Jaccard over the shingle sets. Output: (id_a, id_b, jaccard)

@@ -31,6 +31,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("native minhash_sig is bit-identical to the HOF composition") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "a b")
+      .withColumn("hs", transform(
+        Dedup.shinglesFromToks(Dedup.tokenize(col("text")), 2), s => xxhash64(s)))
+      .filter(size(col("hs")) > 0)
+    val n = 16
+    val hof = transform(sequence(lit(0), lit(n - 1)),
+      i => array_min(transform(col("hs"), h => xxhash64(i, h))))
+    val rows = d.select(col("doc_id"),
+      GraftScalar.minhashSig(col("hs"), n).as("native"), hof.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("simhash pairs: near-identical docs within hamming 3, unrelated not") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"

@@ -7,4 +7,4 @@ SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$CPUS \
 java $OPENS -Xmx${SPARK_DRIVER_MEM:-24g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench
+  graft.Bench "$3"
