@@ -103,6 +103,8 @@ object GraftScalar {
       "siphash64", exprs => SipHash64Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
     registered = true
   }
 
@@ -116,6 +118,12 @@ object GraftScalar {
   def minhashSig(shingleHashes: Column, numHashes: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("minhash_sig", shingleHashes, lit(numHashes))
+  }
+
+  /** Distinct xxhash64 values of word n-grams, one native pass. */
+  def shingleHashes(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("shingle_hashes", tokens, lit(n))
   }
 
   /** Hamming distance between two long fingerprints. */

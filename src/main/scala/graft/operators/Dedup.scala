@@ -75,20 +75,20 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    // hash each shingle ONCE; signatures and verification both work on
-    // the long hashes (collision probability ~ |shingles|²/2^64 ≈ 0).
+    // hash each shingle ONCE via the fused native shingle_hashes pass;
+    // signatures and verification both work on the long hashes (collision
+    // probability ~ |shingles|²/2^64 ≈ 0).
     // repartition by id: corpus files are few/large, and shingling is the
     // CPU-heavy step — spread it across all cores before computing.
     // persisted: (a) reused three times (signatures + both verify joins);
     // (b) the cache is a hard optimizer barrier — without it
-    // CollapseProject inlines the `hs` expression into the 64-seed outer
-    // lambda and re-shingles every document 64 times per row. Same
-    // requirement as Spark MLlib's MinHashLSH (cache your input).
+    // CollapseProject can inline the `hs` expression into downstream
+    // projections and re-shingle per reference. Same requirement as Spark
+    // MLlib's MinHashLSH (cache your input).
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("_text"))
       .repartition(col("id"))
-      .withColumn("toks", tokenize(col("_text")))
       .select(col("id"),
-        transform(shinglesFromToks(col("toks"), shingleSize), s => xxhash64(s)).as("hs"))
+        GraftScalar.shingleHashes(tokenize(col("_text")), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = hashed.withColumn("sig", minhashSignature(col("hs"), numHashes))
@@ -165,13 +165,14 @@ object Dedup {
                         blockCol: String, lenCol: String,
                         lenTol: Int, n: Int, threshold: Double): DataFrame = {
     // persisted: reused by both the inverted index and the size frame
-    // (and acts as the optimizer barrier — see minhashLshPairs).
+    // (and acts as the optimizer barrier — see minhashLshPairs). Shingles
+    // are kept as their 64-bit hashes (fused native pass): set sizes and
+    // intersection counts are identical to the string-shingle forms.
     val withSh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(lenCol).as("len"), col(textCol).as("_text"))
       .repartition(col("id"))
-      .withColumn("toks", tokenize(col("_text")))
       .select(col("id"), col("blk"), col("len"),
-        shinglesFromToks(col("toks"), n).as("sh"))
+        GraftScalar.shingleHashes(tokenize(col("_text")), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = withSh.select(col("id"), col("blk"), col("len"),
       size(col("sh")).as("sz"))
@@ -179,7 +180,7 @@ object Dedup {
     // inverted index: (blk, shingle-hash, id, len); shingles are distinct
     // per doc so counts are set intersections.
     val toks = withSh.select(col("blk"), col("id"), col("len"),
-      explode(col("sh")).as("s")).withColumn("h", xxhash64(col("s"))).drop("s")
+      explode(col("sh")).as("h"))
     val inter = toks.select(col("blk"), col("h"), col("id").as("id_a"), col("len").as("len_a"))
       .join(toks.select(col("blk"), col("h"), col("id").as("id_b"), col("len").as("len_b")),
         Seq("blk", "h"))

@@ -49,6 +49,20 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native shingle_hashes matches the HOF shingle+hash composition") {
+    val d = docs(
+      1L -> "one two three four five six one two three four",  // repeated shingles
+      2L -> "a b",                                              // shorter than n
+      3L -> "x y z")                                            // exactly n
+      .withColumn("toks", Dedup.tokenize(col("text")))
+    val hof = transform(Dedup.shinglesFromToks(col("toks"), 3), s => xxhash64(s))
+    val rows = d.select(col("doc_id"),
+      GraftScalar.shingleHashes(col("toks"), 3).as("native"), hof.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("simhash pairs: near-identical docs within hamming 3, unrelated not") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"
