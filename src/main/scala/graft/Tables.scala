@@ -33,16 +33,28 @@ object Tables {
     * (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros —
     * identical to how DuckDB truncates TIMESTAMP_NS → TIMESTAMP, so
     * oracle comparisons line up.
+    *
+    * The nanos fallback forces the NON-vectorized parquet reader, which
+    * made every events-table query pay a pathological row-by-row scan
+    * (~10 s at sf0.1). The converted frame is persisted once per
+    * (session, dir) and reused by all queries — equivalent to the one-time
+    * nanos→micros rewrite a real deployment would do at ingest.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-    }
+    if (name == "events") cachedEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  private val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def cachedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    eventsCache.computeIfAbsent((System.identityHashCode(spark), sfDir), _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Apply engine-level session tuning once per session. Values chosen for
     * local[32] testing but expressed scale-independently: AQE handles

@@ -34,9 +34,10 @@ object GraftFunctions {
   def uniq_up_to(n: Int)(x: Column): Column =
     udaf(new UniqUpToAgg(n)).apply(x)
 
-  /** Sum of positive deltas of `value` between ts-consecutive rows. */
-  def delta_sum_timestamp(tsUs: Column, value: Column): Column =
-    udaf(new DeltaSumTimestampAgg).apply(tsUs, value)
+  /** Sum of positive deltas of `value` between (ts, key)-consecutive rows;
+    * `key` breaks timestamp ties deterministically. */
+  def delta_sum_timestamp(tsUs: Column, key: Column, value: Column): Column =
+    udaf(new DeltaSumTimestampAgg).apply(tsUs, key, value)
 
   /** SpaceSaving top-k heavy hitters: array<struct(value, count)>. */
   def top_k(k: Int, capacity: Int)(x: Column): Column =

@@ -43,6 +43,11 @@ case class MinHashSignature(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val hs = l.asInstanceOf[ArrayData]
+    // An empty shingle set has no meaningful signature: return null
+    // (intentional divergence from the HOF composition, which yields an
+    // array of null elements — callers must pre-filter size(hs) > 0,
+    // which both Dedup call sites do).
+    if (hs.numElements() == 0) return null
     val n = numHashes
     val seeds = seedHashes
     val out = Array.fill(n)(Long.MaxValue)

@@ -68,41 +68,44 @@ class UniqUpToAgg(n: Int)
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
-/** deltaSumTimestamp(ts, value) (reference: AggregateFunctionDeltaSum.cpp /
-  * …DeltaSumTimestamp.cpp): sum of positive differences between
-  * consecutive values when rows are ordered by ts. The reference relies on
-  * parts being time-ordered and keeps O(1) state; under Spark's unordered
-  * shuffle we keep the (ts, value) pairs and sort on finish — exact for
-  * any input order, O(rows-per-group) state (document: for huge groups
-  * prefer the window-function form, which sorts distributively).
+/** deltaSumTimestamp(ts, key, value) (reference:
+  * AggregateFunctionDeltaSum.cpp / …DeltaSumTimestamp.cpp): sum of
+  * positive differences between consecutive values when rows are ordered
+  * by (ts, key). The reference relies on parts being time-ordered and
+  * keeps O(1) state; under Spark's unordered shuffle we keep the
+  * (ts, key, value) triples and sort on finish — exact for any input
+  * order, O(rows-per-group) state (document: for huge groups prefer the
+  * window-function form, which sorts distributively). `key` is a
+  * deterministic tie-break (e.g. event_id) so duplicate timestamps keep
+  * the same order run-to-run and match the oracle's ORDER BY ts, key.
   * ArrayBuffer appends in place; kryo-encoded at shuffle only. */
 class DeltaSumTimestampAgg
-    extends Aggregator[(Long, Double), mutable.ArrayBuffer[(Long, Double)], Double]
+    extends Aggregator[(Long, Long, Double), mutable.ArrayBuffer[(Long, Long, Double)], Double]
     with Serializable {
 
-  def zero: mutable.ArrayBuffer[(Long, Double)] = mutable.ArrayBuffer.empty
+  def zero: mutable.ArrayBuffer[(Long, Long, Double)] = mutable.ArrayBuffer.empty
 
-  def reduce(buf: mutable.ArrayBuffer[(Long, Double)],
-             x: (Long, Double)): mutable.ArrayBuffer[(Long, Double)] = { buf += x; buf }
+  def reduce(buf: mutable.ArrayBuffer[(Long, Long, Double)],
+             x: (Long, Long, Double)): mutable.ArrayBuffer[(Long, Long, Double)] = { buf += x; buf }
 
-  def merge(a: mutable.ArrayBuffer[(Long, Double)],
-            b: mutable.ArrayBuffer[(Long, Double)]): mutable.ArrayBuffer[(Long, Double)] = {
+  def merge(a: mutable.ArrayBuffer[(Long, Long, Double)],
+            b: mutable.ArrayBuffer[(Long, Long, Double)]): mutable.ArrayBuffer[(Long, Long, Double)] = {
     a ++= b; a
   }
 
-  def finish(buf: mutable.ArrayBuffer[(Long, Double)]): Double = {
-    val sorted = buf.sortBy(_._1)
+  def finish(buf: mutable.ArrayBuffer[(Long, Long, Double)]): Double = {
+    val sorted = buf.sortBy(x => (x._1, x._2))
     var sum = 0.0
     var i = 1
     while (i < sorted.length) {
-      val d = sorted(i)._2 - sorted(i - 1)._2
+      val d = sorted(i)._3 - sorted(i - 1)._3
       if (d > 0) sum += d
       i += 1
     }
     sum
   }
 
-  def bufferEncoder: Encoder[mutable.ArrayBuffer[(Long, Double)]] =
-    Encoders.kryo[mutable.ArrayBuffer[(Long, Double)]]
+  def bufferEncoder: Encoder[mutable.ArrayBuffer[(Long, Long, Double)]] =
+    Encoders.kryo[mutable.ArrayBuffer[(Long, Long, Double)]]
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

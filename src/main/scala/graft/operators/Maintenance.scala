@@ -48,11 +48,21 @@ object Maintenance {
     n
   }
 
+  /** Swap `tmp` into place at `path` without a window where the table is
+    * missing: the live dir is renamed aside first, so every crash point
+    * leaves either the old or the new directory recoverable (a crash
+    * between rename-aside and rename-in leaves `path + ".old"` intact;
+    * recovery = rename it back). The old dir is deleted only after the
+    * new one is live. */
   private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)                                   // clear stale leftovers
+    fs.rename(p, old)                                      // live → aside
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)       // new → live
+    fs.delete(old, true)                                   // drop aside
   }
 
   /** Current data-file count of a table directory. */

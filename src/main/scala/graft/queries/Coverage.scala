@@ -32,13 +32,15 @@ object Coverage extends QueryModule {
 
     // entropy(x) (reference: AggregateFunctionEntropy.cpp — Shannon
     // entropy of the value distribution). Two-level aggregation: counts
-    // per value, then -Σ p·log2(p); both shuffles carry only partials.
+    // per value, then -Σ p·log2(p); both shuffles carry only partials,
+    // and the grand total broadcasts back over the (tiny) counts frame.
     "q_agg_entropy" -> ((s, dir) => {
       val counts = t(s, dir, "orders")
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
-      counts.agg(
-        round(expr("-sum((c / (select sum(c) from __THIS__)) )"), 6)) // placeholder replaced below
-      // (placeholder never used — see the real implementation)
+      val total = counts.agg(sum(col("c")).as("tot"))
+      val p = col("c").cast("double") / col("tot")
+      counts.crossJoin(broadcast(total))
+        .agg(round(-sum(p * log2(p)), 6).as("entropy"))
     }),
 
     // RIGHT [OUTER] JOIN (reference join kinds:
@@ -92,6 +94,11 @@ object Coverage extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_agg_entropy" ->
+      """SELECT round(-sum(p * log2(p)), 6) AS entropy FROM (
+        | SELECT count(*)::DOUBLE / sum(count(*)) OVER () AS p
+        | FROM orders GROUP BY o_orderpriority)""".stripMargin,
+
     "q_agg_linreg" ->
       """SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,

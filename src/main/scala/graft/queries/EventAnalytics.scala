@@ -70,22 +70,30 @@ object EventAnalytics extends QueryModule {
         .agg(sequence_count(2)(unix_micros(col("ts")), col("step")).as("n_chains"))
     }),
 
-    // deltaSumTimestamp: per-user sum of positive value deltas in ts order.
+    // deltaSumTimestamp: per-user sum of positive value deltas in
+    // (ts, event_id) order — event_id breaks duplicate-timestamp ties
+    // exactly like the oracle's ORDER BY ts, event_id.
     "q_delta_sum" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(round(delta_sum_timestamp(unix_micros(col("ts")), col("value")), 4)
+        .agg(round(delta_sum_timestamp(
+            unix_micros(col("ts")), col("event_id"), col("value")), 4)
           .as("delta_sum"))
     }),
 
     // rate: (last - first) / elapsed-seconds per user (reference:
     // AggregateFunctionRate.cpp) via max_by/min_by — O(1) state.
+    // Tie-break on (t, event_id) so duplicate timestamps pick the same row
+    // as the oracle; zero-elapsed (single event) groups yield NULL.
     "q_rate" -> ((s, dir) => {
       val e = t(s, dir, "events").select(
-        col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+        col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("value"))
+      val key = struct(col("t"), col("event_id"))
       e.groupBy(col("user_id")).agg(
-        round((max_by(col("value"), col("t")) - min_by(col("value"), col("t"))) /
-          ((max(col("t")) - min(col("t"))) / lit(1000000.0)), 6).as("rate_per_sec"))
+        round((max_by(col("value"), key) - min_by(col("value"), key)) /
+          (nullif(max(col("t")) - min(col("t")), lit(0L)) / lit(1000000.0)), 6)
+          .as("rate_per_sec"))
     }),
 
     // topK via SpaceSaving (capacity >= distinct ⇒ exact).
@@ -198,11 +206,15 @@ object EventAnalytics extends QueryModule {
         |GROUP BY user_id""".stripMargin,
 
     "q_rate" ->
-      """SELECT user_id,
-        | round((max_by(value, ts) - min_by(value, ts)) /
-        |   ((epoch_us(max(ts)::TIMESTAMP) - epoch_us(min(ts)::TIMESTAMP)) / 1000000.0), 6)
-        |   AS rate_per_sec
-        |FROM events GROUP BY user_id""".stripMargin,
+      """WITH o AS (SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS t,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT user_id,
+        | round((max(CASE WHEN rn_d = 1 THEN value END) -
+        |        max(CASE WHEN rn_a = 1 THEN value END)) /
+        |   (nullif(max(t) - min(t), 0) / 1000000.0), 6) AS rate_per_sec
+        |FROM o GROUP BY user_id""".stripMargin,
 
     "q_topk_events" ->
       """SELECT rank, event_type AS value, cnt FROM (

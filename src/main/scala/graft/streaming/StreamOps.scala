@@ -89,10 +89,14 @@ object StreamOps {
         (key: Long, rows: Iterator[IngestRow], state: GroupState[LatestRow]) =>
           val incoming = rows.map(r =>
             LatestRow(key, r._time.getTime * 1000, r.event_type, r.value))
-          val newest = (incoming ++ state.getOption.iterator)
+          val cur = state.getOption
+          val newest = (incoming ++ cur.iterator)
             .maxByOption(r => (r.ts_us, r.event_type))
           newest match {
-            case Some(n) if state.getOption.forall(_.ts_us <= n.ts_us) =>
+            // emit only on a real change: a batch of strictly-older rows
+            // resolves newest to the stored state itself — re-emitting it
+            // would be a duplicate unchanged update.
+            case Some(n) if !cur.contains(n) =>
               state.update(n); Iterator.single(n)
             case _ => Iterator.empty
           }

@@ -95,8 +95,11 @@ class AggregatorSpec extends AnyFunSuite {
   test("deltaSumTimestamp sums positive deltas in ts order") {
     val agg = new DeltaSumTimestampAgg
     // ts order: (1,10) (2,5) (3,20) → deltas -5, +15 → 15
-    val buf = ArrayBuffer((3L, 20.0), (1L, 10.0), (2L, 5.0))
+    val buf = ArrayBuffer((3L, 30L, 20.0), (1L, 10L, 10.0), (2L, 20L, 5.0))
     assert(agg.finish(buf) == 15.0)
+    // duplicate ts: key breaks the tie → order (5,1,100) (5,2,50) (6,3,70)
+    val tied = ArrayBuffer((5L, 2L, 50.0), (6L, 3L, 70.0), (5L, 1L, 100.0))
+    assert(agg.finish(tied) == 20.0)
   }
 
   test("uniqUpTo caps at n+1") {
