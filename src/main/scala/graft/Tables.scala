@@ -45,16 +45,48 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  private val eventsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  /** Events cache, weak-keyed by session so a stopped/GC'd session never
+    * pins its cached blocks (advisor r2: the identityHashCode key leaked
+    * entries for the JVM lifetime and could collide after GC). Bounded per
+    * session: evicts+unpersists the oldest dir when over capacity. */
+  private val eventsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[String, DataFrame]]())
 
   private def cachedEvents(spark: SparkSession, sfDir: String): DataFrame =
-    eventsCache.computeIfAbsent((System.identityHashCode(spark), sfDir), _ => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    eventsCache.synchronized {
+      val perSession = eventsCache.computeIfAbsent(spark, _ =>
+        new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+            val evict = size() > 4
+            if (evict) e.getValue.unpersist(false)
+            evict
+          }
+        })
+      perSession.computeIfAbsent(sfDir, _ => {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+
+  /** Operator-internal persisted frames (optimizer barriers in Dedup etc.)
+    * register here; Bench/Verify release them after each query so a long
+    * multi-query session doesn't accumulate executor memory (round-2
+    * lesson: leaked persists disturbed every later query's timing). */
+  private val scratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def registerScratch(df: DataFrame): DataFrame = { scratch.add(df); df }
+
+  /** Unpersist every registered scratch frame (non-blocking). The events
+    * cache is NOT touched — it is a table, not per-query scratch. */
+  def releaseScratch(): Unit = {
+    var df = scratch.poll()
+    while (df != null) { df.unpersist(false); df = scratch.poll() }
+  }
 
   /** Apply engine-level session tuning once per session. Values chosen for
     * local[32] testing but expressed scale-independently: AQE handles

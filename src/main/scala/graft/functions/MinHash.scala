@@ -26,6 +26,11 @@ case class MinHashSignature(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // Returns null for an empty input array even when the child is
+  // non-nullable — without this override Catalyst would derive
+  // nullable=false from the children and skip the null check (advisor r2).
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(LongType, _) if right.dataType == IntegerType && right.foldable =>
       TypeCheckResult.TypeCheckSuccess

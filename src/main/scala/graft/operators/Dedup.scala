@@ -85,12 +85,13 @@ object Dedup {
     // CollapseProject can inline the `hs` expression into downstream
     // projections and re-shingle per reference. Same requirement as Spark
     // MLlib's MinHashLSH (cache your input).
-    val hashed = df.select(col(idCol).as("id"), col(textCol).as("_text"))
-      .repartition(col("id"))
-      .select(col("id"),
-        GraftScalar.shingleHashes(tokenize(col("_text")), shingleSize).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = graft.Tables.registerScratch(
+      df.select(col(idCol).as("id"), col(textCol).as("_text"))
+        .repartition(col("id"))
+        .select(col("id"),
+          GraftScalar.shingleHashes(tokenize(col("_text")), shingleSize).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sigs = hashed.withColumn("sig", minhashSignature(col("hs"), numHashes))
 
     // (band, bucket, id) ONLY — shingle payloads are NOT carried through
@@ -154,28 +155,33 @@ object Dedup {
   /** Exact n-gram Jaccard similarity on blocked candidate pairs (blocking:
     * same `blockCol` value and |len| within `lenTol`).
     *
-    * Intersections are computed by a shingle-level self-join + count
-    * (inverted-index style) instead of pairwise array_intersect: cost is
-    * Σ per-shingle freq², which is near-linear for natural corpora, and
-    * the blocked pair frame carries only ids+sizes — no array payloads
-    * shuffle. This is the formulation that survives 100×: both joins are
-    * plain equi-joins Catalyst shuffles by key.
+    * Candidates come ONLY from the inverted index (shingle-level
+    * self-join + count): a pair with zero shared shingles can never clear
+    * a positive threshold, so enumerating the all-blocked-pairs frame —
+    * O(n²) per block, the round-2 scale-killer — is never needed.
+    * `threshold` must therefore be > 0. Cost is Σ per-shingle freq²,
+    * near-linear for natural corpora; both joins are plain equi-joins
+    * Catalyst shuffles by key. This is the formulation that survives
+    * 100×.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, lenCol: String,
                         lenTol: Int, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0,
+      "threshold must be > 0: candidates derive from the inverted index " +
+        "(zero-overlap pairs are by construction not near-duplicates)")
     // persisted: reused by both the inverted index and the size frame
     // (and acts as the optimizer barrier — see minhashLshPairs). Shingles
     // are kept as their 64-bit hashes (fused native pass): set sizes and
     // intersection counts are identical to the string-shingle forms.
-    val withSh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(lenCol).as("len"), col(textCol).as("_text"))
-      .repartition(col("id"))
-      .select(col("id"), col("blk"), col("len"),
-        GraftScalar.shingleHashes(tokenize(col("_text")), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = withSh.select(col("id"), col("blk"), col("len"),
-      size(col("sh")).as("sz"))
+    val withSh = graft.Tables.registerScratch(
+      df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        col(lenCol).as("len"), col(textCol).as("_text"))
+        .repartition(col("id"))
+        .select(col("id"), col("blk"), col("len"),
+          GraftScalar.shingleHashes(tokenize(col("_text")), n).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
 
     // inverted index: (blk, shingle-hash, id, len); shingles are distinct
     // per doc so counts are set intersections.
@@ -189,19 +195,13 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("i"))
 
-    // all blocked pairs (ids + sizes only) left-joined with intersections
-    // so zero-overlap pairs keep jaccard 0.
-    val pairs = sizes.select(col("blk"), col("id").as("id_a"),
-        col("len").as("len_a"), col("sz").as("sz_a"))
-      .join(sizes.select(col("blk"), col("id").as("id_b"),
-        col("len").as("len_b"), col("sz").as("sz_b")), Seq("blk"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(col("len_a") - col("len_b")) <= lenTol)
-
-    pairs.join(inter, Seq("id_a", "id_b"), "left")
+    // candidates = overlapping pairs only; attach set sizes by id.
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard", round(
-        coalesce(col("i"), lit(0L)).cast("double") /
-          (col("sz_a") + col("sz_b") - coalesce(col("i"), lit(0L))), 4))
+        col("i").cast("double") /
+          (col("sz_a") + col("sz_b") - col("i")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -48,20 +48,26 @@ object Maintenance {
     n
   }
 
-  /** Swap `tmp` into place at `path` without a window where the table is
-    * missing: the live dir is renamed aside first, so every crash point
-    * leaves either the old or the new directory recoverable (a crash
-    * between rename-aside and rename-in leaves `path + ".old"` intact;
-    * recovery = rename it back). The old dir is deleted only after the
-    * new one is live. */
+  /** Swap `tmp` into place at `path`, crash-recoverably: the live dir is
+    * renamed aside first, so every crash point leaves either the old or
+    * the new directory intact (recovery = rename `path + ".old"` back).
+    * Concurrent readers can still observe a brief window where `path` is
+    * absent between the two renames — the guarantee is recoverability,
+    * not availability. Hadoop `fs.rename` signals failure by returning
+    * false (not throwing), so each step is checked; a failed second
+    * rename restores the aside copy before aborting. */
   private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(old, true)                                   // clear stale leftovers
-    fs.rename(p, old)                                      // live → aside
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)       // new → live
+    if (!fs.rename(p, old))                                // live → aside
+      throw new java.io.IOException(s"swap: rename $p -> $old failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) { // new → live
+      fs.rename(old, p)                                    // restore live copy
+      throw new java.io.IOException(s"swap: rename $tmp -> $p failed (restored $old)")
+    }
     fs.delete(old, true)                                   // drop aside
   }
 

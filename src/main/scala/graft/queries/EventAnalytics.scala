@@ -205,6 +205,9 @@ object EventAnalytics extends QueryModule {
         |      FROM events)
         |GROUP BY user_id""".stripMargin,
 
+    // `+ 0.0` canonicalizes IEEE -0.0 to +0.0: DuckDB's round keeps the
+    // sign of a tiny negative ratio (-0.0) where Spark's BigDecimal round
+    // has no signed zero — the one-row hash residual of rounds 1-2.
     "q_rate" ->
       """WITH o AS (SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS t,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
@@ -213,7 +216,7 @@ object EventAnalytics extends QueryModule {
         |SELECT user_id,
         | round((max(CASE WHEN rn_d = 1 THEN value END) -
         |        max(CASE WHEN rn_a = 1 THEN value END)) /
-        |   (nullif(max(t) - min(t), 0) / 1000000.0), 6) AS rate_per_sec
+        |   (nullif(max(t) - min(t), 0) / 1000000.0), 6) + 0.0 AS rate_per_sec
         |FROM o GROUP BY user_id""".stripMargin,
 
     "q_topk_events" ->

@@ -23,12 +23,18 @@ object SortSet extends QueryModule {
         .limit(10)
     }),
 
-    // LIMIT WITH TIES (daisy LimitStep.cpp `with_ties`) = rank() <= n.
+    // LIMIT WITH TIES (daisy LimitStep.cpp `with_ties`): rank() <= n is
+    // equivalent to key >= the n-th largest key, so compute that threshold
+    // with TakeOrdered (partial top-k per partition, no global shuffle)
+    // and broadcast it back as a 1-row filter. The previous global
+    // no-partition window pulled the whole table into one task — a
+    // single-executor sort at 100×.
     "q_limit_with_ties" -> ((s, dir) => {
-      val w = Window.orderBy(col("l_quantity").desc)
-      t(s, dir, "lineitem")
-        .withColumn("rnk", rank().over(w))
-        .filter(col("rnk") <= 3)
+      val li = t(s, dir, "lineitem")
+      val kth = li.select(col("l_quantity").as("thr"))
+        .orderBy(col("thr").desc).limit(3)
+        .agg(min(col("thr")).as("thr"))
+      li.join(broadcast(kth), col("l_quantity") >= col("thr"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 

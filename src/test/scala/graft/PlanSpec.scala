@@ -46,6 +46,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
   }
 
+  test("embedding near-dup is LSH-bucketed: no cross product in the plan") {
+    val df = SparkEntry.queries("q_near_dup_embedding")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must not pair-explode:\n$plan")
+  }
+
+  test("limit-with-ties avoids a global single-partition window") {
+    val df = SparkEntry.queries("q_limit_with_ties")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"global window survived:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no partial top-k:\n$plan")
+  }
+
   test("aggregation is partial (map-side combine before shuffle)") {
     val plan = physical(SparkEntry.queries("q1_pricing_summary")(spark, sf))
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
