@@ -22,6 +22,20 @@ object GraftFunctions {
   def sequence_match(nSteps: Int)(tsUs: Column, step: Column): Column =
     udaf(new SequenceMatchAgg(nSteps)).apply(tsUs, step)
 
+  /** windowFunnel with strict_order / strict_increase modes. */
+  def window_funnel_strict(windowUs: Long, nSteps: Int,
+                           strictOrder: Boolean = false,
+                           strictIncrease: Boolean = false)
+                          (tsUs: Column, step: Column): Column =
+    udaf(new WindowFunnelStrictAgg(windowUs, nSteps, strictOrder, strictIncrease))
+      .apply(tsUs, step)
+
+  /** sequenceMatch with per-transition (minUs, maxUs) time conditions —
+    * the `(?t<=n)` / `(?t>=n)` pattern operators. */
+  def sequence_match_time(nSteps: Int, gaps: Seq[(Long, Long)])
+                         (tsUs: Column, step: Column): Column =
+    udaf(new SequenceMatchTimeAgg(nSteps, gaps)).apply(tsUs, step)
+
   /** Count of non-overlapping step-1..nSteps chains in time order. */
   def sequence_count(nSteps: Int)(tsUs: Column, step: Column): Column =
     udaf(new SequenceCountAgg(nSteps)).apply(tsUs, step)

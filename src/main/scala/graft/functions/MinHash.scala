@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
@@ -15,14 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * xxhash64(i, h))))` (Spark folds xxhash64(i, h) as
   * XXH64.hashLong(h, XXH64.hashInt(i, 42))) — but computed in ONE pass
   * over the shingle array with n running minimums instead of n interpreted
-  * lambda sweeps, each of which allocated an intermediate array. The
-  * per-seed inner hashes XXH64.hashInt(i, 42) are precomputed once.
+  * lambda sweeps, each of which allocated an intermediate array.
   *
-  * This mirrors DotProduct's rationale (SURVEY §2.9 preference (b)): the
-  * HOF composition was the minhash-LSH bottleneck at sf0.1.
+  * Codegen emits a static call to [[MinHashSignature.compute]] so the
+  * signature projection stays inside WholeStageCodegen.
   */
 case class MinHashSignature(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -39,22 +38,38 @@ case class MinHashSignature(left: Expression, right: Expression)
         s"${left.dataType}, ${right.dataType}")
   }
 
-  @transient private lazy val numHashes: Int =
-    right.eval().asInstanceOf[Int]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MinHashSignature.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
 
-  /** Per-seed state after hashing the seed index: XXH64(i, 42). */
-  @transient private lazy val seedHashes: Array[Long] =
-    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, n) =>
+      s"""${ev.value} = graft.functions.MinHashSignature.compute($hs, $n);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val hs = l.asInstanceOf[ArrayData]
-    // An empty shingle set has no meaningful signature: return null
-    // (intentional divergence from the HOF composition, which yields an
-    // array of null elements — callers must pre-filter size(hs) > 0,
-    // which both Dedup call sites do).
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSignature =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSignature {
+
+  /** Per-numHashes seed states XXH64(i, 42), cached across rows. */
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  private def seeds(n: Int): Array[Long] =
+    seedCache.computeIfAbsent(n, m => Array.tabulate(m)(i => XXH64.hashInt(i, 42L)))
+
+  /** Static kernel shared by eval and generated code.
+    *
+    * An empty shingle set has no meaningful signature: returns null
+    * (intentional divergence from the HOF composition, which yields an
+    * array of null elements — callers must pre-filter size(hs) > 0,
+    * which both Dedup call sites do). */
+  def compute(hs: ArrayData, numHashes: Int): ArrayData = {
     if (hs.numElements() == 0) return null
     val n = numHashes
-    val seeds = seedHashes
+    val sd = seeds(n)
     val out = Array.fill(n)(Long.MaxValue)
     val m = hs.numElements()
     var j = 0
@@ -65,7 +80,7 @@ case class MinHashSignature(left: Expression, right: Expression)
       val h = if (isNull) 0L else hs.getLong(j)
       var i = 0
       while (i < n) {
-        val v = if (isNull) seeds(i) else XXH64.hashLong(h, seeds(i))
+        val v = if (isNull) sd(i) else XXH64.hashLong(h, sd(i))
         if (v < out(i)) out(i) = v
         i += 1
       }
@@ -73,8 +88,4 @@ case class MinHashSignature(left: Expression, right: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): MinHashSignature =
-    copy(left = newLeft, right = newRight)
 }

@@ -4,7 +4,7 @@ import java.util.{HashSet => JHashSet}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,9 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * xxhash64 = XXH64.hashUTF8String(s, 42)), and the distinct set equals
   * the distinct shingle-string set (64-bit collisions ~ |shingles|²/2^64),
   * so MinHash signatures, LSH buckets, and Jaccard counts are unchanged.
+  *
+  * Codegen emits a static call to [[ShingleHashes.compute]] so the
+  * shingling projection stays inside WholeStageCodegen.
   */
 case class ShingleHashes(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -36,11 +39,23 @@ case class ShingleHashes(left: Expression, right: Expression)
         s"${left.dataType}, ${right.dataType}")
   }
 
-  @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
-  @transient private lazy val sep = UTF8String.fromString(" ")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ShingleHashes.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val toks = l.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (toks, n) =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($toks, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  private val sep = UTF8String.fromString(" ")
+
+  /** Static kernel shared by eval and generated code. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     val count = m - n + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -67,8 +82,4 @@ case class ShingleHashes(left: Expression, right: Expression)
     new GenericArrayData(
       if (outLen == count) out else java.util.Arrays.copyOf(out, outLen))
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): ShingleHashes =
-    copy(left = newLeft, right = newRight)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,12 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Implemented as a Catalyst `Expression` (preference (b) in SURVEY §2.9:
   * native expression over UDF): no SerDe per row beyond the array read,
-  * null-safe, usable in any Column position. CodegenFallback keeps it
-  * correct inside WholeStageCodegen stages; the eval itself is a tight
-  * primitive loop.
+  * null-safe, usable in any Column position. Codegen emits a static call
+  * to [[SimHash64.compute]] so fingerprinting stays inside
+  * WholeStageCodegen.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {
@@ -35,13 +35,26 @@ case class SimHash64(child: Expression)
         s"simhash64 requires array<string>, got ${child.dataType}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.SimHash64.compute($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** Static kernel shared by eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = SimHash64.fnv1a64(arr.getUTF8String(i))
+        val h = fnv1a64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -56,14 +69,8 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   /** Stable public 64-bit FNV-1a over UTF-8 bytes. */
   def fnv1a64(s: UTF8String): Long = {
     var h = 0xcbf29ce484222325L

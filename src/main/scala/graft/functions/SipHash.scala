@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressions and stays cheap in the scan projection.
   */
 case class SipHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -29,6 +29,10 @@ case class SipHash64Expr(child: Expression)
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(
       SipHash.hash24(0L, 0L, input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.SipHash.hash24(0L, 0L, $s.getBytes());")
 
   override protected def withNewChildInternal(newChild: Expression): SipHash64Expr =
     copy(child = newChild)

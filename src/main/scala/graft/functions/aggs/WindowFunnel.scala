@@ -75,6 +75,63 @@ class WindowFunnelAgg(windowUs: Long, nSteps: Int) extends EventCollectAgg[Int](
   def outputEncoder: Encoder[Int] = Encoders.scalaInt
 }
 
+/** windowFunnel strict modes (reference:
+  * AggregateFunctionWindowFunnel.cpp `strict_order` / `strict_increase`):
+  *
+  *  - strictIncrease: chain timestamps must STRICTLY increase (the base
+  *    DP allows ties).
+  *  - strictOrder: no other funnel event may interleave between chain
+  *    steps — scanning in time order, an event whose step is neither the
+  *    chain's next step nor a fresh step-1 breaks the current chain.
+  *
+  * With strictOrder a broken chain can never be extended, so a greedy
+  * left-to-right scan (restart at the next step-1) is exact. */
+class WindowFunnelStrictAgg(windowUs: Long, nSteps: Int,
+                            strictOrder: Boolean = false,
+                            strictIncrease: Boolean = false)
+    extends EventCollectAgg[Int](nSteps) {
+
+  def finish(buf: mutable.ArrayBuffer[(Long, Int)]): Int = {
+    val sorted = buf.sortBy(identity)
+    if (strictOrder) {
+      var maxLevel = 0
+      var cur = 0          // current chain depth
+      var start = 0L       // chain start ts
+      var prev = Long.MinValue
+      sorted.foreach { case (t, k) =>
+        val extendOk = k == cur + 1 &&
+          (if (strictIncrease) t > prev else t >= prev) &&
+          (cur == 0 || t - start <= windowUs)
+        if (extendOk) {
+          if (cur == 0) start = t
+          cur += 1; prev = t
+          if (cur > maxLevel) maxLevel = cur
+        } else if (k == 1) { cur = 1; start = t; prev = t
+          if (cur > maxLevel) maxLevel = cur
+        } else { cur = 0 }
+      }
+      maxLevel
+    } else {
+      // latest-start DP as in WindowFunnelAgg, with optional strict
+      // timestamp increase
+      val best = Array.fill(nSteps + 1)(Long.MinValue)
+      val lastAt = Array.fill(nSteps + 1)(Long.MinValue) // ts reaching level k
+      sorted.foreach { case (t, k) =>
+        if (k == 1) { if (t > best(1)) { best(1) = t; lastAt(1) = t } }
+        else if (best(k - 1) != Long.MinValue && t - best(k - 1) <= windowUs &&
+          (!strictIncrease || t > lastAt(k - 1))) {
+          if (best(k - 1) > best(k)) { best(k) = best(k - 1); lastAt(k) = t }
+        }
+      }
+      var level = nSteps
+      while (level > 0 && best(level) == Long.MinValue) level -= 1
+      level
+    }
+  }
+
+  def outputEncoder: Encoder[Int] = Encoders.scalaInt
+}
+
 /** sequenceMatch('(?1).*(?2)…') — true iff the steps occur as a
   * subsequence in strictly increasing time order (reference:
   * src/AggregateFunctions/AggregateFunctionSequenceMatch.cpp; we support
@@ -92,6 +149,58 @@ class SequenceMatchAgg(nSteps: Int) extends EventCollectAgg[Boolean](nSteps) {
         done(k) = t
     }
     done(nSteps) != Long.MaxValue
+  }
+
+  def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+}
+
+/** sequenceMatch with time conditions — the `(?t<=n)` / `(?t>=n)`
+  * pattern operators (reference AggregateFunctionSequenceMatch.cpp
+  * `TimeLessOrEqual`/`TimeGreaterOrEqual` pattern actions):
+  * `gaps(i)` = (minUs, maxUs) bounds on the time between step i+1 and
+  * step i+2 (use (0, Long.MaxValue) for an unconditioned `.*` gap).
+  *
+  * Exact DP: per level, the sorted list of feasible completion times;
+  * an event at step k extends level k-1 iff some completion time c
+  * satisfies c < t && minGap <= t - c <= maxGap (binary search). With
+  * mixed min/max gap constraints no single representative completion
+  * time is dominant, so the full list is required for exactness —
+  * O(n·log n) per group, state bounded by events-per-group. */
+class SequenceMatchTimeAgg(nSteps: Int, gaps: Seq[(Long, Long)])
+    extends EventCollectAgg[Boolean](nSteps) {
+  require(gaps.length == nSteps - 1, "need one (min,max) gap per transition")
+
+  def finish(buf: mutable.ArrayBuffer[(Long, Int)]): Boolean = {
+    val sorted = buf.sortBy(identity)
+    val levels = Array.fill(nSteps + 1)(mutable.ArrayBuffer.empty[Long])
+    var done = false
+    sorted.foreach { case (t, k) =>
+      if (!done) {
+        val ok =
+          if (k == 1) true
+          else {
+            val (minG, maxG) = gaps(k - 2)
+            // need completion c of level k-1 with c < t, minG <= t-c <= maxG
+            // ⇒ c in [t - maxG, min(t - minG, t - 1)]
+            val lo = if (maxG == Long.MaxValue) Long.MinValue else t - maxG
+            val hi = math.min(if (minG <= 0) t - 1 else t - minG, t - 1)
+            val cs = levels(k - 1)
+            cs.nonEmpty && {
+              // cs is sorted (events processed in time order)
+              val i = cs.search(lo)(Ordering.Long) match {
+                case scala.collection.Searching.Found(idx) => idx
+                case scala.collection.Searching.InsertionPoint(idx) => idx
+              }
+              i < cs.length && cs(i) <= hi
+            }
+          }
+        if (ok) {
+          if (k == nSteps) done = true
+          else if (levels(k).isEmpty || levels(k).last != t) levels(k) += t
+        }
+      }
+    }
+    done
   }
 
   def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean

@@ -1,39 +1,90 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** ORDER BY … WITH FILL — gap-filling over an ordered integer axis
-  * (reference: daisy `src/Processors/QueryPlan/FillingStep.cpp`,
+/** ORDER BY … WITH FILL [FROM f] [TO t] [STEP s] [INTERPOLATE] —
+  * gap-filling over an ordered integer axis (reference: daisy
+  * `src/Processors/QueryPlan/FillingStep.cpp`,
   * `src/Processors/Transforms/FillingTransform.cpp`: inserts synthetic
   * rows for missing ORDER BY values at STEP intervals; other columns take
-  * defaults).
+  * defaults, or interpolate between neighbors).
   *
-  * Composition: the observed min/max (or explicit FROM/TO) define a dense
-  * `sequence()` series, exploded and left-joined against the real rows;
-  * missing measure columns are coalesced to their fill value.
+  * Composition: the FROM/TO bounds (explicit, or the observed min/max)
+  * define a dense `sequence()` series, exploded and left-joined against
+  * the real rows; missing measure columns are coalesced to their fill
+  * value, or linearly interpolated from the surrounding observed rows
+  * (last/next value over an ordered window).
   *
   * Scale: the series explode produces (to-from)/step rows from a 1-row
-  * frame — repartitioned before the join so the join parallelizes; the
-  * join itself is broadcast when the series is small (usual case: time
-  * buckets), else shuffled on the axis.
+  * frame, broadcast against the data (the series frame is tiny — time
+  * buckets); interpolation is one ordered window over the axis — a
+  * single range shuffle. TO is exclusive when explicit (ClickHouse
+  * semantics), inclusive when derived from the observed max.
   */
 object WithFill {
 
-  /** Fill gaps in `df` on integer axis column `axis` at `step` intervals
-    * between the observed min and max (inclusive). Columns in `fillZero`
-    * are coalesced to 0; all other non-axis columns left NULL on filled
-    * rows. */
+  private def seriesFrame(df: DataFrame, axis: String, step: Long,
+                          from: Option[Long], to: Option[Long]): DataFrame = {
+    val explicitBounds = (from, to) match {
+      case (Some(f), Some(t)) =>
+        Some(df.sparkSession.range(1).select(lit(f).as("mn"), lit(t - 1).as("mx")))
+      case _ => None
+    }
+    val bounds = explicitBounds.getOrElse(
+      df.agg(
+        from.map(lit(_)).getOrElse(min(col(axis))).as("mn"),
+        to.map(t => lit(t - 1)).getOrElse(max(col(axis))).as("mx")))
+    bounds.select(explode(sequence(col("mn"), col("mx"), lit(step))).as(axis))
+  }
+
+  /** Fill gaps in `df` on integer axis column `axis` at `step` intervals.
+    * Bounds default to the observed min/max (inclusive); explicit
+    * `from`/`to` mirror WITH FILL FROM/TO (TO exclusive). Columns in
+    * `fillZero` are coalesced to 0; all other non-axis columns left NULL
+    * on filled rows. */
   def fillGaps(df: DataFrame, axis: String, step: Long,
-               fillZero: Seq[String]): DataFrame = {
-    val bounds = df.agg(min(col(axis)).as("mn"), max(col(axis)).as("mx"))
-    val series = bounds
-      .select(explode(sequence(col("mn"), col("mx"), lit(step))).as(axis))
-      .repartition(col(axis))
-    val joined = series.join(df, Seq(axis), "left")
+               fillZero: Seq[String],
+               from: Option[Long] = None, to: Option[Long] = None): DataFrame = {
+    val series = seriesFrame(df, axis, step, from, to)
+    val joined = broadcast(series).join(df, Seq(axis), "left")
     val outCols = joined.columns.map { c =>
       if (fillZero.contains(c)) coalesce(col(c), lit(0L)).as(c) else col(c)
     }
     joined.select(outCols.toSeq: _*)
+  }
+
+  /** WITH FILL … INTERPOLATE(col): like fillGaps, but columns in
+    * `interpolate` take the linear interpolation between the nearest
+    * observed rows on either side (edge gaps clamp to the nearest
+    * observed value). */
+  def fillInterpolate(df: DataFrame, axis: String, step: Long,
+                      interpolate: Seq[String],
+                      from: Option[Long] = None, to: Option[Long] = None): DataFrame = {
+    val series = seriesFrame(df, axis, step, from, to)
+    val marked = broadcast(series).join(df.withColumn("_obs", lit(1)), Seq(axis), "left")
+    val w = Window.orderBy(col(axis))
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    // previous / next observed axis values around each gap
+    val obsAxis = when(col("_obs").isNotNull, col(axis))
+    val prevA = last(obsAxis, ignoreNulls = true).over(back)
+    val nextA = first(obsAxis, ignoreNulls = true).over(fwd)
+    val outCols = marked.columns.filter(_ != "_obs").map { c =>
+      if (interpolate.contains(c)) {
+        val prevV = last(col(c), ignoreNulls = true).over(back)
+        val nextV = first(col(c), ignoreNulls = true).over(fwd)
+        val frac = (col(axis) - prevA).cast("double") / (nextA - prevA).cast("double")
+        // interpolated values stay unrounded: the arithmetic is the same
+        // IEEE op sequence the oracle runs, so results are bit-identical —
+        // a final round() would reintroduce decimal-tie divergence.
+        when(col("_obs").isNotNull, col(c))
+          .when(prevA.isNull, nextV)
+          .when(nextA.isNull, prevV)
+          .otherwise(prevV + (nextV - prevV) * frac).as(c)
+      } else col(c)
+    }
+    marked.select(outCols.toSeq: _*)
   }
 }

@@ -58,6 +58,30 @@ object EventAnalytics extends QueryModule {
         .agg(sequence_match(2)(unix_micros(col("ts")), col("step")).as("matched"))
     }),
 
+    // windowFunnel strict_order mode (rows-only; semantics covered by
+    // AggregatorSpec — the interleave-break logic has no tractable SQL).
+    "q_window_funnel_strict" -> ((s, dir) => {
+      stepped(s, dir)
+        .groupBy(col("user_id"))
+        .agg(window_funnel_strict(SevenDaysUs, 3, strictOrder = true)(
+          col("ts_us"), col("step")).cast("long").as("funnel_level"))
+    }),
+
+    // sequenceMatch('(?1)(?t<=3600)(?2)'): signup then purchase within
+    // one hour (oracled — the 2-step time-bounded form is a plain EXISTS
+    // join in SQL).
+    "q_sequence_match_time" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000
+      val e = t(s, dir, "events")
+        .withColumn("step",
+          when(col("event_type") === "signup", 1)
+            .when(col("event_type") === "purchase", 2).otherwise(0))
+        .filter(col("step") > 0)
+      e.groupBy(col("user_id"))
+        .agg(sequence_match_time(2, Seq((0L, hourUs)))(
+          unix_micros(col("ts")), col("step")).as("matched"))
+    }),
+
     // sequenceCount: non-overlapping signup→purchase chains (no SQL
     // oracle — greedy scan; exactness covered by AggregatorSpec).
     "q_sequence_count" -> ((s, dir) => {
@@ -197,6 +221,18 @@ object EventAnalytics extends QueryModule {
         |   FALSE) AS matched
         |FROM events WHERE event_type IN ('signup','purchase')
         |GROUP BY user_id""".stripMargin,
+
+    "q_sequence_match_time" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t FROM events
+        |           WHERE event_type='signup'),
+        |p AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t FROM events
+        |      WHERE event_type='purchase'),
+        |m AS (SELECT DISTINCT s.user_id FROM s JOIN p ON s.user_id = p.user_id
+        |      AND p.t > s.t AND p.t - s.t <= 3600000000),
+        |u AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('signup','purchase'))
+        |SELECT u.user_id, (u.user_id IN (SELECT user_id FROM m)) AS matched
+        |FROM u""".stripMargin,
 
     "q_delta_sum" ->
       """SELECT user_id, round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 4) AS delta_sum

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Format I/O + virtual-column surface (daisy:
+  * `src/Processors/Formats/Impl/` — ~25 row formats; virtual columns
+  * `_part`/`_shard_num` from `StorageDistributedMergeTree.cpp`).
+  *
+  * CSV/JSON round-trips live in Coverage (q_format_roundtrip); this
+  * module adds the columnar ORC format and TabSeparated (the reference's
+  * native text format), each proven by hash-equality with the oracle
+  * running on the original parquet — i.e. the round-trip is lossless.
+  */
+object Formats extends QueryModule {
+
+  private def scratch(dir: String) =
+    "/root/repo/target/fmt2/" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  def queries: Map[String, Q] = Map(
+    // ORC round-trip (reference ORCBlockInputFormat): columnar format
+    // with predicate pushdown — the filter below reaches the ORC reader.
+    "q_format_orc" -> ((s, dir) => {
+      val out = scratch(dir) + "/orders_orc"
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("o_totalprice") > 300000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // TabSeparated round-trip (reference TabSeparatedRowInputFormat —
+    // ClickHouse's default text format).
+    "q_format_tsv" -> ((s, dir) => {
+      val out = scratch(dir) + "/supplier_tsv"
+      val supplier = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      supplier.write.mode("overwrite").option("sep", "\t").csv(out)
+      s.read.schema(supplier.schema).option("sep", "\t").csv(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
+    }),
+
+    // Virtual columns (_part = input_file_name, _shard_num =
+    // spark_partition_id): per-part row counts. Rows-only check (file
+    // names are engine-specific); spec-level determinism in the suite.
+    "q_virtual_columns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("_part"),
+          spark_partition_id().as("_shard_num"))
+        .groupBy(col("_part"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_shard_num")).as("n_shards"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_format_orc" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_totalprice > 300000
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_format_tsv" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin)
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 aggregate gap-fill — the registered reference aggregates that
+  * had no counterpart (daisy registration list:
+  * `src/AggregateFunctions/registerAggregateFunctions.cpp:20-46`):
+  * groupBitAnd/Or/Xor (`AggregateFunctionBitwise.cpp`),
+  * groupArrayMovingSum/Avg (`AggregateFunctionGroupArrayMoving.cpp`),
+  * segmentLengthSum (`AggregateFunctionSegmentLengthSum.cpp`),
+  * maxIntersections (`AggregateFunctionMaxIntersections.cpp`).
+  *
+  * All are expressed with built-in Spark aggregates/windows — partial
+  * aggregation and shuffle-by-key come free, state is O(1) or O(window)
+  * per key, nothing collects to the driver.
+  */
+object MoreAggregates extends QueryModule {
+
+  /** Event intervals for the segment family: [t, t + value ms) — value
+    * is positive in the test data; at 100 TB this is a pure projection. */
+  private def intervals(s: org.apache.spark.sql.SparkSession, dir: String) =
+    // explicit round() before the long cast: Spark's cast truncates while
+    // DuckDB's ::BIGINT rounds — both sides round explicitly instead.
+    t(s, dir, "events").select(
+      col("user_id"),
+      unix_micros(col("ts")).as("start"),
+      (unix_micros(col("ts")) + round(col("value") * 1000).cast("long")).as("end"))
+
+  def queries: Map[String, Q] = Map(
+    // groupBitAnd / groupBitOr / groupBitXor.
+    "q_group_bitops" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(bit_and(col("l_linenumber")).cast("long").as("band"),
+             bit_or(col("l_linenumber")).cast("long").as("bor"),
+             bit_xor(col("l_linenumber")).cast("long").as("bxor"))
+    }),
+
+    // groupArrayMovingSum(3) / groupArrayMovingAvg(3): per-user arrays of
+    // 3-row moving sums/avgs in (ts, event_id) order. The window is
+    // row-bounded (O(1) state); the per-group array is the operator's
+    // contract (same as the reference) — bounded by events-per-user.
+    "q_moving_agg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id")).rowsBetween(-2, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        .withColumn("mv_sum", round(sum(col("value")).over(w), 4))
+        .withColumn("mv_avg", round(avg(col("value")).over(w), 4))
+        .groupBy(col("user_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("t"), col("event_id"),
+            col("mv_sum"), col("mv_avg")))), x => x.getField("mv_sum"))
+            .as("moving_sums"),
+          transform(array_sort(collect_list(struct(col("t"), col("event_id"),
+            col("mv_sum"), col("mv_avg")))), x => x.getField("mv_avg"))
+            .as("moving_avgs"))
+    }),
+
+    // segmentLengthSum: per-user total covered length of the union of
+    // half-open [start, end) intervals. Sweep: each row contributes the
+    // part of its interval past the running max end of all earlier
+    // intervals — one shuffle on user_id, O(1) window state.
+    "q_segment_length_sum" -> ((s, dir) => {
+      val byStart = Window.partitionBy(col("user_id"))
+        .orderBy(col("start"), col("end"))
+      val prevMax = max(col("end"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+      intervals(s, dir)
+        .withColumn("contrib",
+          greatest(col("end") - greatest(col("start"), coalesce(prevMax, col("start"))),
+            lit(0L)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("contrib")).as("covered_us"))
+    }),
+
+    // maxIntersections: per-user max number of simultaneously open
+    // intervals. Classic sweep: +1 at start, -1 at end, ends sort before
+    // starts at the same point (half-open), max running sum.
+    "q_max_intersections" -> ((s, dir) => {
+      val events = intervals(s, dir)
+        .select(col("user_id"),
+          explode(array(
+            struct(col("start").as("p"), lit(1).as("d")),
+            struct(col("end").as("p"), lit(-1).as("d")))).as("e"))
+        .select(col("user_id"), col("e.p").as("p"), col("e.d").as("d"))
+      val sweep = Window.partitionBy(col("user_id")).orderBy(col("p"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events
+        .withColumn("open", sum(col("d")).over(sweep))
+        .groupBy(col("user_id"))
+        .agg(max(col("open")).cast("long").as("max_open"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_group_bitops" ->
+      """SELECT l_returnflag, bit_and(l_linenumber)::BIGINT AS band,
+        | bit_or(l_linenumber)::BIGINT AS bor, bit_xor(l_linenumber)::BIGINT AS bxor
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_moving_agg" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_sum,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_avg
+        | FROM events)
+        |SELECT user_id,
+        | list(mv_sum ORDER BY t, event_id) AS moving_sums,
+        | list(mv_avg ORDER BY t, event_id) AS moving_avgs
+        |FROM m GROUP BY user_id""".stripMargin,
+
+    "q_segment_length_sum" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
+        |  epoch_us(ts::TIMESTAMP) + round(value * 1000)::BIGINT AS e
+        | FROM events),
+        |sw AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM iv)
+        |SELECT user_id,
+        | sum(greatest(e - greatest(s, coalesce(pm, s)), 0))::BIGINT AS covered_us
+        |FROM sw GROUP BY user_id""".stripMargin,
+
+    "q_max_intersections" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
+        |  epoch_us(ts::TIMESTAMP) + round(value * 1000)::BIGINT AS e
+        | FROM events),
+        |pts AS (SELECT user_id, s AS p, 1 AS d FROM iv
+        |        UNION ALL SELECT user_id, e AS p, -1 AS d FROM iv),
+        |sw AS (SELECT user_id,
+        |  sum(d) OVER (PARTITION BY user_id ORDER BY p, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        | FROM pts)
+        |SELECT user_id, max(open)::BIGINT AS max_open
+        |FROM sw GROUP BY user_id""".stripMargin)
+}

@@ -91,6 +91,44 @@ object MoreFunctions extends QueryModule {
         count(when(txt.rlike("hash (join|scan)"), 1)).as("n_hash_pair"))
     }),
 
+    // multiSearchAny / multiSearchFirstIndex / multiMatchAny (daisy
+    // src/Functions/multiSearchAny.cpp, MultiMatchAnyImpl.h — hyperscan
+    // there; here an OR of codegen'd contains / one rlike alternation,
+    // which is the Spark-native form of the same scan).
+    "q_multi_search" -> ((s, dir) => {
+      val txt = col("text")
+      val needles = Seq("spark", "hash", "vector")
+      val any = needles.map(w => txt.contains(w)).reduce(_ || _)
+      val firstIdx = needles.zipWithIndex.foldRight(lit(0L): org.apache.spark.sql.Column) {
+        case ((w, i), rest) => when(txt.contains(w), lit(i + 1L)).otherwise(rest)
+      }
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        any.cast("long").as("ms_any"),
+        firstIdx.as("ms_first_index"),
+        txt.rlike("spark|hash|vector").cast("long").as("mm_any"))
+    }),
+
+    // ngramDistance (daisy src/Functions/FunctionsStringSimilarity.cpp) —
+    // distinct-char-3-gram Jaccard distance, pure Column expressions.
+    "q_ngram_dist" -> ((s, dir) => {
+      def grams(c: org.apache.spark.sql.Column) =
+        when(length(c) >= 3,
+          array_distinct(transform(sequence(lit(1), length(c) - 2),
+            i => c.substr(i, lit(3)))))
+          .otherwise(array())
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), lower(col("n_name")).as("a"), col("n_regionkey"))
+      val r = t(s, dir, "region")
+        .select(col("r_regionkey"), lower(col("r_name")).as("b"))
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"),
+          round(lit(1.0) -
+            size(array_intersect(grams(col("a")), grams(col("b")))).cast("double") /
+            greatest(size(array_union(grams(col("a")), grams(col("b")))), lit(1)), 4)
+            .as("ngram_dist"))
+    }),
+
     // -Array combinator: aggregate over flattened array column.
     "q_agg_sum_array" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -177,6 +215,29 @@ object MoreFunctions extends QueryModule {
         | count(CASE WHEN text NOT LIKE '%join%' THEN 1 END) AS n_no_join,
         | count(CASE WHEN regexp_matches(text, 'hash (join|scan)') THEN 1 END) AS n_hash_pair
         |FROM documents""".stripMargin,
+
+    "q_multi_search" ->
+      """SELECT doc_id,
+        | (contains(text,'spark') OR contains(text,'hash') OR contains(text,'vector'))::BIGINT AS ms_any,
+        | (CASE WHEN contains(text,'spark') THEN 1
+        |       WHEN contains(text,'hash') THEN 2
+        |       WHEN contains(text,'vector') THEN 3 ELSE 0 END)::BIGINT AS ms_first_index,
+        | regexp_matches(text, 'spark|hash|vector')::BIGINT AS mm_any
+        |FROM documents""".stripMargin,
+
+    "q_ngram_dist" ->
+      """WITH g AS (SELECT n_nationkey, n_regionkey,
+        |  list_distinct(list_transform(range(1, greatest(length(n_name)-2,0)+1),
+        |    i -> lower(n_name)[i:i+2])) AS ga
+        | FROM nation),
+        |gr AS (SELECT r_regionkey,
+        |  list_distinct(list_transform(range(1, greatest(length(r_name)-2,0)+1),
+        |    i -> lower(r_name)[i:i+2])) AS gb
+        | FROM region)
+        |SELECT n_nationkey,
+        | round(1.0 - len(list_intersect(ga, gb))::DOUBLE /
+        |   greatest(len(list_distinct(list_concat(ga, gb))), 1), 4) AS ngram_dist
+        |FROM g JOIN gr ON n_regionkey = r_regionkey""".stripMargin,
 
     "q_agg_sum_array" ->
       """SELECT label, round(sum(v), 4) AS sum_all_dims, count(*) AS n_values

@@ -54,6 +54,18 @@ object Operators extends QueryModule {
       WithFill.fillGaps(hourly, "bucket_s", 3600L, fillZero = Seq("n"))
     }),
 
+    // WITH FILL … INTERPOLATE (daisy FillingTransform interpolation):
+    // hourly avg value, gaps linearly interpolated between observed
+    // neighbors, edges clamped.
+    "q_with_fill_interp" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .withColumn("bucket_s", (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long"))
+        .groupBy(col("bucket_s"))
+        .agg(round(avg(col("value")), 4).as("avg_v"))
+      WithFill.fillInterpolate(hourly, "bucket_s", 3600L, interpolate = Seq("avg_v"))
+    }),
+
     // ARRAY JOIN (daisy arrayJoin / ASTTablesInSelectQuery ARRAY JOIN →
     // explode): token frequencies over documents.
     "q_array_join" -> ((s, dir) => {
@@ -119,6 +131,34 @@ object Operators extends QueryModule {
         |series AS (SELECT unnest(generate_series(mn, mx, 3600)) AS bucket_s FROM bounds)
         |SELECT series.bucket_s, coalesce(b.n, 0) AS n
         |FROM series LEFT JOIN b ON series.bucket_s = b.bucket_s""".stripMargin,
+
+    "q_with_fill_interp" ->
+      """WITH b AS (
+        | SELECT ((epoch_us(ts::TIMESTAMP) // 1000000) // 3600) * 3600 AS bucket_s,
+        |        round(avg(value), 4) AS avg_v
+        | FROM events WHERE event_type='error' GROUP BY 1),
+        |bounds AS (SELECT min(bucket_s) AS mn, max(bucket_s) AS mx FROM b),
+        |series AS (SELECT unnest(generate_series(mn, mx, 3600)) AS bucket_s FROM bounds),
+        |j AS (SELECT series.bucket_s, b.avg_v,
+        |        (b.avg_v IS NOT NULL) AS obs
+        |      FROM series LEFT JOIN b ON series.bucket_s = b.bucket_s),
+        |w AS (SELECT bucket_s, avg_v, obs,
+        |  last_value(CASE WHEN obs THEN bucket_s END IGNORE NULLS) OVER
+        |    (ORDER BY bucket_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pa,
+        |  last_value(avg_v IGNORE NULLS) OVER
+        |    (ORDER BY bucket_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  first_value(CASE WHEN obs THEN bucket_s END IGNORE NULLS) OVER
+        |    (ORDER BY bucket_s ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS na,
+        |  first_value(avg_v IGNORE NULLS) OVER
+        |    (ORDER BY bucket_s ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        | FROM j)
+        |SELECT bucket_s,
+        | CASE WHEN obs THEN avg_v
+        |      WHEN pa IS NULL THEN nv
+        |      WHEN na IS NULL THEN pv
+        |      ELSE pv + (nv - pv) * ((bucket_s - pa) / (na - pa))
+        | END AS avg_v
+        |FROM w""".stripMargin,
 
     "q_array_join" ->
       """SELECT token, count(*) AS n FROM (

@@ -43,7 +43,23 @@ object Sketches extends QueryModule {
         .groupBy(col("l_linestatus"))
         .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_approx"),
              approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"))
+    }),
+
+    // uniqTheta (daisy AggregateFunctionUniq.cpp:137, DataSketches theta):
+    // Spark 4's native theta_sketch_agg. A theta sketch is EXACT below its
+    // nominal capacity (default 2^12 = 4096 retained keys); distinct
+    // user_id per event_type is far below that at test SFs, so this query
+    // is oracle-checked against exact COUNT(DISTINCT) — while remaining a
+    // true bounded-state sketch at 100 TB.
+    "q_uniq_theta" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(theta_sketch_estimate(theta_sketch_agg(col("user_id")))
+          .cast("long").as("n_users"))
     }))
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "q_uniq_theta" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type""".stripMargin)
 }

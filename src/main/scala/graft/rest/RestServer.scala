@@ -1,0 +1,138 @@
+package graft.rest
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.sql.Search
+
+/** The reference's REST surface as a thin adapter over the library
+  * (daisy `src/Server/RestRouterHandlers/RestRouterFactory.h:45-80`):
+  *
+  *   POST   /dae/v1/ddl/tables            create table (typed columns,
+  *                                        order_by, partition granularity)
+  *   GET    /dae/v1/ddl/tables            list tables
+  *   DELETE /dae/v1/ddl/tables/{t}        drop table
+  *   POST   /dae/v1/ingest/tables/{t}     {columns, data} row ingest
+  *                                        (IngestRestRouterHandler.cpp:17-97)
+  *   GET    /dae/v1/ingest/statuses?poll_id=…  commit status
+  *   POST   /dae/v1/search                time-bounded SQL (SearchHandler.cpp)
+  *   POST   /dae/v1/sqlanalyzer           EXPLAIN endpoint
+  *
+  * Built on the JDK's HttpServer (no extra dependencies). Ingest here is
+  * synchronous (commit before the response returns) — poll_ids resolve
+  * immediately to `committed`; the reference's async Kafka-WAL path needs
+  * a broker this environment doesn't ship. Query execution, time-bound
+  * injection, paging, and the catalog are the real library code paths.
+  */
+class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val polls =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handle(ex: HttpExchange)(f: => (Int, String)): Unit =
+    try {
+      val (code, body) = f
+      respond(ex, code, body)
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${Catalog.toJsonString(e.getMessage)}}""")
+    }
+
+  private def body(ex: HttpExchange): JsonNode =
+    mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+
+  import scala.jdk.CollectionConverters._
+
+  server.createContext("/dae/v1/ddl/tables", (ex: HttpExchange) => handle(ex) {
+    val path = ex.getRequestURI.getPath.stripPrefix("/dae/v1/ddl/tables")
+    (ex.getRequestMethod, path.stripPrefix("/")) match {
+      case ("GET", "") =>
+        val tables = catalog.list().map { n =>
+          Catalog.toJson(catalog.get(n).get)
+        }.mkString(",")
+        (200, s"""{"tables":[$tables]}""")
+      case ("POST", "") =>
+        val b = body(ex)
+        val tdef = TableDef(
+          b.get("name").asText(),
+          b.get("columns").elements().asScala.map(c =>
+            ColumnDef(c.get("name").asText(), c.get("type").asText())).toSeq,
+          Option(b.get("order_by")).map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Nil),
+          Option(b.get("partition_by_granularity")).map(_.asText()).getOrElse("D"))
+        catalog.create(tdef)
+        (200, s"""{"created":"${tdef.name}"}""")
+      case ("DELETE", name) if name.nonEmpty =>
+        val existed = catalog.drop(name)
+        (if (existed) 200 else 404, s"""{"dropped":${existed}}""")
+      case _ => (405, """{"error":"unsupported"}""")
+    }
+  })
+
+  server.createContext("/dae/v1/ingest/tables", (ex: HttpExchange) => handle(ex) {
+    val name = ex.getRequestURI.getPath.stripPrefix("/dae/v1/ingest/tables/")
+    val b = body(ex)
+    val columns = b.get("columns").elements().asScala.map(_.asText()).toSeq
+    val data = b.get("data").elements().asScala.map(row =>
+      row.elements().asScala.map(c => if (c.isNull) null else c.asText()).toSeq).toSeq
+    val n = catalog.ingest(name, columns, data)
+    val pollId = java.util.UUID.randomUUID().toString
+    polls.put(pollId, n)
+    (200, s"""{"poll_id":"$pollId","committed":$n}""")
+  })
+
+  server.createContext("/dae/v1/ingest/statuses", (ex: HttpExchange) => handle(ex) {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val pollId = q.split("&").map(_.split("=", 2))
+      .collectFirst { case Array("poll_id", v) => v }.getOrElse("")
+    Option(polls.get(pollId)) match {
+      case Some(n) => (200, s"""{"status":"committed","rows":$n}""")
+      case None => (404, """{"status":"unknown"}""")
+    }
+  })
+
+  server.createContext("/dae/v1/search", (ex: HttpExchange) => handle(ex) {
+    val b = body(ex)
+    catalog.registerViews()
+    def opt(field: String): Option[JsonNode] =
+      Option(b.get(field)).filter(!_.isNull)
+    val sql = b.get("query").asText()
+    val limit = opt("limit").map(_.asInt()).getOrElse(100)
+    val offset = opt("offset").map(_.asInt()).getOrElse(0)
+    val df = (opt("start_time"), opt("end_time")) match {
+      case (Some(st), Some(en)) =>
+        Search.timeBounded(spark, sql, st.asText(), en.asText(), limit, offset)
+      case _ =>
+        val base = spark.sql(sql)
+        val paged = if (offset > 0) base.offset(offset) else base
+        if (limit > 0) paged.limit(limit) else paged
+    }
+    (200, df.toJSON.collect().mkString("""{"rows":[""", ",", "]}"))
+  })
+
+  server.createContext("/dae/v1/sqlanalyzer", (ex: HttpExchange) => handle(ex) {
+    val b = body(ex)
+    catalog.registerViews()
+    val plan = Search.analyze(spark, b.get("query").asText())
+    (200, s"""{"plan":${Catalog.toJsonString(plan)}}""")
+  })
+
+  def start(): Unit = { server.setExecutor(null); server.start() }
+  def stop(): Unit = server.stop(0)
+}

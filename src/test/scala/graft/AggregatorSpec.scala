@@ -50,6 +50,41 @@ class AggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("windowFunnel strict_order breaks chains on interleaved funnel events") {
+    // base: 1 @0, 2 @10, 3 @20 — full chain
+    val clean = ArrayBuffer((0L, 1), (10L, 2), (20L, 3))
+    assert(new WindowFunnelStrictAgg(100L, 3, strictOrder = true).finish(clean.clone()) == 3)
+    // a step-1 event between 2 and 3 interleaves → strict_order restarts
+    val broken = ArrayBuffer((0L, 1), (10L, 2), (15L, 1), (20L, 3))
+    assert(new WindowFunnelStrictAgg(100L, 3, strictOrder = true).finish(broken.clone()) == 2)
+    // non-strict DP still reaches 3 (chain 0→10→20 exists)
+    assert(new WindowFunnelAgg(100L, 3).finish(broken.clone()) == 3)
+  }
+
+  test("windowFunnel strict_increase rejects tied timestamps") {
+    val tied = ArrayBuffer((0L, 1), (0L, 2), (10L, 3))
+    assert(new WindowFunnelStrictAgg(100L, 3, strictIncrease = true).finish(tied.clone()) == 1)
+    assert(new WindowFunnelAgg(100L, 3).finish(tied.clone()) == 3)
+  }
+
+  test("sequenceMatch time conditions bound per-transition gaps") {
+    // (?1)(?t<=5)(?2): gap must be <= 5
+    val a = new SequenceMatchTimeAgg(2, Seq((0L, 5L)))
+    assert(a.finish(ArrayBuffer((0L, 1), (4L, 2))))
+    assert(!a.finish(ArrayBuffer((0L, 1), (9L, 2))))
+    // a later step-1 re-opens the window
+    assert(a.finish(ArrayBuffer((0L, 1), (9L, 1), (12L, 2))))
+    // (?1)(?t>=10)(?2): gap must be >= 10 — the DP must consider the
+    // EARLIER completion even when a later one exists
+    val b = new SequenceMatchTimeAgg(2, Seq((10L, Long.MaxValue)))
+    assert(b.finish(ArrayBuffer((0L, 1), (8L, 1), (11L, 2))))
+    assert(!b.finish(ArrayBuffer((5L, 1), (8L, 2))))
+    // 3 steps, mixed constraints
+    val c = new SequenceMatchTimeAgg(3, Seq((0L, 5L), (10L, 20L)))
+    assert(c.finish(ArrayBuffer((0L, 1), (3L, 2), (15L, 3))))
+    assert(!c.finish(ArrayBuffer((0L, 1), (3L, 2), (30L, 3))))
+  }
+
   test("windowFunnel via udaf on a dataframe") {
     val df = Seq(
       (1L, 0L, 1), (1L, 10L, 2), (1L, 20L, 3),   // full chain

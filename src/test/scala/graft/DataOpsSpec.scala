@@ -63,6 +63,25 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_arr generated code matches the HOF composition (float + double)") {
+    val d = Seq(
+      (1L, Seq(1.5f, -2.25f, 3.0f), Seq(0.5, 2.0, -1.25)),
+      (2L, Seq(0.0f, 0.0f, 0.0f), Seq(1.0, 1.0, 1.0)),
+      (3L, Seq(-1.0f, 2.0f, 4.5f), Seq(-1.0, 2.0, 4.5))).toDF("id", "fa", "da")
+    val hofFF = aggregate(zip_with($"fa".cast("array<double>"), $"fa".cast("array<double>"),
+      (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val hofFD = aggregate(zip_with($"fa".cast("array<double>"), $"da", (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val rows = d.select(
+      GraftScalar.dotArr($"fa", $"fa").as("n_ff"), hofFF.as("h_ff"),
+      GraftScalar.dotArr($"fa", $"da").as("n_fd"), hofFD.as("h_fd"),
+      GraftScalar.dotArr($"da", $"da").as("n_dd")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
   test("simhash pairs: near-identical docs within hamming 3, unrelated not") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"

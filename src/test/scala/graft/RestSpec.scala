@@ -1,0 +1,95 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rest.{Catalog, RestServer}
+
+/** End-to-end REST integration: DDL → ingest → status → search →
+  * analyzer → drop over real HTTP (mirrors the reference's
+  * tests/integration/test_rest_ingest_api + test_rest_search_api flow). */
+class RestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val root = "/root/repo/target/rest_spec_" + System.nanoTime()
+  private val catalog = new Catalog(spark, root)
+  private val server = new RestServer(spark, catalog, port = 0)
+  server.start()
+  private val base = s"http://127.0.0.1:${server.boundPort}/dae/v1"
+  private val http = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def get(path: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def delete(path: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("ddl create + list") {
+    val (code, body) = post("/ddl/tables",
+      """{"name":"logs","columns":[
+        |{"name":"sourcetype","type":"string"},
+        |{"name":"latency","type":"double"},
+        |{"name":"_time","type":"timestamp"}],
+        |"order_by":["sourcetype"],"partition_by_granularity":"D"}""".stripMargin)
+    assert(code == 200, body)
+    val (lc, lb) = get("/ddl/tables")
+    assert(lc == 200 && lb.contains("\"logs\""), lb)
+  }
+
+  test("ingest commits rows and status resolves") {
+    val (code, body) = post("/ingest/tables/logs",
+      """{"columns":["sourcetype","latency","_time","_idem"],
+        |"data":[
+        | ["nginx","12.5","2024-03-01 10:00:00","a"],
+        | ["nginx","40.0","2024-03-01 11:00:00","b"],
+        | ["app","7.25","2024-03-02 09:30:00","c"],
+        | ["app","7.25","2024-03-02 09:30:00","c"]]}""".stripMargin)
+    assert(code == 200, body)
+    assert(body.contains("\"committed\":3"), body) // _idem dedup dropped 1
+    val pollId = body.split("\"poll_id\":\"")(1).split("\"")(0)
+    val (sc, sb) = get(s"/ingest/statuses?poll_id=$pollId")
+    assert(sc == 200 && sb.contains("committed"), sb)
+  }
+
+  test("search applies time bounds and paging") {
+    val (code, body) = post("/search",
+      """{"query":"SELECT sourcetype, latency FROM logs",
+        |"start_time":"2024-03-01 00:00:00","end_time":"2024-03-02 00:00:00",
+        |"limit":10}""".stripMargin)
+    assert(code == 200, body)
+    assert(body.contains("nginx") && !body.contains("app"), body)
+    // unbounded search sees both days
+    val (c2, b2) = post("/search",
+      """{"query":"SELECT sourcetype, count(*) AS n FROM logs GROUP BY sourcetype"}""")
+    assert(c2 == 200 && b2.contains("app") && b2.contains("nginx"), b2)
+  }
+
+  test("analyzer returns a physical plan without executing") {
+    val (code, body) = post("/sqlanalyzer",
+      """{"query":"SELECT sourcetype, avg(latency) FROM logs GROUP BY sourcetype"}""")
+    assert(code == 200 && body.contains("Physical"), body)
+  }
+
+  test("drop removes table and data") {
+    val (code, _) = delete("/ddl/tables/logs")
+    assert(code == 200)
+    val (_, lb) = get("/ddl/tables")
+    assert(!lb.contains("\"logs\""), lb)
+    server.stop()
+  }
+}

@@ -36,6 +36,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source ingest: JSON dir → idem dedup → checkpointed parquet commit") {
+    // the closest this environment gets to the Kafka WAL tail (no broker
+    // ships with the image): a REAL file source with schema, checkpointed
+    // offsets (= commit SNs), cross-batch idempotent dedup, parquet
+    // commit, then a time-bounded read over the committed table.
+    import org.apache.spark.sql.types._
+    val base = "/root/repo/target/stream_file_" + System.nanoTime()
+    val inDir = new java.io.File(base + "/in"); inDir.mkdirs()
+    def writeBatch(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(inDir, name).toPath, rows.mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("_idem", StringType), StructField("_time", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    writeBatch("b1.json", Seq(
+      """{"_idem":"a","_time":"2024-03-01T10:00:00.000Z","user_id":1,"event_type":"view","value":1.5}""",
+      """{"_idem":"b","_time":"2024-03-01T10:01:00.000Z","user_id":2,"event_type":"click","value":2.0}""",
+      """{"_idem":"a","_time":"2024-03-01T10:00:00.000Z","user_id":1,"event_type":"view","value":1.5}"""))
+    val stream = spark.readStream.schema(schema).json(base + "/in")
+    val q = StreamOps.dedupByIdem(StreamOps.withTimeDefaulting(stream))
+      .writeStream.format("parquet")
+      .option("path", base + "/out")
+      .option("checkpointLocation", base + "/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2.json", Seq(
+        """{"_idem":"b","_time":"2024-03-01T10:01:00.000Z","user_id":2,"event_type":"click","value":2.0}""",
+        """{"_idem":"c","_time":"2024-03-01T10:02:00.000Z","user_id":3,"event_type":"view","value":4.0}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val committed = spark.read.schema(schema).parquet(base + "/out")
+    // within-batch AND cross-batch _idem dups dropped: a, b, c survive
+    assert(committed.count() == 3)
+    committed.createOrReplaceTempView("stream_committed")
+    val bounded = graft.sql.Search.timeBounded(spark,
+      "SELECT user_id, value, _time FROM stream_committed",
+      "2024-03-01 10:00:00", "2024-03-01 10:01:00")
+    assert(bounded.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("tumbling event-time aggregation with watermark") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[IngestRow]
