@@ -74,20 +74,28 @@ object DataOps extends QueryModule {
 
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => {
-      // tokens materialized ONCE as a bound attribute; the 5 consumers all
-      // reference it, which keeps CollapseProject from inlining the
-      // tokenization into each HOF lambda (no CSE in interpreted eval —
-      // the r2 plan ran 6 tokenizations per row).
+      // tokens materialized ONCE as a bound attribute, then each language's
+      // marker count computed ONCE, and the argmax derived from the count
+      // COLUMNS — 4 interpreted filter sweeps per row total (the r2 plan
+      // ran the tokenization 6x and r3's first cut swept the filters 12x
+      // through the inlined greatest()).
       val toks = col("toks")
-      t(s, dir, "documents")
+      val withHits = t(s, dir, "documents")
         .withColumn("toks", TextAnalysis.tokens(col("text")))
         .select(
           col("doc_id"),
-          TextAnalysis.langIdFromToks(toks).as("detected_lang"),
           TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("en")).cast("long").as("hits_en"),
           TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("es")).cast("long").as("hits_es"),
           TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("de")).cast("long").as("hits_de"),
           TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("fr")).cast("long").as("hits_fr"))
+      val scored = Seq("de", "en", "es", "fr").map(l =>
+        struct(col(s"hits_$l").as("hits"), lit(l).as("lang")))
+      val best = greatest(scored: _*)
+      withHits.select(
+        col("doc_id"),
+        when(best.getField("hits") > 0, best.getField("lang"))
+          .otherwise(lit("und")).as("detected_lang"),
+        col("hits_en"), col("hits_es"), col("hits_de"), col("hits_fr"))
     }),
 
     "q_text_quality" -> ((s, dir) => {

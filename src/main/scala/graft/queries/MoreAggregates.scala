@@ -76,6 +76,43 @@ object MoreAggregates extends QueryModule {
         .agg(sum(col("contrib")).as("covered_us"))
     }),
 
+    // extremes rows (daisy ExtremesStep.cpp: the result set plus a min
+    // row and a max row over its numeric columns).
+    "q_extremes" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(avg(col("o_totalprice")), 2).as("avg_price"),
+             count(lit(1)).cast("long").as("n"))
+      val body = base.withColumn("row_kind", lit("row"))
+      val mins = base.agg(min(col("avg_price")).as("avg_price"), min(col("n")).as("n"))
+        .select(lit(null).cast("string").as("o_orderpriority"),
+          col("avg_price"), col("n"), lit("min").as("row_kind"))
+      val maxs = base.agg(max(col("avg_price")).as("avg_price"), max(col("n")).as("n"))
+        .select(lit(null).cast("string").as("o_orderpriority"),
+          col("avg_price"), col("n"), lit("max").as("row_kind"))
+      body.unionByName(mins).unionByName(maxs)
+    }),
+
+    // welchTTest / studentTTest (daisy AggregateFunctionTTest.h):
+    // two-sample t statistics from per-group moments — pure aggregate
+    // composition, partial-aggregable, O(1) state.
+    "q_agg_ttest" -> ((s, dir) => {
+      val flag = (col("o_orderpriority") === "1-URGENT").cast("int")
+      val g = t(s, dir, "orders").select(col("o_totalprice").as("x"), flag.as("grp"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).cast("double").as("n"),
+             avg(col("x")).as("m"), var_samp(col("x")).as("v"))
+      val a = g.filter(col("grp") === 1).select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+      val b = g.filter(col("grp") === 0).select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+      a.crossJoin(b).select(
+        round((col("m1") - col("m2")) /
+          sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6).as("welch_t"),
+        round((col("m1") - col("m2")) /
+          (sqrt(((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2")) /
+            (col("n1") + col("n2") - 2)) *
+           sqrt(lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("student_t"))
+    }),
+
     // maxIntersections: per-user max number of simultaneously open
     // intervals. Classic sweep: +1 at start, -1 at end, ends sort before
     // starts at the same point (half-open), max running sum.
@@ -123,6 +160,27 @@ object MoreAggregates extends QueryModule {
         |SELECT user_id,
         | sum(greatest(e - greatest(s, coalesce(pm, s)), 0))::BIGINT AS covered_us
         |FROM sw GROUP BY user_id""".stripMargin,
+
+    "q_extremes" ->
+      """WITH base AS (SELECT o_orderpriority,
+        |  round(avg(o_totalprice), 2) AS avg_price, count(*) AS n
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, avg_price, n, 'row' AS row_kind FROM base
+        |UNION ALL
+        |SELECT NULL, min(avg_price), min(n), 'min' FROM base
+        |UNION ALL
+        |SELECT NULL, max(avg_price), max(n), 'max' FROM base""".stripMargin,
+
+    "q_agg_ttest" ->
+      """WITH g AS (SELECT (o_orderpriority = '1-URGENT')::INT AS grp,
+        |  count(*)::DOUBLE AS n, avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
+        | FROM orders GROUP BY 1),
+        |a AS (SELECT n AS n1, m AS m1, v AS v1 FROM g WHERE grp = 1),
+        |b AS (SELECT n AS n2, m AS m2, v AS v2 FROM g WHERE grp = 0)
+        |SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS welch_t,
+        | round((m1 - m2) / (sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) *
+        |   sqrt(1.0 / n1 + 1.0 / n2)), 6) AS student_t
+        |FROM a, b""".stripMargin,
 
     "q_max_intersections" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,

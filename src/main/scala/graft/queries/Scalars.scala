@@ -90,14 +90,19 @@ object Scalars extends QueryModule {
           .cast("boolean").as("hot"))
     }),
 
-    // JSON family over events.props (JSONExtract*).
+    // JSON family over events.props (JSONExtract*): one from_json parse
+    // per row materialized as a bound struct column, then plain field
+    // reads — the r2 plan re-ran get_json_object (a full parse) 4x/row.
     "q_func_json" -> ((s, dir) => {
-      t(s, dir, "events").select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_int"),
-        get_json_object(col("props"), "$.missing").as("missing"),
-        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+      t(s, dir, "events")
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k STRING, missing STRING")))
+        .select(
+          col("event_id"),
+          col("j.k").as("k_str"),
+          col("j.k").cast("long").as("k_int"),
+          col("j.missing").as("missing"),
+          (col("j.k").cast("long") % 10).as("k_mod"))
     }),
 
     // hashing / encoding family (md5/sha2/base64/hex).
