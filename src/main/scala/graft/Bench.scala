@@ -20,12 +20,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // Local single-JVM shuffles move a few MB over tmpfs-speed disk;
+      // lz4 costs more CPU than the copy saves (core confs — must be set
+      // before the context starts).
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+    // Core-conf A/B hook (core confs are static — env-driven so they land
+    // before the context starts): SPARK_GRAFT_CORE_CONF="k=v;k=v".
+    sys.env.get("SPARK_GRAFT_CORE_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
 
