@@ -109,6 +109,8 @@ object GraftScalar {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "siphash64", exprs => SipHash64Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cityhash64", exprs => CityHash64Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
@@ -116,6 +118,8 @@ object GraftScalar {
   }
 
   def siphash64(s0: Column): Column = call_function("siphash64", s0)
+
+  def cityhash64(s0: Column): Column = call_function("cityhash64", s0)
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 

@@ -58,8 +58,8 @@ object EventAnalytics extends QueryModule {
         .agg(sequence_match(2)(unix_micros(col("ts")), col("step")).as("matched"))
     }),
 
-    // windowFunnel strict_order mode (rows-only; semantics covered by
-    // AggregatorSpec — the interleave-break logic has no tractable SQL).
+    // windowFunnel strict_order mode (hash-checked: the DuckDB oracle
+    // reproduces the greedy interleave-break scan as a list_reduce fold).
     "q_window_funnel_strict" -> ((s, dir) => {
       stepped(s, dir)
         .groupBy(col("user_id"))
@@ -82,8 +82,9 @@ object EventAnalytics extends QueryModule {
           unix_micros(col("ts")), col("step")).as("matched"))
     }),
 
-    // sequenceCount: non-overlapping signup→purchase chains (no SQL
-    // oracle — greedy scan; exactness covered by AggregatorSpec).
+    // sequenceCount: non-overlapping signup→purchase chains
+    // (hash-checked: the DuckDB oracle folds the same greedy scan with
+    // list_reduce; exactness also covered by AggregatorSpec).
     "q_sequence_count" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .withColumn("step",
@@ -177,6 +178,56 @@ object EventAnalytics extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // Greedy left-to-right scan reproduced as a DuckDB list_reduce fold
+    // over the time-ordered step list: state = count*10 + next-needed.
+    "q_sequence_count" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+        |    CASE WHEN event_type='signup' THEN 1 ELSE 2 END AS step
+        |  FROM events WHERE event_type IN ('signup','purchase')),
+        |l AS (SELECT user_id, [0] || list(step ORDER BY t, step) AS steps
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |  (list_reduce(steps, (acc, k) -> CASE
+        |     WHEN k = (CASE WHEN acc % 10 = 0 THEN 1 ELSE acc % 10 END)
+        |     THEN CASE WHEN (CASE WHEN acc % 10 = 0 THEN 1 ELSE acc % 10 END) = 2
+        |               THEN ((acc // 10) + 1) * 10 + 1
+        |               ELSE (acc // 10) * 10 + 2 END
+        |     ELSE acc END) // 10)::BIGINT AS n_chains
+        |FROM l""".stripMargin,
+
+    // strict_order windowFunnel as a list_reduce fold carrying
+    // (max level, current depth, chain start) through the sorted events;
+    // events are time-sorted so t >= prev always holds and the break
+    // rule reduces to "wrong step resets depth, step 1 restarts".
+    "q_window_funnel_strict" ->
+      s"""WITH e AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+        |    CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |         WHEN 'purchase' THEN 3 END AS step
+        |  FROM events WHERE event_type IN ('signup','view','purchase')),
+        |l AS (SELECT user_id,
+        |        [struct_pack(maxl := 0::BIGINT, cur := 0::BIGINT,
+        |                     start := 0::BIGINT, t := 0::BIGINT, k := 0::BIGINT)] ||
+        |        list(struct_pack(maxl := 0::BIGINT, cur := 0::BIGINT,
+        |                         start := 0::BIGINT, t := t, k := step::BIGINT)
+        |             ORDER BY t, step) AS evs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |  list_reduce(evs, (acc, x) -> CASE
+        |    WHEN x.k = acc.cur + 1 AND (acc.cur = 0 OR x.t - acc.start <= ${SevenDaysUs})
+        |      THEN struct_pack(maxl := greatest(acc.maxl, acc.cur + 1),
+        |                       cur := acc.cur + 1,
+        |                       start := CASE WHEN acc.cur = 0 THEN x.t ELSE acc.start END,
+        |                       t := 0::BIGINT, k := 0::BIGINT)
+        |    WHEN x.k = 1
+        |      THEN struct_pack(maxl := greatest(acc.maxl, 1::BIGINT), cur := 1::BIGINT,
+        |                       start := x.t, t := 0::BIGINT, k := 0::BIGINT)
+        |    ELSE struct_pack(maxl := acc.maxl, cur := 0::BIGINT, start := acc.start,
+        |                     t := 0::BIGINT, k := 0::BIGINT)
+        |  END).maxl AS funnel_level
+        |FROM l""".stripMargin,
+
     "q_window_funnel" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t, event_type
         |           FROM events WHERE event_type IN ('signup','view','purchase')),

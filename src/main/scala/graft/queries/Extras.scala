@@ -44,6 +44,23 @@ object Extras extends QueryModule {
         .agg(count(lit(1)).as("n"), round(min(col("l_extendedprice")), 2).as("min_price"))
     }),
 
+    // Sharding-key placement compatibility (daisy FunctionsHashing.h —
+    // cityHash64 is the default Distributed sharding key, sipHash64 the
+    // keyed alternative): rows sharded by pmod(cityHash64(key), 8) here
+    // land on the same shard as in the reference. Hash values are
+    // bit-checked against a literal-vector oracle (DuckDB has neither
+    // hash; CityHashSpec/SipHashSpec hold the upstream vectors).
+    "q_shard_key" -> ((s, dir) => {
+      import graft.functions.GraftScalar.{cityhash64, siphash64}
+      val key = col("c_custkey").cast("string")
+      t(s, dir, "customer")
+        .filter(col("c_custkey").between(1, 8))
+        .select(col("c_custkey"),
+          cityhash64(key).as("city_h"),
+          siphash64(key).as("sip_h"),
+          pmod(cityhash64(key), lit(8)).cast("long").as("shard"))
+    }),
+
     // GLOBAL IN (broadcast set membership — daisy
     // InJoinSubqueriesPreprocessor): small key set broadcast to all tasks.
     "q_global_in" -> ((s, dir) => {
@@ -56,6 +73,24 @@ object Extras extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // Literal-vector oracle: values from the pristine public CityHash
+    // 1.0.2 / SipHash-2-4 implementations (see CityHashSpec); the join
+    // against customer keeps the row set honest (a missing key fails).
+    "q_shard_key" ->
+      """SELECT c.c_custkey, v.city_h, v.sip_h, v.shard
+        |FROM customer c
+        |JOIN (VALUES
+        |  (1, -7033283626417106703, 5003827105613308882, 1),
+        |  (2, -974149032703449225, -6997198735350404217, 7),
+        |  (3, -7171393999769757590, 3672830208859661989, 2),
+        |  (4, 2169371982377735806, 5406800756778728304, 6),
+        |  (5, -2305045263268298267, -3965718763787747005, 5),
+        |  (6, -8343369942190246627, 1609946449970207933, 5),
+        |  (7, 5566429635965498611, 8255655750251093705, 3),
+        |  (8, -3538524045097112010, 8491335656787965458, 6))
+        |  AS v(c_custkey, city_h, sip_h, shard)
+        |ON c.c_custkey = v.c_custkey""".stripMargin,
+
     "q_window_value_funcs" ->
       """SELECT o_custkey, o_orderkey,
         | first_value(o_orderkey) OVER w AS first_key,

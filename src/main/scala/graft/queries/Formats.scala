@@ -41,6 +41,32 @@ object Formats extends QueryModule {
         .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
     }),
 
+    // Avro round-trip (reference AvroRowInputFormat) through the
+    // avro-core container codec in graft.sources.AvroIO — written one
+    // container per partition, read back file-parallel, then aggregated;
+    // hash-equality with the parquet oracle proves losslessness.
+    "q_format_avro" -> ((s, dir) => {
+      val out = scratch(dir) + "/nation_avro"
+      val nation = t(s, dir, "nation")
+      graft.sources.AvroIO.write(nation, out)
+      graft.sources.AvroIO.read(s, out, nation.schema)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).cast("long").as("n"), min(col("n_name")).as("first_name"))
+    }),
+
+    // aes_encrypt/aes_decrypt (reference registerFunctionsAES —
+    // encrypt/decrypt family): ECB keeps the round-trip deterministic so
+    // the decrypted output is hash-checked against the plaintext oracle;
+    // the ciphertext length pins the block padding.
+    "q_format_aes" -> ((s, dir) => {
+      val key = lit("0123456789abcdef") // AES-128
+      val enc = aes_encrypt(col("s_name").cast("binary"), key, lit("ECB"))
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        aes_decrypt(enc, key, lit("ECB")).cast("string").as("name_roundtrip"),
+        length(enc).cast("long").as("cipher_len"))
+    }),
+
     // Virtual columns (_part = input_file_name, _shard_num =
     // spark_partition_id): per-part row counts. Rows-only check (file
     // names are engine-specific); spec-level determinism in the suite.
@@ -54,6 +80,16 @@ object Formats extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_format_avro" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    // PKCS7: padded length = (len/16 + 1) * 16.
+    "q_format_aes" ->
+      """SELECT s_suppkey, s_name AS name_roundtrip,
+        | ((length(s_name) // 16) + 1) * 16 AS cipher_len
+        |FROM supplier""".stripMargin,
+
     "q_format_orc" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders WHERE o_totalprice > 300000

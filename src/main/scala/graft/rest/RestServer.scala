@@ -107,23 +107,54 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     }
   })
 
-  server.createContext("/dae/v1/search", (ex: HttpExchange) => handle(ex) {
-    val b = body(ex)
-    catalog.registerViews()
-    def opt(field: String): Option[JsonNode] =
-      Option(b.get(field)).filter(!_.isNull)
-    val sql = b.get("query").asText()
-    val limit = opt("limit").map(_.asInt()).getOrElse(100)
-    val offset = opt("offset").map(_.asInt()).getOrElse(0)
-    val df = (opt("start_time"), opt("end_time")) match {
-      case (Some(st), Some(en)) =>
-        Search.timeBounded(spark, sql, st.asText(), en.asText(), limit, offset)
-      case _ =>
-        val base = spark.sql(sql)
-        val paged = if (offset > 0) base.offset(offset) else base
-        if (limit > 0) paged.limit(limit) else paged
+  /** Results are STREAMED: rows flow driver→client via toLocalIterator
+    * into a chunked response, so no result set is ever collect()ed whole
+    * on the driver (the reference streams too —
+    * `SearchHandler.h:18 streamingOutput`). `limit <= 0` means
+    * "unbounded" to the caller but is clamped to [[RestServer.MaxResultRows]]
+    * server-side. A mid-stream executor failure truncates the chunked
+    * body (the HTTP code is already on the wire) — same contract as the
+    * reference's streaming output.
+    */
+  server.createContext("/dae/v1/search", (ex: HttpExchange) => {
+    var headersSent = false
+    try {
+      val b = body(ex)
+      catalog.registerViews()
+      def opt(field: String): Option[JsonNode] =
+        Option(b.get(field)).filter(!_.isNull)
+      val sql = b.get("query").asText()
+      val limit = opt("limit").map(_.asInt()).getOrElse(100)
+      val effLimit = if (limit <= 0) RestServer.MaxResultRows else limit
+      val offset = opt("offset").map(_.asInt()).getOrElse(0)
+      val df = (opt("start_time"), opt("end_time")) match {
+        case (Some(st), Some(en)) =>
+          Search.timeBounded(spark, sql, st.asText(), en.asText(), effLimit, offset)
+        case _ =>
+          val base = spark.sql(sql)
+          val paged = if (offset > 0) base.offset(offset) else base
+          paged.limit(effLimit)
+      }
+      val it = df.toJSON.toLocalIterator()
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+      headersSent = true
+      val os = ex.getResponseBody
+      try {
+        os.write("""{"rows":[""".getBytes(UTF_8))
+        var first = true
+        while (it.hasNext) {
+          if (!first) os.write(','.toInt)
+          os.write(it.next().getBytes(UTF_8))
+          first = false
+        }
+        os.write("]}".getBytes(UTF_8))
+      } finally os.close()
+    } catch {
+      case e: Throwable if !headersSent =>
+        respond(ex, 400, s"""{"error":${Catalog.toJsonString(e.getMessage)}}""")
+      case _: Throwable => ex.close() // body already streaming: truncate
     }
-    (200, df.toJSON.collect().mkString("""{"rows":[""", ",", "]}"))
   })
 
   server.createContext("/dae/v1/sqlanalyzer", (ex: HttpExchange) => handle(ex) {
@@ -133,6 +164,16 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     (200, s"""{"plan":${Catalog.toJsonString(plan)}}""")
   })
 
-  def start(): Unit = { server.setExecutor(null); server.start() }
+  def start(): Unit = {
+    // Small fixed pool: concurrent requests don't serialize behind one
+    // long-streaming search (Spark's scheduler does the real fan-out).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+  }
   def stop(): Unit = server.stop(0)
+}
+
+object RestServer {
+  /** Server-side clamp for `limit <= 0` ("unbounded") search requests. */
+  val MaxResultRows = 1000000
 }

@@ -40,4 +40,21 @@ class OperatorSpec extends AnyFunSuite {
       .orderBy($"axis").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(filled.toSeq == Seq((0L, 5L), (10L, 0L), (20L, 0L), (30L, 2L)))
   }
+
+  test("per-key fillInterpolate fills each series independently with a " +
+    "keyed (not single-partition) window") {
+    val df = Seq(("a", 0L, 0.0), ("a", 30L, 3.0), ("b", 10L, 10.0), ("b", 40L, 40.0))
+      .toDF("k", "axis", "v")
+    val filled = WithFill.fillInterpolate(df, "axis", 10L, Seq("v"),
+      seriesKeys = Seq("k"))
+    val rows = filled.orderBy($"k", $"axis").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      ("a", 0L, 0.0), ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+      ("b", 10L, 10.0), ("b", 20L, 20.0), ("b", 30L, 30.0), ("b", 40L, 40.0)))
+    // each key's series spans only its own bounds, and the window sorts
+    // per key: no single-partition exchange may appear in the plan
+    val plan = filled.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition stage:\n$plan")
+  }
 }

@@ -42,7 +42,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = physical(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"asof must not pair-explode:\n$plan")
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // REPARTITION_BY_NUM exchanges belong to the one-time events-cache
+    // build (printed inside InMemoryRelation once materialized), not to
+    // the asof operator under test.
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
   }
 

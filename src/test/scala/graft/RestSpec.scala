@@ -79,6 +79,16 @@ class RestSpec extends AnyFunSuite {
     assert(c2 == 200 && b2.contains("app") && b2.contains("nginx"), b2)
   }
 
+  test("search streams a large limit:0 result chunked without collect") {
+    // 50k-row result through the chunked streaming path: limit 0 means
+    // "unbounded" (clamped server-side), and every row must arrive.
+    val (code, bd) = post("/search",
+      """{"query":"SELECT id, id * 2 AS dbl FROM range(50000)","limit":0}""")
+    assert(code == 200)
+    assert(bd.count(_ == '{') == 50001, s"rows=${bd.count(_ == '{')  - 1}")
+    assert(bd.contains("\"id\":49999"), bd.takeRight(200))
+  }
+
   test("analyzer returns a physical plan without executing") {
     val (code, body) = post("/sqlanalyzer",
       """{"query":"SELECT sourcetype, avg(latency) FROM logs GROUP BY sourcetype"}""")

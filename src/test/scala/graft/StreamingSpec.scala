@@ -78,6 +78,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(bounded.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("WAL source abstraction: file transport → json decode → dedup → " +
+    "commit (transport-swappable with the kafka() reader)") {
+    import org.apache.spark.sql.types._
+    val base = "/root/repo/target/stream_wal_" + System.nanoTime()
+    val inDir = new java.io.File(base + "/in"); inDir.mkdirs()
+    val schema = StructType(Seq(
+      StructField("_idem", StringType), StructField("_time", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    java.nio.file.Files.writeString(new java.io.File(inDir, "seg1.jsonl").toPath,
+      Seq(
+        """{"_idem":"x","_time":"2024-03-01T10:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+        """{"_idem":"y","_time":"2024-03-01T10:01:00.000Z","user_id":2,"event_type":"click","value":2.0}""",
+        """{"_idem":"x","_time":"2024-03-01T10:00:00.000Z","user_id":1,"event_type":"view","value":1.0}""",
+        """not json at all""").mkString("\n"))
+    val wal = graft.streaming.WalSource.files(spark, base + "/in")
+    val decoded = graft.streaming.WalSource.decodeJson(wal, schema)
+    // route undecodable segments out instead of poisoning the commit
+    val valid = decoded.filter($"_idem".isNotNull).drop("_wal_time")
+    val q = StreamOps.dedupByIdem(StreamOps.withTimeDefaulting(valid))
+      .writeStream.format("parquet")
+      .option("path", base + "/out")
+      .option("checkpointLocation", base + "/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val committed = spark.read.schema(schema).parquet(base + "/out")
+    assert(committed.count() == 2) // dup dropped, malformed routed out
+  }
+
   test("tumbling event-time aggregation with watermark") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[IngestRow]
