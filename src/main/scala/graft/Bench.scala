@@ -25,11 +25,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Local single-JVM shuffles move a few MB over tmpfs-speed disk;
-      // lz4 costs more CPU than the copy saves (core confs — must be set
-      // before the context starts).
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // Shuffle spill/scratch on tmpfs: the hits suite moves 100-500 MB
+      // of shuffle per high-cardinality query; RAM-backed local dirs take
+      // the filesystem out of the measurement (lz4 shuffle compression
+      // stays at its default ON — string shuffles compress ~5x, probed
+      // q35 495 MB -> 90 MB).
+      .config("spark.local.dir", "/dev/shm/spark-graft")
     // Core-conf A/B hook (core confs are static — env-driven so they land
     // before the context starts): SPARK_GRAFT_CORE_CONF="k=v;k=v".
     sys.env.get("SPARK_GRAFT_CORE_CONF").foreach(_.split(";").filter(_.contains("="))
@@ -65,20 +66,22 @@ object Bench {
       (t1 +: Seq.fill(extra)(timeOnce(fn))).min
     }
 
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) => name -> bestOf(fn) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // 43-query web-analytics baseline suite on a 10M-row hits-like table
-    // (BASELINE.md bar); skipped via SPARK_GRAFT_SKIP_HITS=1.
+    // (BASELINE.md bar); skipped via SPARK_GRAFT_SKIP_HITS=1. Runs FIRST:
+    // a heap pre-fragmented by the 100+ micro queries costs the
+    // high-cardinality group-bys 2-5x in GC noise.
     val hits =
       if (sys.env.get("SPARK_GRAFT_SKIP_HITS").contains("1")) ""
       else {
         val r = BenchHits.suite(spark)
         s""","hits_suite_sec":${r.total},"hits_slowest_sec":${r.slowest},"hits_queries":${r.json}"""
       }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) => name -> bestOf(fn) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$hits}"""
     println(line)

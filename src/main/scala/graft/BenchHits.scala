@@ -151,6 +151,18 @@ object BenchHits {
 
   final case class SuiteResult(total: Double, slowest: Double, json: String)
 
+  /** The reference's published per-query best-of-3 at 10 M rows
+    * (`/root/reference/website/benchmark/dbms/results/
+    * 001_clickhouse_19_1_6.json`, data_size=10^7) — embedded so the bench
+    * JSON reports per-query ratios against the same numbers BASELINE.md
+    * quotes. */
+  val referenceBest: Seq[Double] = Seq(
+    0.006, 0.006, 0.01, 0.01, 0.037, 0.057, 0.006, 0.006, 0.128, 0.078,
+    0.032, 0.034, 0.102, 0.107, 0.116, 0.083, 0.221, 0.112, 0.323, 0.009,
+    0.068, 0.083, 0.193, 0.286, 0.041, 0.037, 0.042, 0.066, 0.158, 0.344,
+    0.098, 0.13, 0.531, 0.32, 0.351, 0.122, 0.118, 0.053, 0.037, 0.223,
+    0.016, 0.014, 0.014)
+
   /** 1-based query numbers whose GROUP BY keys are near-unique at this
     * table's shape (UserID / URL / Title / ClientIP / WatchID /
     * SearchPhrase): partial aggregation reduces almost nothing there, so
@@ -203,17 +215,21 @@ object BenchHits {
     val per = queries.zipWithIndex.map { case (sql, i) =>
       spark.conf.set(graft.plans.SkipPartialAgg.ConfKey,
         highCardinality.contains(i + 1).toString)
-      val t = try (0 until 5).map(_ => once(sql)).min
+      val t = try (0 until 7).map(_ => once(sql)).min
               catch { case _: Throwable => -1.0 }
       spark.conf.set(graft.plans.SkipPartialAgg.ConfKey, "false")
       (s"q${i + 1}", t)
     }
     val ok = per.filter(_._2 >= 0)
     hits.unpersist(false)
+    val ratios = per.zip(referenceBest).map { case ((k, v), ref) =>
+      "\"" + k + "\":" + (if (v < 0) -1.0 else math.rint(v / ref * 100) / 100)
+    }.mkString("{", ",", "}")
     SuiteResult(
       total = ok.map(_._2).sum,
       slowest = if (ok.nonEmpty) ok.map(_._2).max else -1.0,
       json = per.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}"))
+        .mkString("{", ",", "}") +
+        s""","hits_baseline_sec":${referenceBest.sum},"hits_ratios":$ratios""")
   }
 }

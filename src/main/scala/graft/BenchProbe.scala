@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Stage-level profiler for individual hits-suite queries: prints per-
+  * stage executor time / shuffle volumes so optimization effort lands on
+  * the real bottleneck (scan vs shuffle vs aggregate) instead of configs.
+  * Usage: runMain graft.BenchProbe <1-based query number> [runs]
+  */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val qn = args.headOption.map(_.toInt).getOrElse(16)
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+    sys.env.get("SPARK_GRAFT_CORE_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.tune(spark)
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        stages.add(f"stage=${si.stageId}%3d tasks=${si.numTasks}%3d " +
+          f"execMs=${m.executorRunTime}%6d cpuMs=${m.executorCpuTime / 1000000}%6d " +
+          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1024 / 1024}%4dMB " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024 / 1024}%4dMB " +
+          f"gcMs=${m.jvmGCTime}%5d  ${si.name.takeWhile(_ != '\n').take(60)}")
+      }
+    })
+
+    BenchHits.generate(spark)
+    spark.conf.set("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val hits = spark.read.parquet(BenchHits.DefaultPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hits.count()
+    hits.createOrReplaceTempView("hits")
+    graft.plans.SkipPartialAgg.register(spark)
+    sys.env.get("SPARK_GRAFT_HITS_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+
+    val sql = BenchHits.queries(qn - 1)
+    println(s"=== q$qn: ${sql.take(120)}")
+    for (r <- 1 to runs) {
+      stages.clear()
+      val t0 = System.nanoTime()
+      spark.sql(sql).write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"--- run $r: $dt%.3f s")
+      stages.forEach(s => println("    " + s))
+    }
+    spark.stop()
+  }
+}
