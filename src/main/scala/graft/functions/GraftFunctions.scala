@@ -60,4 +60,14 @@ object GraftFunctions {
   /** RoaringBitmap-backed exact distinct count of int keys. */
   def group_bitmap(x: Column): Column =
     udaf(new GroupBitmapAgg).apply(x)
+
+  /** Online SGD linear regression; returns weights :+ bias. */
+  def stochastic_linear_regression(lr: Double, l2: Double, batch: Int,
+                                   nFeatures: Int)(y: Column, xs: Column): Column =
+    udaf(new StochasticLinearRegressionAgg(lr, l2, batch, nFeatures)).apply(y, xs)
+
+  /** Online SGD logistic regression; returns weights :+ bias. */
+  def stochastic_logistic_regression(lr: Double, l2: Double, batch: Int,
+                                     nFeatures: Int)(y: Column, xs: Column): Column =
+    udaf(new StochasticLogisticRegressionAgg(lr, l2, batch, nFeatures)).apply(y, xs)
 }

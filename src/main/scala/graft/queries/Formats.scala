@@ -54,6 +54,34 @@ object Formats extends QueryModule {
         .agg(count(lit(1)).cast("long").as("n"), min(col("n_name")).as("first_name"))
     }),
 
+    // Arrow IPC round-trip (reference ArrowBlockInputFormat) through the
+    // arrow-vector container codec in graft.sources.ArrowIO.
+    "q_format_arrow" -> ((s, dir) => {
+      val out = scratch(dir) + "/supplier_arrow"
+      val supplier = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      graft.sources.ArrowIO.write(supplier, out)
+      graft.sources.ArrowIO.read(s, out, supplier.schema)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             round(sum(col("s_acctbal")), 2).as("bal"),
+             min(col("s_name")).as("first_name"))
+    }),
+
+    // JDBC external storage (reference registerStorages.cpp JDBC/ODBC
+    // bridges): full write + read through Spark's JDBC source against an
+    // embedded Derby database — the same code path talks to any
+    // JDBC-accessible store by swapping the URL.
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      val url = s"jdbc:derby:${scratch(dir)}/derby_db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val region = t(s, dir, "region")
+      region.write.mode("overwrite").jdbc(url, "region_jdbc", props)
+      s.read.jdbc(url, "region_jdbc", props)
+        .select(col("r_regionkey"), col("r_name"))
+    }),
+
     // aes_encrypt/aes_decrypt (reference registerFunctionsAES —
     // encrypt/decrypt family): ECB keeps the round-trip deterministic so
     // the decrypted output is hash-checked against the plaintext oracle;
@@ -83,6 +111,14 @@ object Formats extends QueryModule {
     "q_format_avro" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_format_arrow" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal,
+        | min(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
+    "q_jdbc_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region",
 
     // PKCS7: padded length = (len/16 + 1) * 16.
     "q_format_aes" ->

@@ -121,6 +121,22 @@ object MoreAggregates extends QueryModule {
            sqrt(lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("student_t"))
     }),
 
+    // stochasticLinearRegression (daisy AggregateFunctionMLMethod.cpp):
+    // online SGD over (price ~ quantity), scaled for step stability.
+    // SGD results depend on row order/partitioning (same as the
+    // reference across threads) — rows-only check; convergence exactness
+    // lives in AggregatorSpec on controlled data.
+    "q_agg_stochastic" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.stochastic_linear_regression
+      t(s, dir, "lineitem")
+        .select((col("l_extendedprice") / 10000).as("y"),
+          array(col("l_quantity") / 10).as("xs"))
+        .agg(stochastic_linear_regression(0.01, 0.0, 256, 1)(col("y"), col("xs"))
+          .as("model"))
+        .select(posexplode(col("model")))
+        .select(col("pos").cast("long").as("idx"), col("col").as("coef"))
+    }),
+
     // mannWhitneyUTest (daisy AggregateFunctionMannWhitney.h): U statistic
     // and normal-approximation z from fractional ranks. Ranks come from
     // the distributed sort in operators.Ranking (no single-task window);

@@ -152,6 +152,41 @@ class AggregatorSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("stochastic linear regression converges to y = 2x + 1 and merges " +
+    "across partitions by model averaging") {
+    import graft.functions.GraftFunctions.stochastic_linear_regression
+    // centered feature (zero-mean x decouples slope from bias — one
+    // SGD pass has no second chance at correlated coordinates)
+    val rows = (1 to 20000).map { i =>
+      val x = (i % 100) / 100.0 - 0.5
+      (2.0 * x + 1.0, Seq(x))
+    }
+    // 4 partitions: exercises the weighted-average merge path
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4)).toDF("y", "xs")
+    val model = df.agg(
+      stochastic_linear_regression(0.2, 0.0, 16, 1)($"y", $"xs").as("m"))
+      .head.getSeq[Double](0)
+    assert(math.abs(model(0) - 2.0) < 0.15, s"slope ${model(0)}")
+    assert(math.abs(model(1) - 1.0) < 0.15, s"bias ${model(1)}")
+  }
+
+  test("stochastic logistic regression separates a threshold rule") {
+    import graft.functions.GraftFunctions.stochastic_logistic_regression
+    val rows = (1 to 20000).map { i =>
+      val x = (i % 100) / 100.0 - 0.5
+      (if (x > 0.0) 1.0 else 0.0, Seq(x))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4)).toDF("y", "xs")
+    val m = df.agg(
+      stochastic_logistic_regression(0.5, 0.0, 16, 1)($"y", $"xs").as("m"))
+      .head.getSeq[Double](0)
+    // decision boundary -bias/slope near 0.0, slope positive
+    assert(m(0) > 0, s"slope ${m(0)}")
+    assert(math.abs(-m(1) / m(0)) < 0.1, s"boundary ${-m(1) / m(0)}")
+  }
+
   test("hll state-merge estimate is within 5% of exact") {
     val li = Tables.load(spark, sf, "lineitem")
     val est = li.groupBy($"l_returnflag")
