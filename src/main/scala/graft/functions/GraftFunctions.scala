@@ -57,6 +57,10 @@ object GraftFunctions {
   def top_k(k: Int, capacity: Int)(x: Column): Column =
     udaf(new TopKAgg(k, capacity)).apply(x)
 
+  /** SpaceSaving top-k with per-row weights. */
+  def top_k_weighted(k: Int, capacity: Int)(x: Column, w: Column): Column =
+    udaf(new TopKWeightedAgg(k, capacity)).apply(x, w)
+
   /** RoaringBitmap-backed exact distinct count of int keys. */
   def group_bitmap(x: Column): Column =
     udaf(new GroupBitmapAgg).apply(x)

@@ -111,6 +111,10 @@ object GraftScalar {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cityhash64", exprs => CityHash64Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "halfmd5", exprs => HalfMD5Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "murmurhash2_64", exprs => MurmurHash2x64Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
@@ -120,6 +124,10 @@ object GraftScalar {
   def siphash64(s0: Column): Column = call_function("siphash64", s0)
 
   def cityhash64(s0: Column): Column = call_function("cityhash64", s0)
+
+  def halfmd5(s0: Column): Column = call_function("halfmd5", s0)
+
+  def murmurhash2_64(s0: Column): Column = call_function("murmurhash2_64", s0)
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 

@@ -67,6 +67,51 @@ class TopKAgg(k: Int, capacity: Int)
   def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 }
 
+/** topKWeighted(k, capacity)(x, w) — SpaceSaving with per-row weights
+  * (reference: AggregateFunctionTopK.cpp Weighted variant): identical
+  * state machine to [[TopKAgg]], each occurrence contributing `w`
+  * instead of 1. Same bounded-capacity merge semantics. */
+class TopKWeightedAgg(k: Int, capacity: Int)
+    extends Aggregator[(String, Long), mutable.HashMap[String, Long], Seq[(String, Long)]]
+    with Serializable {
+
+  require(capacity >= k, "capacity must be >= k")
+
+  def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+  def reduce(buf: mutable.HashMap[String, Long],
+             row: (String, Long)): mutable.HashMap[String, Long] = {
+    val (x, w) = row
+    if (x == null) return buf
+    buf.get(x) match {
+      case Some(c) => buf.update(x, c + w)
+      case None =>
+        if (buf.size < capacity) buf.update(x, w)
+        else {
+          val (minV, minC) = buf.minBy { case (v, c) => (c, v) }
+          buf.remove(minV)
+          buf.update(x, minC + w)
+        }
+    }
+    buf
+  }
+
+  def merge(a: mutable.HashMap[String, Long],
+            b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (v, c) => a.update(v, a.getOrElse(v, 0L) + c) }
+    if (a.size <= capacity) a
+    else mutable.HashMap.from(
+      a.toSeq.sortBy { case (v, c) => (-c, v) }.take(capacity))
+  }
+
+  def finish(buf: mutable.HashMap[String, Long]): Seq[(String, Long)] =
+    buf.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+
+  def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
+  def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+}
+
 /** groupBitmap(x) — distinct-count via Roaring bitmaps over integer keys
   * (reference: src/AggregateFunctions/AggregateFunctionGroupBitmap.cpp,
   * backed by RoaringBitmap just like this one; RoaringBitmap ships with

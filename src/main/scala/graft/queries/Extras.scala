@@ -51,13 +51,15 @@ object Extras extends QueryModule {
     // bit-checked against a literal-vector oracle (DuckDB has neither
     // hash; CityHashSpec/SipHashSpec hold the upstream vectors).
     "q_shard_key" -> ((s, dir) => {
-      import graft.functions.GraftScalar.{cityhash64, siphash64}
+      import graft.functions.GraftScalar.{cityhash64, halfmd5, murmurhash2_64, siphash64}
       val key = col("c_custkey").cast("string")
       t(s, dir, "customer")
         .filter(col("c_custkey").between(1, 8))
         .select(col("c_custkey"),
           cityhash64(key).as("city_h"),
           siphash64(key).as("sip_h"),
+          halfmd5(key).as("md5half_h"),
+          murmurhash2_64(key).as("murmur_h"),
           pmod(cityhash64(key), lit(8)).cast("long").as("shard"))
     }),
 
@@ -77,18 +79,18 @@ object Extras extends QueryModule {
     // 1.0.2 / SipHash-2-4 implementations (see CityHashSpec); the join
     // against customer keeps the row set honest (a missing key fails).
     "q_shard_key" ->
-      """SELECT c.c_custkey, v.city_h, v.sip_h, v.shard
+      """SELECT c.c_custkey, v.city_h, v.sip_h, v.md5half_h, v.murmur_h, v.shard
         |FROM customer c
         |JOIN (VALUES
-        |  (1, -7033283626417106703, 5003827105613308882, 1),
-        |  (2, -974149032703449225, -6997198735350404217, 7),
-        |  (3, -7171393999769757590, 3672830208859661989, 2),
-        |  (4, 2169371982377735806, 5406800756778728304, 6),
-        |  (5, -2305045263268298267, -3965718763787747005, 5),
-        |  (6, -8343369942190246627, 1609946449970207933, 5),
-        |  (7, 5566429635965498611, 8255655750251093705, 3),
-        |  (8, -3538524045097112010, 8491335656787965458, 6))
-        |  AS v(c_custkey, city_h, sip_h, shard)
+        |  (1, -7033283626417106703, 5003827105613308882, -4266524885998034046, 746762829127501960, 1),
+        |  (2, -974149032703449225, -6997198735350404217, -4026655064267673757, 602994839685422785, 7),
+        |  (3, -7171393999769757590, 3672830208859661989, -1383792015730482434, -3266576381013309554, 2),
+        |  (4, 2169371982377735806, 5406800756778728304, -6305049951010035939, 2090661578966068036, 6),
+        |  (5, -2305045263268298267, -3965718763787747005, -1956185668341324987, -1703000253499410570, 5),
+        |  (6, -8343369942190246627, 1609946449970207933, 1619335558399004591, 2462676316711722248, 5),
+        |  (7, 5566429635965498611, 8255655750251093705, -8136627526607169926, -7446916648201533712, 3),
+        |  (8, -3538524045097112010, 8491335656787965458, -3895340354620576879, 1819085394523955522, 6))
+        |  AS v(c_custkey, city_h, sip_h, md5half_h, murmur_h, shard)
         |ON c.c_custkey = v.c_custkey""".stripMargin,
 
     "q_window_value_funcs" ->

@@ -121,6 +121,53 @@ object MoreAggregates extends QueryModule {
            sqrt(lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("student_t"))
     }),
 
+    // topKWeighted (daisy AggregateFunctionTopK.cpp Weighted variant):
+    // SpaceSaving, each row contributing its weight. Capacity exceeds
+    // the true distinct count here, so the result is exact and the
+    // oracle is a plain weighted GROUP BY.
+    "q_topk_weighted" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.top_k_weighted
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("w"))
+        .agg(top_k_weighted(3, 16)(col("c_mktsegment"), col("w")).as("tk"))
+        .select(posexplode(col("tk")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("segment"), col("col._2").as("weight"))
+    }),
+
+    // rankCorr (daisy AggregateFunctionRankCorrelation.h): Spearman rank
+    // correlation = Pearson corr of the fractional ranks, both rank
+    // vectors from the distributed sort in operators.Ranking.
+    "q_agg_rankcorr" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_totalprice").as("x"),
+          unix_micros(to_timestamp(col("o_orderdate"))).cast("double").as("y"))
+      val rx = graft.operators.Ranking.avgRanks(src, "x")
+        .withColumnRenamed("avg_rank", "rank_x")
+      val ry = graft.operators.Ranking.avgRanks(src.select(col("y").as("x")), "x")
+        .withColumnRenamed("avg_rank", "rank_y").withColumnRenamed("x", "y")
+      src.join(rx, "x").join(ry, "y")
+        .agg(round(corr(col("rank_x"), col("rank_y")), 6).as("rank_corr"))
+    }),
+
+    // categoricalInformationValue (daisy
+    // AggregateFunctionCategoricalInformationValue.h): per category,
+    // (good_share - bad_share) * ln(good_share / bad_share), summed.
+    "q_agg_cat_iv" -> ((s, dir) => {
+      val flagged = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("cat"),
+          (col("o_totalprice") > 200000).cast("int").as("good"))
+      val per = flagged.groupBy(col("cat"))
+        .agg(sum(col("good")).cast("double").as("g"),
+             sum(lit(1) - col("good")).cast("double").as("b"))
+      val tot = per.agg(sum(col("g")).as("tg"), sum(col("b")).as("tb"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cat"),
+          round((col("g") / col("tg") - col("b") / col("tb")) *
+            log(col("g") / col("tg") / (col("b") / col("tb"))), 6).as("iv"))
+    }),
+
     // stochasticLinearRegression (daisy AggregateFunctionMLMethod.cpp):
     // online SGD over (price ~ quantity), scaled for step stability.
     // SGD results depend on row order/partitioning (same as the
@@ -228,6 +275,35 @@ object MoreAggregates extends QueryModule {
         | round((m1 - m2) / (sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) *
         |   sqrt(1.0 / n1 + 1.0 / n2)), 6) AS student_t
         |FROM a, b""".stripMargin,
+
+    "q_topk_weighted" ->
+      """WITH g AS (SELECT c_mktsegment AS segment,
+        |  sum(round(c_acctbal * 100)::BIGINT) AS weight
+        | FROM customer GROUP BY c_mktsegment)
+        |SELECT row_number() OVER (ORDER BY weight DESC, segment) AS rank,
+        |  segment, weight
+        |FROM g ORDER BY weight DESC, segment LIMIT 3""".stripMargin,
+
+    "q_agg_rankcorr" ->
+      """WITH src AS (SELECT o_totalprice AS x,
+        |  epoch_us(o_orderdate::TIMESTAMP)::DOUBLE AS y FROM orders),
+        |rx AS (SELECT x, avg(pos) AS rank_x FROM
+        |  (SELECT x, row_number() OVER (ORDER BY x) AS pos FROM src)
+        |  GROUP BY x),
+        |ry AS (SELECT y, avg(pos) AS rank_y FROM
+        |  (SELECT y, row_number() OVER (ORDER BY y) AS pos FROM src)
+        |  GROUP BY y)
+        |SELECT round(corr(rank_x, rank_y), 6) AS rank_corr
+        |FROM src JOIN rx USING (x) JOIN ry USING (y)""".stripMargin,
+
+    "q_agg_cat_iv" ->
+      """WITH f AS (SELECT o_orderpriority AS cat,
+        |  (o_totalprice > 200000)::INT AS good FROM orders),
+        |per AS (SELECT cat, sum(good)::DOUBLE AS g,
+        |        sum(1 - good)::DOUBLE AS b FROM f GROUP BY cat),
+        |tot AS (SELECT sum(g) AS tg, sum(b) AS tb FROM per)
+        |SELECT cat, round((g / tg - b / tb) * ln(g / tg / (b / tb)), 6) AS iv
+        |FROM per, tot""".stripMargin,
 
     "q_agg_mannwhitney" ->
       """WITH src AS (SELECT o_totalprice AS x,

@@ -45,4 +45,13 @@ class CityHashSpec extends AnyFunSuite {
     "vector for cityHash64(123456)") {
     assert(CityHash102.intHash64(123456L) == u("13379111408315310133"))
   }
+
+  test("halfMD5 / murmurHash2_64 match the reference's published integer " +
+    "vectors (memory-byte hashes of the 4-byte value)") {
+    import graft.functions.MoreHashes
+    val le4 = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(123456).array()
+    assert(MoreHashes.halfMD5(le4) == u("1452224150530656417"))
+    assert(MoreHashes.murmurHash2x64(le4) == u("9052087431341907723"))
+  }
 }
