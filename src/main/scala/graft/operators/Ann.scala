@@ -121,6 +121,53 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+    * (Sivic & Zisserman "Video Google" 2003; the structure behind FAISS
+    * IVF-Flat). Build: k-means over the corpus (Spark ML's distributed
+    * Lloyd's), every vector assigned to its nearest centroid — at scale
+    * the assignment is the partition/bucket key, so one cell = one
+    * co-located file set. Search: score the query against the tiny
+    * centroid table (driver-side, nlist entries), take the `nprobe`
+    * nearest cells, scan ONLY those cells (partition-prunable filter),
+    * exact-rerank with the codegen'd dot product.
+    *
+    * Returns (index, search): the index DataFrame (id, cell, emb) to
+    * persist/bucket once and reuse across queries, and the per-query
+    * search. */
+  def ivfIndex(df: DataFrame, idCol: String, embCol: String,
+               nlist: Int, seed: Long = 7L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(feats)
+    val indexed = model.transform(feats)
+      .select(col("id"), col("prediction").as("cell"), col("emb"))
+    (indexed, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Search an [[ivfIndex]]: probe the `nprobe` cells whose centroids are
+    * closest to the query (computed on the driver over nlist values),
+    * exact cosine top-k inside those cells only. */
+  def ivfTopK(index: DataFrame, centers: Array[Array[Double]],
+              query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+      s
+    }
+    val probed = centers.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }
+      .take(nprobe).map(_._2)
+    index.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("id"),
+        round(cosineToQuery(col("emb"), query), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-N most similar — O(n²) by construction; retained ONLY
     * as the spec cross-check for lshNearDupPairs and for small candidate
     * sets. Not registered as a query. */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
 
 /** Training-data pipeline surface: deduplication tiers, embedding
@@ -63,6 +64,15 @@ object DataOps extends QueryModule {
     "q_ann_lsh_topk" -> ((s, dir) => {
       Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVector(s, dir), k = 10, bands = 2, rowsPerBand = 4)
+    }),
+
+    // IVF coarse-quantizer ANN (rows-only; recall asserted in
+    // DataOpsSpec): k-means cells, nprobe-nearest probed, exact rerank.
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val (index, centers) = Ann.ivfIndex(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 8)
+      Ann.ivfTopK(Tables.registerScratch(index.persist()), centers,
+        queryVector(s, dir), k = 10, nprobe = 3)
     }),
 
     "q_embedding_centroids" -> ((s, dir) => {

@@ -54,6 +54,48 @@ object Formats extends QueryModule {
         .agg(count(lit(1)).cast("long").as("n"), min(col("n_name")).as("first_name"))
     }),
 
+    // TSKV round-trip (reference TSKVRowInput/OutputFormat: tab-separated
+    // key=value pairs): serialized with concat, parsed back with
+    // str_to_map — schema-on-read from a self-describing text format.
+    "q_format_tskv" -> ((s, dir) => {
+      val out = scratch(dir) + "/customer_tskv"
+      t(s, dir, "customer")
+        .select(concat(
+          lit("c_custkey="), col("c_custkey"),
+          lit("\tc_mktsegment="), col("c_mktsegment"),
+          lit("\tc_acctbal="), col("c_acctbal")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(str_to_map(col("value"), lit("\t"), lit("=")).as("kv"))
+        .select(col("kv.c_custkey").cast("long").as("c_custkey"),
+          col("kv.c_mktsegment").as("c_mktsegment"),
+          col("kv.c_acctbal").cast("double").as("c_acctbal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal"),
+          max(col("c_custkey")).as("max_key"))
+    }),
+
+    // Regexp input format (reference RegexpRowInputFormat: each line
+    // matched against a pattern, capture groups become columns).
+    "q_format_regexp" -> ((s, dir) => {
+      val out = scratch(dir) + "/orders_lines"
+      t(s, dir, "orders")
+        .select(format_string("order id=%d status=[%s] total=%.2f",
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).as("value"))
+        .write.mode("overwrite").text(out)
+      val pat = "order id=(\\d+) status=\\[(\\w)\\] total=([0-9.]+)"
+      s.read.text(out)
+        .select(
+          regexp_extract(col("value"), pat, 1).cast("long").as("o_orderkey"),
+          regexp_extract(col("value"), pat, 2).as("o_orderstatus"),
+          regexp_extract(col("value"), pat, 3).cast("double").as("total"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("total")), 2).as("sum_total"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
     // Arrow IPC round-trip (reference ArrowBlockInputFormat) through the
     // arrow-vector container codec in graft.sources.ArrowIO.
     "q_format_arrow" -> ((s, dir) => {
@@ -111,6 +153,17 @@ object Formats extends QueryModule {
     "q_format_avro" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_format_tskv" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+        | max(c_custkey) AS max_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q_format_regexp" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(round(o_totalprice, 2)), 2) AS sum_total,
+        | max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_format_arrow" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal,

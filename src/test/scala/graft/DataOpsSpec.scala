@@ -139,6 +139,21 @@ class DataOpsSpec extends AnyFunSuite {
     assert(hitRate >= 0.2, s"hitRate=$hitRate")
   }
 
+  test("IVF ANN: probed-cell search recalls most of the brute-force top-k") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val (index, centers) = Ann.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val got = Ann.ivfTopK(index, centers, q, 10, nprobe = 4)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // half the cells probed: the query's own cell always among them, so
+    // the query vector itself and its near neighbors are found
+    assert(got.contains(0L))
+    val recall = brute.intersect(got).size / 10.0
+    assert(recall >= 0.5, s"recall=$recall got=$got brute=$brute")
+  }
+
   test("LSH near-dup pairs: true near-dups recalled, matches exact rerank") {
     // deterministic corpus with two planted near-dup pairs: (0,1) and
     // (2,3) differ by a tiny perturbation in one dimension; the rest are
