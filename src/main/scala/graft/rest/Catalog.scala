@@ -65,6 +65,33 @@ class Catalog(spark: SparkSession, root: String) {
       new java.io.File(catalogDir, s"${tdef.name}.json").toPath, toJson(tdef))
   }
 
+  private def save(tdef: TableDef): Unit =
+    java.nio.file.Files.writeString(
+      new java.io.File(catalogDir, s"${tdef.name}.json").toPath, toJson(tdef))
+
+  /** ALTER ADD COLUMN (daisy ColumnRestRouterHandler POST): metadata-only
+    * — parquet files written before the change simply lack the column and
+    * read back as NULL under the declared schema, the same contract as
+    * the reference's default-less ALTER. */
+  def addColumn(table: String, cd: ColumnDef): Unit = {
+    val tdef = get(table).getOrElse(sys.error(s"no such table: $table"))
+    require(cd.name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad column name: ${cd.name}")
+    require(!tdef.schema.fieldNames.contains(cd.name), s"column exists: ${cd.name}")
+    CatalystSqlParser.parse(cd.sqlType) // validates
+    save(tdef.copy(columns = tdef.columns :+ cd))
+  }
+
+  /** ALTER DROP COLUMN (daisy ColumnRestRouterHandler DELETE):
+    * metadata-only; the bytes stay in old files but every read projects
+    * them away. `_time` and ORDER BY columns are load-bearing. */
+  def dropColumn(table: String, colName: String): Unit = {
+    val tdef = get(table).getOrElse(sys.error(s"no such table: $table"))
+    require(colName != "_time", "_time is the table's partition clock")
+    require(!tdef.orderBy.contains(colName), s"$colName is in ORDER BY")
+    require(tdef.columns.exists(_.name == colName), s"no such column: $colName")
+    save(tdef.copy(columns = tdef.columns.filterNot(_.name == colName)))
+  }
+
   def drop(name: String): Boolean = {
     val meta = new java.io.File(catalogDir, s"$name.json")
     val existed = meta.exists()

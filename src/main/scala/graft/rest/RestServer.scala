@@ -21,6 +21,10 @@ import graft.sql.Search
   *   GET    /dae/v1/ingest/statuses?poll_id=…  commit status
   *   POST   /dae/v1/search                time-bounded SQL (SearchHandler.cpp)
   *   POST   /dae/v1/sqlanalyzer           EXPLAIN endpoint
+  *   POST   /dae/v1/ddl/{t}/columns       add column (ColumnRestRouterHandler)
+  *   DELETE /dae/v1/ddl/{t}/columns/{c}   drop column
+  *   GET    /dae/ping | /dae/info         liveness/build (PingHandler)
+  *   GET    /dae/v1/clusterinfo           topology (ClusterInfoHandler)
   *
   * Built on the JDK's HttpServer (no extra dependencies). Ingest here is
   * synchronous (commit before the response returns) — poll_ids resolve
@@ -83,6 +87,42 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
         (if (existed) 200 else 404, s"""{"dropped":${existed}}""")
       case _ => (405, """{"error":"unsupported"}""")
     }
+  })
+
+  /** Column DDL (daisy ColumnRestRouterHandler):
+    * POST   /dae/v1/ddl/{table}/columns           add column
+    * DELETE /dae/v1/ddl/{table}/columns/{column}  drop column
+    * Registered on the /dae/v1/ddl prefix; table paths under
+    * /dae/v1/ddl/tables bind to the longer context above. */
+  server.createContext("/dae/v1/ddl", (ex: HttpExchange) => handle(ex) {
+    val rest = ex.getRequestURI.getPath.stripPrefix("/dae/v1/ddl/")
+    (ex.getRequestMethod, rest.split("/").toList) match {
+      case ("POST", table :: "columns" :: Nil) =>
+        val b = body(ex)
+        catalog.addColumn(table,
+          ColumnDef(b.get("name").asText(), b.get("type").asText()))
+        (200, s"""{"added":"${b.get("name").asText()}"}""")
+      case ("DELETE", table :: "columns" :: column :: Nil) =>
+        catalog.dropColumn(table, column)
+        (200, s"""{"dropped":"$column"}""")
+      case _ => (404, """{"error":"unsupported"}""")
+    }
+  })
+
+  /** Liveness + build info (daisy PingHandler: /dae/ping, /dae/info). */
+  server.createContext("/dae/ping", (ex: HttpExchange) => handle(ex) {
+    (200, """{"status":"ok"}""")
+  })
+  server.createContext("/dae/info", (ex: HttpExchange) => handle(ex) {
+    (200, s"""{"engine":"graft","spark":${Catalog.toJsonString(spark.version)},"tables":${catalog.list().size}}""")
+  })
+
+  /** Cluster topology (daisy ClusterInfoHandler): executor/core counts
+    * from the live SparkContext — one "shard" per executor. */
+  server.createContext("/dae/v1/clusterinfo", (ex: HttpExchange) => handle(ex) {
+    val sc = spark.sparkContext
+    val execs = sc.statusTracker.getExecutorInfos
+    (200, s"""{"nodes":${execs.length},"default_parallelism":${sc.defaultParallelism},"master":${Catalog.toJsonString(sc.master)}}""")
   })
 
   server.createContext("/dae/v1/ingest/tables", (ex: HttpExchange) => handle(ex) {

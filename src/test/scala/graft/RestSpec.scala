@@ -79,6 +79,39 @@ class RestSpec extends AnyFunSuite {
     assert(c2 == 200 && b2.contains("app") && b2.contains("nginx"), b2)
   }
 
+  private def getRoot(path: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${server.boundPort}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("ping, info and clusterinfo report liveness and topology") {
+    assert(getRoot("/dae/ping")._2.contains("ok"))
+    val (ic, ib) = getRoot("/dae/info")
+    assert(ic == 200 && ib.contains("graft"), ib)
+    val (cc, cb) = get("/clusterinfo")
+    assert(cc == 200 && cb.contains("default_parallelism"), cb)
+  }
+
+  test("column DDL: add column reads NULL for old rows, drop projects it away") {
+    val (ac, ab) = post("/ddl/logs/columns", """{"name":"region","type":"string"}""")
+    assert(ac == 200, ab)
+    // a new ingest can fill it; the pre-ALTER rows read back NULL
+    post("/ingest/tables/logs",
+      """{"columns":["sourcetype","latency","_time","region"],
+        |"data":[["edge","3.5","2024-03-03 08:00:00","eu"]]}""".stripMargin)
+    val (sc, sb) = post("/search",
+      """{"query":"SELECT sourcetype, region FROM logs ORDER BY region NULLS FIRST"}""")
+    assert(sc == 200 && sb.contains("\"region\":\"eu\""), sb)
+    val (dc, db) = delete("/ddl/logs/columns/region")
+    assert(dc == 200, db)
+    val (s2c, s2b) = post("/search", """{"query":"SELECT * FROM logs LIMIT 1"}""")
+    assert(s2c == 200 && !s2b.contains("region"), s2b)
+    // load-bearing columns refuse to drop
+    assert(delete("/ddl/logs/columns/_time")._1 == 400)
+  }
+
   test("search streams a large limit:0 result chunked without collect") {
     // 50k-row result through the chunked streaming path: limit 0 means
     // "unbounded" (clamped server-side), and every row must arrive.
