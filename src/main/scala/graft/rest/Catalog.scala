@@ -18,7 +18,8 @@ import graft.core.TimeTable
 final case class ColumnDef(name: String, sqlType: String)
 
 final case class TableDef(name: String, columns: Seq[ColumnDef],
-                          orderBy: Seq[String], granularity: String) {
+                          orderBy: Seq[String], granularity: String,
+                          subtype: String = "tabular") {
   def timeGranularity: TimeTable.Granularity = granularity match {
     case "H" => TimeTable.Hourly
     case "M" => TimeTable.Monthly
@@ -162,6 +163,40 @@ class Catalog(spark: SparkSession, root: String) {
     n
   }
 
+  /** Create a rawstore (daisy RawstoreTableRestRouterHandler.cpp:84-95 —
+    * the fixed schema-on-read log store columns). */
+  def createRawstore(name: String): Unit =
+    create(TableDef(name,
+      graft.core.Rawstore.schema.fields.map(f =>
+        ColumnDef(f.name, f.dataType.sql)).toSeq,
+      orderBy = Seq("sourcetype"), granularity = "D", subtype = "rawstore"))
+
+  /** Ingest raw event lines into a rawstore: `_time` comes from a
+    * `timestamp` field inside the raw JSON when present (the reference's
+    * time extraction), else ingestion time. */
+  def ingestRaw(name: String, sourcetype: String, lines: Seq[String],
+                source: String = "rest", host: String = "localhost"): Long = {
+    val tdef = get(name).getOrElse(sys.error(s"no such rawstore: $name"))
+    require(tdef.subtype == "rawstore", s"$name is not a rawstore")
+    import spark.implicits._
+    val raw = spark.createDataset(lines.toList).toDF("_raw")
+      .withColumn("_time", coalesce(
+        to_timestamp(get_json_object(col("_raw"), "$.timestamp")),
+        current_timestamp()))
+      .withColumn("_index_time", current_timestamp())
+      .withColumn("sourcetype", lit(sourcetype))
+      .withColumn("source", lit(source))
+      .withColumn("host", lit(host))
+    val n = raw.count()
+    raw.withColumn(TimeTable.BucketCol,
+        date_format(date_trunc(tdef.timeGranularity.truncUnit, col("_time")),
+          "yyyy-MM-dd-HH"))
+      .sortWithinPartitions(col("sourcetype"))
+      .write.mode("append")
+      .partitionBy(TimeTable.BucketCol).parquet(dataPath(name))
+    n
+  }
+
   /** Register every catalog table as a temp view (search queries
     * reference tables by name). */
   def registerViews(): Unit =
@@ -185,7 +220,7 @@ object Catalog {
     val cols = t.columns.map(c =>
       s"""{"name":${q(c.name)},"type":${q(c.sqlType)}}""").mkString(",")
     val ob = t.orderBy.map(q).mkString(",")
-    s"""{"name":${q(t.name)},"columns":[$cols],"order_by":[$ob],"partition_by_granularity":${q(t.granularity)}}"""
+    s"""{"name":${q(t.name)},"columns":[$cols],"order_by":[$ob],"partition_by_granularity":${q(t.granularity)},"subtype":${q(t.subtype)}}"""
   }
 
   def fromJson(s: String): TableDef = {
@@ -197,6 +232,7 @@ object Catalog {
         ColumnDef(c.get("name").asText(), c.get("type").asText())).toSeq,
       Option(m.get("order_by")).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Nil),
-      Option(m.get("partition_by_granularity")).map(_.asText()).getOrElse("D"))
+      Option(m.get("partition_by_granularity")).map(_.asText()).getOrElse("D"),
+      Option(m.get("subtype")).map(_.asText()).getOrElse("tabular"))
   }
 }

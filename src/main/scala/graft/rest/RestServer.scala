@@ -89,6 +89,38 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     }
   })
 
+  /** Rawstore DDL + ingest (daisy RawstoreTableRestRouterHandler,
+    * IngestRawStoreHandler): fixed schema-on-read log store. */
+  server.createContext("/dae/v1/ddl/rawstores", (ex: HttpExchange) => handle(ex) {
+    val path = ex.getRequestURI.getPath.stripPrefix("/dae/v1/ddl/rawstores")
+    (ex.getRequestMethod, path.stripPrefix("/")) match {
+      case ("GET", "") =>
+        val rs = catalog.list().flatMap(catalog.get)
+          .filter(_.subtype == "rawstore").map(Catalog.toJson).mkString(",")
+        (200, s"""{"rawstores":[$rs]}""")
+      case ("POST", "") =>
+        val name = body(ex).get("name").asText()
+        catalog.createRawstore(name)
+        (200, s"""{"created":"$name"}""")
+      case ("DELETE", name) if name.nonEmpty =>
+        val existed = catalog.drop(name)
+        (if (existed) 200 else 404, s"""{"dropped":$existed}""")
+      case _ => (405, """{"error":"unsupported"}""")
+    }
+  })
+
+  server.createContext("/dae/v1/ingest/rawstores", (ex: HttpExchange) => handle(ex) {
+    val name = ex.getRequestURI.getPath.stripPrefix("/dae/v1/ingest/rawstores/")
+    val b = body(ex)
+    val sourcetype =
+      Option(b.get("sourcetype")).map(_.asText()).getOrElse("default")
+    val lines = b.get("data").elements().asScala.map(_.asText()).toSeq
+    val n = catalog.ingestRaw(name, sourcetype, lines)
+    val pollId = java.util.UUID.randomUUID().toString
+    polls.put(pollId, n)
+    (200, s"""{"poll_id":"$pollId","committed":$n}""")
+  })
+
   /** Column DDL (daisy ColumnRestRouterHandler):
     * POST   /dae/v1/ddl/{table}/columns           add column
     * DELETE /dae/v1/ddl/{table}/columns/{column}  drop column

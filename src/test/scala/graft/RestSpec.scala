@@ -112,6 +112,24 @@ class RestSpec extends AnyFunSuite {
     assert(delete("/ddl/logs/columns/_time")._1 == 400)
   }
 
+  test("rawstore: create, raw-line ingest with JSON time extraction, " +
+    "query-time field extraction, drop") {
+    assert(post("/ddl/rawstores", """{"name":"applogs"}""")._1 == 200)
+    val (ic, ib) = post("/ingest/rawstores/applogs",
+      """{"sourcetype":"nginx","data":[
+        | "{\"timestamp\":\"2024-04-01 12:00:00\",\"level\":\"warn\",\"ms\":42}",
+        | "{\"timestamp\":\"2024-04-01 12:05:00\",\"level\":\"info\",\"ms\":7}"]}""".stripMargin)
+    assert(ic == 200 && ib.contains("\"committed\":2"), ib)
+    // schema-on-read: fields extracted at query time from _raw
+    val (sc, sb) = post("/search",
+      """{"query":"SELECT get_json_object(_raw, '$.level') AS level, _time FROM applogs ORDER BY _time"}""")
+    assert(sc == 200 && sb.contains("\"level\":\"warn\""), sb)
+    assert(sb.contains("2024-04-01 12:00:00") || sb.contains("2024-04-01T12:00:00"), sb)
+    val (lc, lb) = get("/ddl/rawstores")
+    assert(lc == 200 && lb.contains("applogs") && lb.contains("rawstore"), lb)
+    assert(delete("/ddl/rawstores/applogs")._1 == 200)
+  }
+
   test("search streams a large limit:0 result chunked without collect") {
     // 50k-row result through the chunked streaming path: limit 0 means
     // "unbounded" (clamped server-side), and every row must arrive.
