@@ -163,6 +163,34 @@ class Catalog(spark: SparkSession, root: String) {
     n
   }
 
+  // ---- databases (daisy DatabaseRestRouterHandler): grouping metadata.
+  // Tables keep flat names in SQL (the reference's default-database
+  // behavior); a database is an explicit namespace entry tables can be
+  // attributed to via the `database` query param at create time.
+  private val dbFile = new java.io.File(catalogDir, "_databases.txt")
+
+  def listDatabases(): Seq[String] =
+    if (!dbFile.exists()) Seq("default")
+    else ("default" +: new String(java.nio.file.Files.readAllBytes(dbFile.toPath), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq).distinct
+
+  def createDatabase(name: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad database name: $name")
+    require(!listDatabases().contains(name), s"database exists: $name")
+    java.nio.file.Files.writeString(dbFile.toPath,
+      (listDatabases().drop(1) :+ name).mkString("\n"))
+  }
+
+  def dropDatabase(name: String): Boolean = {
+    require(name != "default", "cannot drop the default database")
+    val dbs = listDatabases().drop(1)
+    val existed = dbs.contains(name)
+    if (existed)
+      java.nio.file.Files.writeString(dbFile.toPath,
+        dbs.filterNot(_ == name).mkString("\n"))
+    existed
+  }
+
   /** Create a rawstore (daisy RawstoreTableRestRouterHandler.cpp:84-95 —
     * the fixed schema-on-read log store columns). */
   def createRawstore(name: String): Unit =

@@ -89,6 +89,24 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     }
   })
 
+  /** Database DDL (daisy DatabaseRestRouterHandler). */
+  server.createContext("/dae/v1/ddl/databases", (ex: HttpExchange) => handle(ex) {
+    val path = ex.getRequestURI.getPath.stripPrefix("/dae/v1/ddl/databases")
+    (ex.getRequestMethod, path.stripPrefix("/")) match {
+      case ("GET", "") =>
+        (200, catalog.listDatabases()
+          .map(Catalog.toJsonString).mkString("""{"databases":[""", ",", "]}"))
+      case ("POST", "") =>
+        val name = body(ex).get("name").asText()
+        catalog.createDatabase(name)
+        (200, s"""{"created":"$name"}""")
+      case ("DELETE", name) if name.nonEmpty =>
+        val existed = catalog.dropDatabase(name)
+        (if (existed) 200 else 404, s"""{"dropped":$existed}""")
+      case _ => (405, """{"error":"unsupported"}""")
+    }
+  })
+
   /** Rawstore DDL + ingest (daisy RawstoreTableRestRouterHandler,
     * IngestRawStoreHandler): fixed schema-on-read log store. */
   server.createContext("/dae/v1/ddl/rawstores", (ex: HttpExchange) => handle(ex) {

@@ -112,6 +112,14 @@ class RestSpec extends AnyFunSuite {
     assert(delete("/ddl/logs/columns/_time")._1 == 400)
   }
 
+  test("database DDL: create, list includes default, drop") {
+    assert(post("/ddl/databases", """{"name":"metrics"}""")._1 == 200)
+    val (lc, lb) = get("/ddl/databases")
+    assert(lc == 200 && lb.contains("default") && lb.contains("metrics"), lb)
+    assert(delete("/ddl/databases/metrics")._1 == 200)
+    assert(delete("/ddl/databases/default")._1 == 400)
+  }
+
   test("rawstore: create, raw-line ingest with JSON time extraction, " +
     "query-time field extraction, drop") {
     assert(post("/ddl/rawstores", """{"name":"applogs"}""")._1 == 200)
