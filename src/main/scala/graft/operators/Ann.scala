@@ -131,9 +131,12 @@ object Ann {
     * nearest cells, scan ONLY those cells (partition-prunable filter),
     * exact-rerank with the codegen'd dot product.
     *
-    * Returns (index, search): the index DataFrame (id, cell, emb) to
-    * persist/bucket once and reuse across queries, and the per-query
-    * search. */
+    * Returns (index, centers): the index DataFrame (id, cell, emb) and
+    * the centroid table. The index MUST be materialized (persist + count,
+    * or written bucketed-by-cell) before searching — an unpersisted index
+    * is a lazy plan, so Catalyst collapses the cell column back into the
+    * scan and re-runs the quantizer model on every row of every query
+    * (PlanSpec asserts the materialized shape). */
   def ivfIndex(df: DataFrame, idCol: String, embCol: String,
                nlist: Int, seed: Long = 7L): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans

@@ -97,6 +97,31 @@ class PlanSpec extends AnyFunSuite {
       s"filters not merged:\n$optimized")
   }
 
+  test("shard-key hashes compute inside the scan projection — no shuffle") {
+    val df = SparkEntry.queries("q_shard_key")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Exchange"), s"sharding hash forced a shuffle:\n$plan")
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
+  test("IVF search scans only probed cells and top-ks without sorting all") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val (rawIndex, centers) = graft.operators.Ann.ivfIndex(
+      emb, "vec_id", "embedding", nlist = 4)
+    // the index MUST be materialized: unpersisted, Catalyst collapses the
+    // cell assignment back into the scan and re-runs the quantizer model
+    // per query (this assertion caught exactly that)
+    val index = rawIndex.persist()
+    try {
+      index.count()
+      val plan = physical(graft.operators.Ann.ivfTopK(index, centers, q, 5, nprobe = 1))
+      assert(plan.contains("cell#"), s"no cell filter:\n$plan")
+      assert(plan.contains("InMemoryTableScan"), s"index recomputed per query:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$plan")
+    } finally index.unpersist(): Unit
+  }
+
   test("pipe syntax paging and stages") {
     Tables.load(spark, sf, "events").withColumnRenamed("ts", "_time")
       .createOrReplaceTempView("events_t")
