@@ -14,6 +14,39 @@ import org.apache.spark.sql.functions._
 object Joins extends QueryModule {
 
   def queries: Map[String, Q] = Map(
+    // Bucketed co-located fact-fact join (daisy co-partitioned shards:
+    // both tables sharded on the same key join locally —
+    // `StorageDistributedMergeTree.cpp` buildShardingKeyExpression).
+    // Spark analogue: both sides bucketed+sorted on the join key, so the
+    // SortMergeJoin needs NO exchange and NO sort — the scan IS the join
+    // layout. PlanSpec asserts the shuffle-free plan; at 100 TB this is
+    // the difference between joining in place and moving both tables.
+    "q_join_bucketed" -> ((s, dir) => {
+      val db = "bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      // drop + clear locations: the in-memory catalog of a fresh session
+      // doesn't know tables a previous JVM left in the warehouse dir
+      Seq("l_bkt", "o_bkt").foreach { tn =>
+        s.sql(s"DROP TABLE IF EXISTS $db.$tn")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$db.db/$tn")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable(s"$db.l_bkt")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable(s"$db.o_bkt")
+      // MERGE hint: at toy scale the small side would auto-broadcast and
+      // hide the co-located plan this operator exists to produce
+      s.table(s"$db.l_bkt").hint("merge")
+        .join(s.table(s"$db.o_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
     // inner equi-join fact×dim, broadcast hint (GLOBAL JOIN analogue).
     "q_join_inner" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -116,6 +149,12 @@ object Joins extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
         |FROM orders JOIN customer ON o_custkey=c_custkey

@@ -122,6 +122,16 @@ class PlanSpec extends AnyFunSuite {
     } finally index.unpersist(): Unit
   }
 
+  test("bucketed fact-fact join runs without exchange or sort before the join") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
+    val plan = physical(df)
+    val joinIdx = plan.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+    // nothing below the join may shuffle: both inputs are bucket-aligned
+    val below = plan.linesIterator.drop(joinIdx).mkString("\n")
+    assert(!below.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+  }
+
   test("pipe syntax paging and stages") {
     Tables.load(spark, sf, "events").withColumnRenamed("ts", "_time")
       .createOrReplaceTempView("events_t")
