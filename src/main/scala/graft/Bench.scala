@@ -82,8 +82,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // system load at measurement time: timings degrade 1.5-2x when the
+    // box is busy (observed: same code, 8.3s vs 14.4s hits suite) — the
+    // reader can discount a run that raced other work.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$hits}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg$hits}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/BENCH_local.json"), line)
