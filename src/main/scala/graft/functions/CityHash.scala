@@ -42,11 +42,15 @@ case class CityHash64Expr(child: Expression) extends UnaryExpression {
       java.lang.Long.valueOf(
         CityHash102.cityHash64(input.asInstanceOf[UTF8String].getBytes))
     case _ =>
+      // The reference zero-extends narrow ints (`ext::bit_cast<UInt64>`
+      // memcpys the source bytes into a zero-initialized UInt64 —
+      // `base/ext/bit_cast.h`), so mask by source width instead of
+      // sign-extending: Int32 -1 must hash as 0xFFFFFFFF, not -1L.
       val x = input match {
         case l: java.lang.Long    => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-        case s: java.lang.Short   => s.longValue()
-        case b: java.lang.Byte    => b.longValue()
+        case i: java.lang.Integer => i.longValue() & 0xFFFFFFFFL
+        case s: java.lang.Short   => s.longValue() & 0xFFFFL
+        case b: java.lang.Byte    => b.longValue() & 0xFFL
       }
       java.lang.Long.valueOf(CityHash102.intHash64(x))
   }
@@ -55,8 +59,16 @@ case class CityHash64Expr(child: Expression) extends UnaryExpression {
     child.dataType match {
       case StringType => nullSafeCodeGen(ctx, ev, s =>
         s"${ev.value} = graft.functions.CityHash102.cityHash64($s.getBytes());")
-      case _ => nullSafeCodeGen(ctx, ev, s =>
-        s"${ev.value} = graft.functions.CityHash102.intHash64((long) $s);")
+      case _ =>
+        // Zero-extend like the reference's bit_cast (see nullSafeEval).
+        val mask = child.dataType match {
+          case IntegerType => " & 0xFFFFFFFFL"
+          case ShortType   => " & 0xFFFFL"
+          case ByteType    => " & 0xFFL"
+          case _           => ""
+        }
+        nullSafeCodeGen(ctx, ev, s =>
+          s"${ev.value} = graft.functions.CityHash102.intHash64(((long) $s)$mask);")
     }
 
   override protected def withNewChildInternal(newChild: Expression): CityHash64Expr =

@@ -124,12 +124,15 @@ object MoreAggregates extends QueryModule {
     // topKWeighted (daisy AggregateFunctionTopK.cpp Weighted variant):
     // SpaceSaving, each row contributing its weight. Capacity exceeds
     // the true distinct count here, so the result is exact and the
-    // oracle is a plain weighted GROUP BY.
+    // oracle is a plain weighted GROUP BY. Weight uses floor() — floor
+    // of the same IEEE double is bit-identical in Spark and DuckDB,
+    // whereas round() tie-breaking (HALF_UP on the decimal string vs
+    // the binary value) diverges on FP-representation ties.
     "q_topk_weighted" -> ((s, dir) => {
       import graft.functions.GraftFunctions.top_k_weighted
       t(s, dir, "customer")
         .select(col("c_mktsegment"),
-          round(col("c_acctbal") * 100).cast("long").as("w"))
+          floor(col("c_acctbal") * 100).cast("long").as("w"))
         .agg(top_k_weighted(3, 16)(col("c_mktsegment"), col("w")).as("tk"))
         .select(posexplode(col("tk")))
         .select((col("pos") + 1).cast("long").as("rank"),
@@ -278,7 +281,7 @@ object MoreAggregates extends QueryModule {
 
     "q_topk_weighted" ->
       """WITH g AS (SELECT c_mktsegment AS segment,
-        |  sum(round(c_acctbal * 100)::BIGINT) AS weight
+        |  sum(floor(c_acctbal * 100)::BIGINT)::BIGINT AS weight
         | FROM customer GROUP BY c_mktsegment)
         |SELECT row_number() OVER (ORDER BY weight DESC, segment) AS rank,
         |  segment, weight

@@ -121,8 +121,16 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
         catalog.createRawstore(name)
         (200, s"""{"created":"$name"}""")
       case ("DELETE", name) if name.nonEmpty =>
-        val existed = catalog.drop(name)
-        (if (existed) 200 else 404, s"""{"dropped":$existed}""")
+        // Only rawstores may be dropped through this endpoint — a plain
+        // table of the same name must go through the tables DDL route.
+        catalog.get(name) match {
+          case Some(t) if t.subtype == "rawstore" =>
+            val existed = catalog.drop(name)
+            (if (existed) 200 else 404, s"""{"dropped":$existed}""")
+          case Some(_) =>
+            (400, s"""{"error":"not a rawstore: $name"}""")
+          case None => (404, """{"dropped":false}""")
+        }
       case _ => (405, """{"error":"unsupported"}""")
     }
   })

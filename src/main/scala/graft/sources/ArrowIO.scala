@@ -83,15 +83,16 @@ object ArrowIO {
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .flatMap { f =>
+        // Lazy per-batch decode: only ONE record batch is resident at a
+        // time, so task memory is bounded by the batch size, not the file
+        // size. Reader/allocator close when the last batch is exhausted.
         val alloc = new RootAllocator()
         val ch = new java.io.FileInputStream(f).getChannel
         val reader = new ArrowFileReader(ch, alloc)
         val root = reader.getVectorSchemaRoot
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        while (reader.loadNextBatch()) {
-          var r = 0
+        def decodeBatch(): IndexedSeq[Row] = {
           val rows = root.getRowCount
-          while (r < rows) {
+          (0 until rows).map { r =>
             val vs = new Array[Any](n)
             var c = 0
             while (c < n) {
@@ -109,12 +110,20 @@ object ArrowIO {
                 }
               c += 1
             }
-            out += Row.fromSeq(vs.toIndexedSeq)
-            r += 1
+            Row.fromSeq(vs.toIndexedSeq)
           }
         }
-        reader.close(); ch.close(); alloc.close()
-        out.iterator
+        new Iterator[Row] {
+          private var batch: Iterator[Row] = Iterator.empty
+          private var open = true
+          private def advance(): Unit =
+            while (open && !batch.hasNext) {
+              if (reader.loadNextBatch()) batch = decodeBatch().iterator
+              else { reader.close(); ch.close(); alloc.close(); open = false }
+            }
+          override def hasNext: Boolean = { advance(); batch.hasNext }
+          override def next(): Row = { advance(); batch.next() }
+        }
       }
     spark.createDataFrame(rdd, schema)
   }

@@ -24,9 +24,16 @@ import org.apache.spark.sql.types._
 object AvroIO {
 
   private def avroSchema(schema: StructType): Schema = {
+    // Nullable fields map to ["null", T] unions (null first, default
+    // null) — Spark columns are nullable by default and a bare T schema
+    // would make DataFileWriter.append throw on the first null cell.
     var fields = SchemaBuilder.record("row").namespace("graft").fields()
     schema.fields.foreach { f =>
       fields = f.dataType match {
+        case LongType if f.nullable    => fields.name(f.name).`type`().optional().longType()
+        case IntegerType if f.nullable => fields.name(f.name).`type`().optional().intType()
+        case DoubleType if f.nullable  => fields.name(f.name).`type`().optional().doubleType()
+        case StringType if f.nullable  => fields.name(f.name).`type`().optional().stringType()
         case LongType    => fields.name(f.name).`type`().longType().noDefault()
         case IntegerType => fields.name(f.name).`type`().intType().noDefault()
         case DoubleType  => fields.name(f.name).`type`().doubleType().noDefault()

@@ -46,6 +46,22 @@ class CityHashSpec extends AnyFunSuite {
     assert(CityHash102.intHash64(123456L) == u("13379111408315310133"))
   }
 
+  test("cityHash64 integer fast path ZERO-extends narrow ints like the " +
+    "reference's ext::bit_cast<UInt64> (memcpy into a zeroed UInt64)") {
+    val s = TestSpark.spark
+    graft.functions.GraftScalar.register(s)
+    def hashOf(sqlExpr: String): Long =
+      s.sql(s"SELECT cityhash64($sqlExpr)").head().getLong(0)
+    // Int32 -1 hashes as 0x00000000FFFFFFFF, NOT as sign-extended -1L
+    val int32neg = hashOf("cast(-1 as int)")
+    assert(int32neg == hashOf("cast(4294967295 as bigint)"))
+    assert(int32neg != hashOf("cast(-1 as bigint)"))
+    assert(hashOf("cast(-2 as smallint)") == hashOf("cast(65534 as bigint)"))
+    assert(hashOf("cast(-3 as tinyint)") == hashOf("cast(253 as bigint)"))
+    // and the interpreted path agrees with what codegen produced
+    assert(int32neg == CityHash102.intHash64(0xFFFFFFFFL))
+  }
+
   test("halfMD5 / murmurHash2_64 match the reference's published integer " +
     "vectors (memory-byte hashes of the 4-byte value)") {
     import graft.functions.MoreHashes
