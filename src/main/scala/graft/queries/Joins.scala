@@ -150,9 +150,74 @@ object Joins extends QueryModule {
       su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"), "left")
         .select(col("s_suppkey"), col("s_name"),
                 coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"))
+    }),
+
+    // dictGetHierarchy (daisy FunctionsExternalDictionaries.h:907):
+    // ancestor chain per id over a parent-keyed dictionary — walked as
+    // one broadcast join per level. 3-level synthetic hierarchy
+    // customer(+1000) → nation(+101) → region(+1); chains posexploded
+    // to scalar rows (driver compare can't hash arrays).
+    "q_dict_hierarchy" -> ((s, dir) => {
+      val chains = graft.operators.DictHierarchy.chains(hierDict(s, dir))
+      chains.filter(col("id") > lit(1000L) && col("id") <= lit(1020L))
+        .select(col("id"), posexplode(col("chain")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("level"),
+          col("col").as("ancestor"))
+    }),
+
+    // dictIsIn (daisy FunctionsExternalDictionaries.h:967): ancestry
+    // test over the same chains — customers counted under each region
+    // ancestor node.
+    "q_dict_isin" -> ((s, dir) => {
+      val chains = graft.operators.DictHierarchy.chains(hierDict(s, dir))
+      val regionNodes = (1L to 5L).map(lit(_))
+      chains.filter(col("id") > lit(1000L))
+        .select(col("id"), explode(
+          filter(array(regionNodes: _*),
+            a => graft.operators.DictHierarchy.isIn(col("chain"), a)))
+          .as("region_node"))
+        .groupBy(col("region_node"))
+        .agg(count(lit(1)).as("n_customers"))
     }))
 
+  /** Parent-keyed dictionary: region roots (parent 0), nations under
+    * regions, customers under nations — disjoint id ranges. */
+  private def hierDict(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val r = t(s, dir, "region")
+      .select((col("r_regionkey") + 1).cast("long").as("id"),
+        lit(0L).as("parent"))
+    val n = t(s, dir, "nation")
+      .select((col("n_nationkey") + 101).cast("long").as("id"),
+        (col("n_regionkey") + 1).cast("long").as("parent"))
+    val c = t(s, dir, "customer")
+      .select((col("c_custkey") + 1001).cast("long").as("id"),
+        (col("c_nationkey") + 101).cast("long").as("parent"))
+    r.union(n).union(c)
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_dict_hierarchy" ->
+      """WITH RECURSIVE dict AS (
+        |  SELECT (r_regionkey + 1)::BIGINT AS id, 0::BIGINT AS parent FROM region
+        |  UNION ALL
+        |  SELECT (n_nationkey + 101)::BIGINT, (n_regionkey + 1)::BIGINT FROM nation
+        |  UNION ALL
+        |  SELECT (c_custkey + 1001)::BIGINT, (c_nationkey + 101)::BIGINT FROM customer
+        |),
+        |walk AS (
+        |  SELECT id AS id, id AS ancestor, parent AS next, 1 AS level
+        |  FROM dict WHERE id > 1000 AND id <= 1020
+        |  UNION ALL
+        |  SELECT w.id, d.id, d.parent, w.level + 1
+        |  FROM walk w JOIN dict d ON w.next = d.id
+        |)
+        |SELECT id, level::BIGINT AS level, ancestor FROM walk""".stripMargin,
+
+    "q_dict_isin" ->
+      """SELECT (n_regionkey + 1)::BIGINT AS region_node, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
     "q_join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         | round(sum(l_extendedprice), 2) AS revenue

@@ -223,9 +223,67 @@ object MoreAggregates extends QueryModule {
         .withColumn("open", sum(col("d")).over(sweep))
         .groupBy(col("user_id"))
         .agg(max(col("open")).cast("long").as("max_open"))
+    }),
+
+    // anyHeavy (daisy AggregateFunctionMinMaxAny.h:636): Boyer–Moore
+    // majority vote, one (candidate, counter) pair of state. The tag
+    // column has an 80% majority per group by construction, so the vote
+    // provably returns it under any row/partition order and the oracle
+    // is exact mode(); without a majority the answer would be a
+    // heuristic frequent value (same contract as the reference).
+    "q_any_heavy" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.any_heavy
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          when(col("l_quantity") <= 40, lit("common"))
+            .otherwise(concat(lit("rare_"),
+              col("l_quantity").cast("int").cast("string"))).as("tag"))
+        .groupBy(col("l_returnflag"))
+        .agg(any_heavy(col("tag")).as("heavy"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Null combinators -OrDefault / -OrNull (daisy
+    // registerAggregateFunctions.cpp:122-131 registerCombinators): empty
+    // aggregation sets yield the type default vs NULL. The filter is
+    // group-correlated so 4 of 5 groups aggregate an EMPTY set at every
+    // SF: sumOrDefault/avgOrDefault → 0, maxOrNull → NULL,
+    // countOrNull → NULL (count's default 0 flipped to NULL).
+    "q_agg_null_combinators" -> ((s, dir) => {
+      val cond = col("o_orderpriority").startsWith("1") &&
+        col("o_orderstatus") === "F"
+      val price = when(cond, col("o_totalprice"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(coalesce(sum(price), lit(0.0)), 2).as("sum_or_default"),
+          round(coalesce(avg(price), lit(0.0)), 2).as("avg_or_default"),
+          max(price).as("max_or_null"),
+          nullif(count(price), lit(0L)).as("count_or_null"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_any_heavy" ->
+      """SELECT l_returnflag,
+        |  mode(CASE WHEN l_quantity <= 40 THEN 'common'
+        |       ELSE 'rare_' || l_quantity::INT::VARCHAR END) AS heavy,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_agg_null_combinators" ->
+      """SELECT o_orderpriority,
+        |  round(coalesce(sum(CASE WHEN o_orderpriority LIKE '1%'
+        |    AND o_orderstatus = 'F' THEN o_totalprice END), 0), 2)
+        |    AS sum_or_default,
+        |  round(coalesce(avg(CASE WHEN o_orderpriority LIKE '1%'
+        |    AND o_orderstatus = 'F' THEN o_totalprice END), 0), 2)
+        |    AS avg_or_default,
+        |  max(CASE WHEN o_orderpriority LIKE '1%'
+        |    AND o_orderstatus = 'F' THEN o_totalprice END) AS max_or_null,
+        |  nullif(count(CASE WHEN o_orderpriority LIKE '1%'
+        |    AND o_orderstatus = 'F' THEN o_totalprice END), 0) AS count_or_null
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
     "q_group_bitops" ->
       """SELECT l_returnflag, bit_and(l_linenumber)::BIGINT AS band,
         | bit_or(l_linenumber)::BIGINT AS bor, bit_xor(l_linenumber)::BIGINT AS bxor

@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
 object Sketches extends QueryModule {
 
   def queries: Map[String, Q] = Map(
-    // uniq / uniqHLL12 analogue: approximate distinct per group.
+    // uniq / uniqHLL12 analogue: approximate distinct per group. Same
+    // trick as q_uniq_theta: both sketch paths (HLL++ sparse mode and
+    // DataSketches HLL coupon mode) are deterministically exact while
+    // the per-group NDV (≤7 line numbers, ≤50 quantities) is far below
+    // sketch capacity, so the oracle is a plain exact COUNT(DISTINCT) —
+    // while the same query stays a bounded-state sketch at 100 TB.
     "q_uniq_approx" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_linenumber")).as("uniq_linenumbers"),
+             hll_sketch_estimate(hll_sketch_agg(col("l_quantity").cast("long")))
+               .cast("long").as("uniq_quantities"),
              count(lit(1)).as("n"))
     }),
 
@@ -59,6 +66,13 @@ object Sketches extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_uniq_approx" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_linenumber)::BIGINT AS uniq_linenumbers,
+        |  count(DISTINCT l_quantity::BIGINT)::BIGINT AS uniq_quantities,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_uniq_theta" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY event_type""".stripMargin)

@@ -80,8 +80,23 @@ object StreamOps {
 
   /** ReplacingMergeTree latest-row: stateful per-key newest version
     * (daisy MergeTreeData.h:104-105 Replacing mode). State per key is one
-    * row; flatMapGroupsWithState emits the new latest on every update. */
+    * row; flatMapGroupsWithState emits the new latest on every update.
+    *
+    * Scale contract: like ReplacingMergeTree itself, state is one row
+    * PER DISTINCT KEY with no timeout — key cardinality bounds the state,
+    * nothing else does. At 100 TB/day of user_ids that exceeds executor
+    * heap under the default in-memory state store, so this path flips the
+    * session to the RocksDB state store provider (spilling, incremental
+    * checkpoints) unless the caller already pinned a provider choice. */
   def latestPerKey(ds: Dataset[IngestRow]): Dataset[LatestRow] = {
+    val session = ds.sparkSession
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    // conf.getOption yields the default for keys with defaults, so
+    // "unset" here means "still on the default in-memory provider".
+    if (session.conf.getOption(providerKey)
+        .forall(_.endsWith("HDFSBackedStateStoreProvider")))
+      session.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[LatestRow, LatestRow](

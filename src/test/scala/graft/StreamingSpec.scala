@@ -152,6 +152,9 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[IngestRow]
     val latest = StreamOps.latestPerKey(src.toDS())
+    // unbounded-key state must run on the spill-capable RocksDB provider
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
     val q = latest.writeStream.outputMode("update")
       .format("memory").queryName("latest_out").start()
     try {
