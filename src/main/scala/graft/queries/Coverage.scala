@@ -91,9 +91,77 @@ object Coverage extends QueryModule {
       t(s, dir, "supplier").select(
         col("s_suppkey"),
         round(r * lit(2) * asin(sqrt(a)) / 1000, 3).as("dist_km"))
+    }),
+
+    // geohashEncode/geohashDecode (reference: src/Functions/geohashEncode
+    // .cpp, geohashDecode.cpp): literal-vector check, same pattern as
+    // q_shard_key — expected strings produced by an INDEPENDENT
+    // implementation validated against the two public Niemeyer vectors
+    // (ezs42 / u4pruydqqvj). Decode round-trip asserted as booleans
+    // (cell-center error < half a p12 cell) to avoid FP compares.
+    "q_geo_geohash" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Seq(
+        (0L, -5.6, 42.6), (1L, 10.40744, 57.64911), (2L, 0.0, 0.0),
+        (3L, -122.4194, 37.7749), (4L, 139.6917, 35.6895),
+        (5L, -43.1729, -22.9068), (6L, 151.2093, -33.8688),
+        (7L, 37.6173, 55.7558)).toDF("id", "lon", "lat")
+      graft.functions.GraftScalar.register(s)
+      val gh12 = call_function("geohash_encode", col("lon"), col("lat"), lit(12))
+      val dec = call_function("geohash_decode", gh12)
+      pts.select(col("id"),
+        call_function("geohash_encode", col("lon"), col("lat"), lit(5)).as("gh5"),
+        call_function("geohash_encode", col("lon"), col("lat"), lit(8)).as("gh8"),
+        gh12.as("gh12"),
+        (abs(element_at(dec, 1) - col("lon")) < 1e-6 &&
+         abs(element_at(dec, 2) - col("lat")) < 1e-6).as("roundtrip"))
+    }),
+
+    // pointInPolygon (reference: src/Functions/pointInPolygon.cpp — the
+    // reference too only accepts a CONSTANT polygon, precomputing an
+    // index over it): with the polygon constant, each ray-casting edge
+    // test composes from builtin codegen'd comparisons — no custom node,
+    // no UDF. Concave pentagon, no horizontal edges; the oracle runs the
+    // identical half-open crossing rule in SQL over an edges VALUES list.
+    "q_geo_point_in_polygon" -> ((s, dir) => {
+      val poly = Seq((0.1, 0.1), (9.7, 0.3), (9.9, 9.7), (5.0, 5.2), (0.3, 9.9))
+      val px = (col("s_suppkey") % 13) * 0.83 + 0.05
+      val py = (col("s_suppkey") % 17) * 0.61 + 0.07
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        round(px, 4).as("px"), round(py, 4).as("py"),
+        graft.functions.GeoAlgos.pointInPolygonColumn(px, py, poly).as("inside"))
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_geo_geohash" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 'ezs42', 'ezs42e44', 'ezs42e44yx96', true),
+        |  (1::BIGINT, 'u4pru', 'u4pruydq', 'u4pruydqqvj8', true),
+        |  (2::BIGINT, 's0000', 's0000000', 's00000000000', true),
+        |  (3::BIGINT, '9q8yy', '9q8yyk8y', '9q8yyk8ytpxr', true),
+        |  (4::BIGINT, 'xn774', 'xn774c06', 'xn774c06kt10', true),
+        |  (5::BIGINT, '75cm9', '75cm9tfq', '75cm9tfqnwbx', true),
+        |  (6::BIGINT, 'r3gx2', 'r3gx2f77', 'r3gx2f77bn44', true),
+        |  (7::BIGINT, 'ucfv0', 'ucfv0n01', 'ucfv0n014d7y', true)
+        |) AS v(id, gh5, gh8, gh12, roundtrip)""".stripMargin,
+
+    "q_geo_point_in_polygon" ->
+      """WITH pts AS (SELECT s_suppkey,
+        |    (s_suppkey % 13) * 0.83 + 0.05 AS px,
+        |    (s_suppkey % 17) * 0.61 + 0.07 AS py FROM supplier),
+        |edges(x1, y1, x2, y2) AS (VALUES
+        |  (0.1, 0.1, 9.7, 0.3), (9.7, 0.3, 9.9, 9.7), (9.9, 9.7, 5.0, 5.2),
+        |  (5.0, 5.2, 0.3, 9.9), (0.3, 9.9, 0.1, 0.1)),
+        |c AS (SELECT p.s_suppkey, p.px, p.py,
+        |    count(*) FILTER ((e.y1 > p.py) != (e.y2 > p.py)
+        |      AND p.px < (p.py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1) + e.x1)
+        |      AS k
+        |  FROM pts p CROSS JOIN edges e
+        |  GROUP BY p.s_suppkey, p.px, p.py)
+        |SELECT s_suppkey, round(px, 4) AS px, round(py, 4) AS py,
+        |  (k % 2 = 1) AS inside FROM c""".stripMargin,
+
     "q_agg_entropy" ->
       """SELECT round(-sum(p * log2(p)), 6) AS entropy FROM (
         | SELECT count(*)::DOUBLE / sum(count(*)) OVER () AS p
