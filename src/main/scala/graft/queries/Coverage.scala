@@ -148,11 +148,13 @@ object Coverage extends QueryModule {
 
     "q_geo_point_in_polygon" ->
       """WITH pts AS (SELECT s_suppkey,
-        |    (s_suppkey % 13) * 0.83 + 0.05 AS px,
-        |    (s_suppkey % 17) * 0.61 + 0.07 AS py FROM supplier),
-        |edges(x1, y1, x2, y2) AS (VALUES
+        |    (s_suppkey % 13) * 0.83::DOUBLE + 0.05::DOUBLE AS px,
+        |    (s_suppkey % 17) * 0.61::DOUBLE + 0.07::DOUBLE AS py
+        |  FROM supplier),
+        |edges(x1, y1, x2, y2) AS (SELECT x1::DOUBLE, y1::DOUBLE,
+        |    x2::DOUBLE, y2::DOUBLE FROM (VALUES
         |  (0.1, 0.1, 9.7, 0.3), (9.7, 0.3, 9.9, 9.7), (9.9, 9.7, 5.0, 5.2),
-        |  (5.0, 5.2, 0.3, 9.9), (0.3, 9.9, 0.1, 0.1)),
+        |  (5.0, 5.2, 0.3, 9.9), (0.3, 9.9, 0.1, 0.1)) e(x1, y1, x2, y2)),
         |c AS (SELECT p.s_suppkey, p.px, p.py,
         |    count(*) FILTER ((e.y1 > p.py) != (e.y2 > p.py)
         |      AND p.px < (p.py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1) + e.x1)

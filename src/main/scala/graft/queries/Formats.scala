@@ -54,6 +54,24 @@ object Formats extends QueryModule {
         .agg(count(lit(1)).cast("long").as("n"), min(col("n_name")).as("first_name"))
     }),
 
+    // MsgPack round-trip (reference MsgPackRowInputFormat: each row one
+    // msgpack array of values) through the spec-v5 codec in
+    // graft.sources.MsgPackIO — covers the int family (fixint through
+    // int64 via the acctbal cents), float64, fixstr and nil.
+    "q_format_msgpack" -> ((s, dir) => {
+      val out = scratch(dir) + "/customer_msgpack"
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+      graft.sources.MsgPackIO.write(cust, out)
+      graft.sources.MsgPackIO.read(s, out, cust.schema)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal"),
+          max(col("c_custkey")).as("max_key"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+    }),
+
     // TSKV round-trip (reference TSKVRowInput/OutputFormat: tab-separated
     // key=value pairs): serialized with concat, parsed back with
     // str_to_map — schema-on-read from a self-describing text format.
@@ -161,6 +179,12 @@ object Formats extends QueryModule {
     "q_format_avro" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_format_msgpack" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+        | max(c_custkey) AS max_key,
+        | count(DISTINCT c_nationkey)::BIGINT AS n_nations
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_format_tskv" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal,

@@ -37,6 +37,22 @@ class FormatsNullSpec extends AnyFunSuite {
     roundTrips(sources.AvroIO.read(spark, dir, schema))
   }
 
+  test("MsgPackIO round-trips null cells and the full int-width ladder") {
+    val wide = Seq(
+      Row(0L, 5, 1.5, "fix"),                      // pos fixint
+      Row(-5L, -200, -2.5, "neg"),                 // neg fixint + int16
+      Row(300L, 70000, 0.0, "a" * 40),             // uint8/uint32 + str8
+      Row(5000000000L, null, null, null),          // int64 + nils
+      Row(Long.MinValue, Int.MinValue, -0.25, "")) // int64/int32 + empty str
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(wide, 2), schema)
+    val dir = java.nio.file.Files.createTempDirectory("msgpack_null").toString
+    sources.MsgPackIO.write(d, dir)
+    val got = sources.MsgPackIO.read(spark, dir, schema)
+      .collect().map(_.toSeq).toSet
+    assert(got == wide.map(_.toSeq).toSet)
+  }
+
   test("ArrowIO round-trips null cells across record batches, lazily") {
     val dir = java.nio.file.Files.createTempDirectory("arrow_null").toString
     sources.ArrowIO.write(df, dir)
