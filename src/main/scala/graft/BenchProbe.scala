@@ -47,6 +47,7 @@ object BenchProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hits.count()
     hits.createOrReplaceTempView("hits")
+    graft.plans.TableStats.analyze(hits)
     graft.plans.SkipPartialAgg.register(spark)
     sys.env.get("SPARK_GRAFT_HITS_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })

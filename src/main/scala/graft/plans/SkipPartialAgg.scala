@@ -29,9 +29,14 @@ import org.apache.spark.sql.internal.SQLConf
   * identical — shuffle rows (uncombined) vs per-mapper map build; for
   * near-unique keys the former is strictly cheaper. Low-cardinality
   * group-bys should keep partial aggregation (massive combine ratio), so
-  * the strategy only fires when `spark.graft.skipPartialAgg` is true —
-  * an engine with column NDV statistics would flip this automatically;
-  * the session conf is the explicit stand-in.
+  * the decision is driven by [[TableStats]] NDV statistics: the strategy
+  * fires when the estimated group count (product of per-key NDVs, capped
+  * at the table row count; non-attribute grouping expressions contribute
+  * a conservative factor 1, unanalyzed attributes veto) clears
+  * `spark.graft.skipPartialAgg.ratio` (default 0.005) of the rows — the
+  * ANALYZE-driven analogue of the reference Aggregator's runtime
+  * two-level conversion. `spark.graft.skipPartialAgg` = true/false
+  * force-overrides; "auto" (default) consults the stats.
   *
   * Falls through (Nil) for distinct/filtered aggregates, aggregates with
   * no grouping keys, and buffer types HashAggregateExec can't hold in
@@ -39,15 +44,53 @@ import org.apache.spark.sql.internal.SQLConf
   */
 object SkipPartialAgg extends SparkStrategy {
   val ConfKey = "spark.graft.skipPartialAgg"
+  val RatioKey = "spark.graft.skipPartialAgg.ratio"
 
   def register(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(SkipPartialAgg))
       spark.experimental.extraStrategies =
         SkipPartialAgg +: spark.experimental.extraStrategies
 
+  /** Stats verdict: estimated groups >= ratio * rows, with every grouping
+    * attribute analyzed. Non-attribute expressions (minute(ts),
+    * regexp_extract(url), literals) can only LOWER the true group count
+    * versus their inputs, so they multiply by 1; an aggregate whose keys
+    * are all such expressions never fires. */
+  private def statsSayHighCard(
+      groupingExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      ratio: Double): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+    var product = 1.0
+    var rows = 0L
+    var sawAttr = false
+    groupingExprs.foreach { ne =>
+      val e = ne match {
+        case a: Alias => a.child
+        case other => other
+      }
+      e match {
+        case ar: AttributeReference =>
+          TableStats.ndv(ar.name) match {
+            case Some((n, r)) =>
+              sawAttr = true
+              product = math.min(product * math.max(n, 1L), 1e18)
+              rows = math.max(rows, r)
+            case None => return false // unanalyzed attribute: veto
+          }
+        case _: Literal => // contributes a single value
+        case _ => // derived expression: conservative factor 1
+      }
+    }
+    sawAttr && rows > 0 && math.min(product, rows.toDouble) >= ratio * rows
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PhysicalAggregation(groupingExprs, aggExprs, resultExprs, child)
-        if SQLConf.get.getConfString(ConfKey, "false") == "true" &&
+        if {
+          val mode = SQLConf.get.getConfString(ConfKey, "auto")
+          mode == "true" || (mode == "auto" && statsSayHighCard(groupingExprs,
+            SQLConf.get.getConfString(RatioKey, "0.005").toDouble))
+        } &&
           groupingExprs.nonEmpty && aggExprs.nonEmpty &&
           aggExprs.forall(ae => !ae.isDistinct && ae.filter.isEmpty) &&
           Aggregate.supportsHashAggregate(

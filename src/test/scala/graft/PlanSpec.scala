@@ -142,4 +142,37 @@ class PlanSpec extends AnyFunSuite {
       "2024-01-01 00:00:00", "2024-02-01 00:00:00", limit = 10, offset = 5)
     assert(paged.count() == 10)
   }
+
+  test("SkipPartialAgg fires from NDV stats for near-unique keys only") {
+    import graft.plans.{SkipPartialAgg, TableStats}
+    val df = spark.range(20000)
+      .select(col("id").as("user_id"),           // near-unique
+        (col("id") % 5).as("region_id"),          // low-card
+        (col("id") % 3).cast("string").as("tag"))
+    df.createOrReplaceTempView("stats_t")
+    TableStats.analyze(df)
+    SkipPartialAgg.register(spark)
+    try {
+      def plan(sql: String): String =
+        spark.sql(sql).queryExecution.executedPlan.toString
+      // high-NDV key: Complete-mode agg after the exchange, no partial
+      val hi = plan("SELECT user_id, count(*) FROM stats_t GROUP BY user_id")
+      assert(!hi.contains("partial_count"), s"partial agg not skipped:\n$hi")
+      // low-NDV key: classic partial-then-final
+      val lo = plan("SELECT region_id, count(*) FROM stats_t GROUP BY region_id")
+      assert(lo.contains("partial_count"), s"partial agg lost:\n$lo")
+      // derived expression keys stay conservative (factor 1 → partial)
+      val ex = plan(
+        "SELECT substring(tag, 1, 1) AS t, count(*) FROM stats_t GROUP BY t")
+      assert(ex.contains("partial_count"), s"expression key must not fire:\n$ex")
+      // unanalyzed attributes veto entirely
+      TableStats.clear()
+      val un = plan("SELECT user_id, count(*) FROM stats_t GROUP BY user_id")
+      assert(un.contains("partial_count"), s"unanalyzed stats must veto:\n$un")
+    } finally {
+      TableStats.clear()
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == SkipPartialAgg)
+    }
+  }
 }
