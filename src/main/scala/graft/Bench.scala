@@ -66,6 +66,12 @@ object Bench {
       (t1 +: Seq.fill(extra)(timeOnce(fn))).min
     }
 
+    // Ambient load BEFORE any bench work: the suite itself drives the
+    // 32-thread box to ~10, so sampling at the end conflates self-load
+    // with the co-tenant interference the reader wants to discount.
+    val ambientLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     // 43-query web-analytics baseline suite on a 10M-row hits-like table
     // (BASELINE.md bar); skipped via SPARK_GRAFT_SKIP_HITS=1. Runs FIRST:
     // a heap pre-fragmented by the 100+ micro queries costs the
@@ -82,13 +88,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // system load at measurement time: timings degrade 1.5-2x when the
-    // box is busy (observed: same code, 8.3s vs 14.4s hits suite) — the
-    // reader can discount a run that raced other work.
+    // System load: timings degrade 1.5-2x when the box is busy
+    // (observed: same code, 8.3s vs 14.4s hits suite) — the reader can
+    // discount a run that raced other work. ambient = sampled BEFORE the
+    // bench ran anything (co-tenant interference); end = after (includes
+    // this JVM's own 32 worker threads).
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg$hits}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_ambient":$ambientLoad,"load_avg":$loadAvg$hits}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/BENCH_local.json"), line)
