@@ -54,6 +54,22 @@ object Formats extends QueryModule {
         .agg(count(lit(1)).cast("long").as("n"), min(col("n_name")).as("first_name"))
     }),
 
+    // Protobuf round-trip (reference ProtobufRowInputFormat) through the
+    // wire-format codec in graft.sources.ProtoIO — varint/fixed64/
+    // length-delimited fields, delimited stream framing, absent = NULL.
+    "q_format_proto" -> ((s, dir) => {
+      val out = scratch(dir) + "/orders_pb"
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      graft.sources.ProtoIO.write(ord, out)
+      graft.sources.ProtoIO.read(s, out, ord.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
     // MsgPack round-trip (reference MsgPackRowInputFormat: each row one
     // msgpack array of values) through the spec-v5 codec in
     // graft.sources.MsgPackIO — covers the int family (fixint through
@@ -179,6 +195,11 @@ object Formats extends QueryModule {
     "q_format_avro" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_format_proto" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_format_msgpack" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal,

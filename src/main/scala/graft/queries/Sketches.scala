@@ -34,12 +34,17 @@ object Sketches extends QueryModule {
     // uniqState → uniqMerge: per-segment HLL sketch states merged to a
     // global estimate (mergeable across jobs/batches — the streaming
     // partial-agg pattern at 100 TB: sketches shuffle, raw keys don't).
+    // Keyed on nationkey (25 distinct) so every sketch AND the union stay
+    // in DataSketches' coupon-exact range — the merge path is then
+    // oracle-checked against exact COUNT(DISTINCT) with zero tolerance,
+    // same trick as q_uniq_theta/q_uniq_approx.
     "q_uniq_state_merge" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val perSeg = c.groupBy(col("c_mktsegment"))
-        .agg(hll_sketch_agg(col("c_custkey")).as("state"))
+        .agg(hll_sketch_agg(col("c_nationkey").cast("long")).as("state"))
       perSeg.agg(
-        hll_sketch_estimate(hll_union_agg(col("state"))).as("est_total_customers"),
+        hll_sketch_estimate(hll_union_agg(col("state")))
+          .cast("long").as("n_nations"),
         count(lit(1)).as("n_states"))
     }),
 
@@ -66,6 +71,11 @@ object Sketches extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_uniq_state_merge" ->
+      """SELECT count(DISTINCT c_nationkey)::BIGINT AS n_nations,
+        |  count(DISTINCT c_mktsegment) AS n_states
+        |FROM customer""".stripMargin,
+
     "q_uniq_approx" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_linenumber)::BIGINT AS uniq_linenumbers,

@@ -53,6 +53,22 @@ class FormatsNullSpec extends AnyFunSuite {
     assert(got == wide.map(_.toSeq).toSet)
   }
 
+  test("ProtoIO round-trips null cells, negatives, and proto3 defaults") {
+    val wide = Seq(
+      Row(0L, 0, 0.0, ""),                          // explicit defaults
+      Row(-1L, -1, -0.0, "neg"),                    // 10-byte varints
+      Row(Long.MaxValue, Int.MinValue, 1.5e308, "été"), // extremes + utf8
+      Row(null, null, null, null),                  // all absent
+      Row(7L, null, 2.5, null))                     // mixed
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(wide, 2), schema)
+    val dir = java.nio.file.Files.createTempDirectory("proto_null").toString
+    sources.ProtoIO.write(d, dir)
+    val got = sources.ProtoIO.read(spark, dir, schema)
+      .collect().map(_.toSeq).toSet
+    assert(got == wide.map(_.toSeq).toSet)
+  }
+
   test("ArrowIO round-trips null cells across record batches, lazily") {
     val dir = java.nio.file.Files.createTempDirectory("arrow_null").toString
     sources.ArrowIO.write(df, dir)
