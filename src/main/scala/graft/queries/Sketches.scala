@@ -48,13 +48,17 @@ object Sketches extends QueryModule {
         count(lit(1)).as("n_states"))
     }),
 
-    // quantileTDigest analogue: approx_percentile (positive-indexed
-    // quantile sketch; mergeable partial states internally).
+    // quantileTDigest analogue: approx_percentile (Greenwald–Khanna
+    // summary; mergeable partial states internally). Accuracy 10^6 puts
+    // the rank error bound (n/accuracy) under one rank at test SFs, so
+    // the sketch answer IS the exact order statistic and the oracle is
+    // DuckDB's quantile_disc (both sides take the ceil(p·n)-rank
+    // element) — while remaining a bounded-state sketch at 100 TB.
     "q_quantile_approx" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
-        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_approx"),
-             approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"))
+        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000000)).as("median_approx"),
+             approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000000)).as("p95_approx"))
     }),
 
     // uniqTheta (daisy AggregateFunctionUniq.cpp:137, DataSketches theta):
@@ -71,6 +75,12 @@ object Sketches extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_quantile_approx" ->
+      """SELECT l_linestatus,
+        |  quantile_disc(l_extendedprice, 0.5) AS median_approx,
+        |  quantile_disc(l_extendedprice, 0.95) AS p95_approx
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
     "q_uniq_state_merge" ->
       """SELECT count(DISTINCT c_nationkey)::BIGINT AS n_nations,
         |  count(DISTINCT c_mktsegment) AS n_states
