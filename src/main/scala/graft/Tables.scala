@@ -104,5 +104,9 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftScalar.register(spark)
+    // Stats-driven shuffle-first aggregation: inert until a table is
+    // ANALYZEd via plans.TableStats (auto mode vetoes unanalyzed keys),
+    // then high-NDV group-bys plan Complete-mode agg after the exchange.
+    graft.plans.SkipPartialAgg.register(spark)
   }
 }
