@@ -85,6 +85,42 @@ object GeoAlgos {
     new GenericArrayData(Array[Any]((lonMin + lonMax) / 2, (latMin + latMax) / 2))
   }
 
+  /** geohashesInBox (reference `src/Functions/geohashesInBox.cpp`): all
+    * precision-`p` geohash cells whose area intersects
+    * [lonMin,lonMax)×[latMin,latMax), row-major from the south-west
+    * corner. Cell walk is over the aligned grid (lon gets ceil(5p/2)
+    * bits, lat floor(5p/2)); output capped like the reference to keep a
+    * bad box from materializing millions of cells. */
+  def geohashesInBox(lonMin: Double, latMin: Double, lonMax: Double,
+                     latMax: Double, precision: Int,
+                     cap: Int = 65536): ArrayData = {
+    val p = math.max(1, math.min(12, precision))
+    val lonBits = (5 * p + 1) / 2
+    val latBits = 5 * p / 2
+    val lonStep = 360.0 / (1L << lonBits)
+    val latStep = 180.0 / (1L << latBits)
+    if (lonMax <= lonMin || latMax <= latMin) return new GenericArrayData(Array.empty[Any])
+    val i0 = math.floor((lonMin + 180.0) / lonStep).toLong
+    val i1 = math.min(math.ceil((lonMax + 180.0) / lonStep).toLong - 1, (1L << lonBits) - 1)
+    val j0 = math.floor((latMin + 90.0) / latStep).toLong
+    val j1 = math.min(math.ceil((latMax + 90.0) / latStep).toLong - 1, (1L << latBits) - 1)
+    val count = (i1 - i0 + 1) * (j1 - j0 + 1)
+    require(count <= cap, s"geohashes_in_box: $count cells exceeds cap $cap")
+    val out = new Array[Any](count.toInt)
+    var n = 0
+    var j = j0
+    while (j <= j1) {
+      var i = i0
+      while (i <= i1) {
+        out(n) = geohashEncode(-180.0 + (i + 0.5) * lonStep,
+          -90.0 + (j + 0.5) * latStep, p)
+        n += 1; i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Ray-casting point-in-polygon over a CONSTANT polygon, composed from
     * builtin codegen'd expressions: one half-open crossing test per edge
     * (Franklin's PNPOLY rule — boundary membership follows the half-open
@@ -130,6 +166,38 @@ case class GeohashEncodeExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GeohashEncodeExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** geohashesInBox(lonMin, latMin, lonMax, latMax) at a fixed precision —
+  * returns array<string> of covering cells. Interpreted eval
+  * (CodegenFallback): the output is a per-row ARRAY built in a loop with
+  * data-dependent size, which whole-stage codegen cannot inline anyway —
+  * and the function sits in query setup (box → cell list → join/prune),
+  * never in a per-row hot path. */
+case class GeohashesInBoxExpr(children: Seq[Expression], precision: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size == 4 && children.forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "geohashes_in_box requires (double, double, double, double)")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else GeoAlgos.geohashesInBox(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double], precision)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GeohashesInBoxExpr =
+    copy(children = newChildren)
 }
 
 /** geohashDecode(s) → array(lon, lat) cell center — codegen'd. */

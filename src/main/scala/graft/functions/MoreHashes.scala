@@ -68,6 +68,15 @@ case class MurmurHash2x64Expr(child: Expression) extends BytesHashExpr {
     copy(child = newChild)
 }
 
+/** murmurHash2_32 (reference `MurmurHash2Impl32`, NGINX split-clients
+  * compatible). UInt32 result carried as a non-negative long. */
+case class MurmurHash2x32Expr(child: Expression) extends BytesHashExpr {
+  protected def hash(bytes: Array[Byte]): Long = MoreHashes.murmurHash2x32(bytes)
+  protected def hashMethod: String = "murmurHash2x32"
+  override protected def withNewChildInternal(newChild: Expression): MurmurHash2x32Expr =
+    copy(child = newChild)
+}
+
 object MoreHashes {
 
   def leBytes4(v: Int): Array[Byte] = {
@@ -90,6 +99,43 @@ object MoreHashes {
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h
+  }
+
+  /** MurmurHash2 32-bit, seed 0 (Appleby's public MurmurHash2) —
+    * returned zero-extended to long (the reference's UInt32). */
+  def murmurHash2x32(data: Array[Byte]): Long = {
+    val m = 0x5bd1e995
+    val r = 24
+    val n = data.length
+    var h = 0 ^ n
+    val blocks = n >>> 2
+    var i = 0
+    while (i < blocks) {
+      val o = i << 2
+      var k = (data(o) & 0xff) | (data(o + 1) & 0xff) << 8 |
+        (data(o + 2) & 0xff) << 16 | (data(o + 3) & 0xff) << 24
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 1
+    }
+    val tailStart = blocks << 2
+    (n & 3) match {
+      case 3 =>
+        h ^= (data(tailStart + 2) & 0xff) << 16
+        h ^= (data(tailStart + 1) & 0xff) << 8
+        h ^= data(tailStart) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data(tailStart + 1) & 0xff) << 8
+        h ^= data(tailStart) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(tailStart) & 0xff
+        h *= m
+      case _ =>
+    }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h & 0xFFFFFFFFL
   }
 
   /** MurmurHash64A, seed 0 (Appleby's public MurmurHash2, 64-bit). */

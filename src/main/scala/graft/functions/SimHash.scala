@@ -115,10 +115,15 @@ object GraftScalar {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "murmurhash2_64", exprs => MurmurHash2x64Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "murmurhash2_32", exprs => MurmurHash2x32Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohash_encode", exprs => GeohashEncodeExpr(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohash_decode", exprs => GeohashDecodeExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),
+        exprs(4).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

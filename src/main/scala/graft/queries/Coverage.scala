@@ -117,6 +117,29 @@ object Coverage extends QueryModule {
          abs(element_at(dec, 2) - col("lat")) < 1e-6).as("roundtrip"))
     }),
 
+    // geohashesInBox (reference: src/Functions/geohashesInBox.cpp):
+    // covering cells for literal boxes at three precisions, posexploded
+    // to scalar rows; expected strings from the independent encoder
+    // (box 1 straddles the public ezs42 cell).
+    "q_geo_hashes_in_box" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftScalar.register(s)
+      val boxes = Seq(
+        (1L, -5.63, 42.58, -5.55, 42.65, 5),
+        (2L, 10.38, 57.62, 10.45, 57.68, 4),
+        (3L, -0.1, -0.1, 0.1, 0.1, 3)).toDF(
+        "box_id", "lon0", "lat0", "lon1", "lat1", "p")
+      // precision is per-expression-instance; union the three boxes
+      val cells = (3 to 5).map { p =>
+        boxes.filter(col("p") === p).select(col("box_id"),
+          call_function("geohashes_in_box", col("lon0"), col("lat0"),
+            col("lon1"), col("lat1"), lit(p)).as("cells"))
+      }.reduce(_ union _)
+      cells.select(col("box_id"), posexplode(col("cells")))
+        .select(col("box_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("cell"))
+    }),
+
     // pointInPolygon (reference: src/Functions/pointInPolygon.cpp — the
     // reference too only accepts a CONSTANT polygon, precomputing an
     // index over it): with the polygon constant, each ray-casting edge
@@ -145,6 +168,15 @@ object Coverage extends QueryModule {
         |  (6::BIGINT, 'r3gx2', 'r3gx2f77', 'r3gx2f77bn44', true),
         |  (7::BIGINT, 'ucfv0', 'ucfv0n01', 'ucfv0n014d7y', true)
         |) AS v(id, gh5, gh8, gh12, roundtrip)""".stripMargin,
+
+    "q_geo_hashes_in_box" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 1::BIGINT, 'ezefp'), (1, 2, 'ezs40'), (1, 3, 'ezs41'),
+        |  (1, 4, 'ezefr'), (1, 5, 'ezs42'), (1, 6, 'ezs43'),
+        |  (1, 7, 'ezefx'), (1, 8, 'ezs48'), (1, 9, 'ezs49'),
+        |  (2, 1, 'u4pr'), (2, 2, 'u4r2'),
+        |  (3, 1, '7zz'), (3, 2, 'kpb'), (3, 3, 'ebp'), (3, 4, 's00')
+        |) AS v(box_id, pos, cell)""".stripMargin,
 
     "q_geo_point_in_polygon" ->
       """WITH pts AS (SELECT s_suppkey,

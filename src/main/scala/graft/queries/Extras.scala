@@ -52,6 +52,7 @@ object Extras extends QueryModule {
     // hash; CityHashSpec/SipHashSpec hold the upstream vectors).
     "q_shard_key" -> ((s, dir) => {
       import graft.functions.GraftScalar.{cityhash64, halfmd5, murmurhash2_64, siphash64}
+      import org.apache.spark.sql.functions.call_function
       val key = col("c_custkey").cast("string")
       t(s, dir, "customer")
         .filter(col("c_custkey").between(1, 8))
@@ -60,6 +61,7 @@ object Extras extends QueryModule {
           siphash64(key).as("sip_h"),
           halfmd5(key).as("md5half_h"),
           murmurhash2_64(key).as("murmur_h"),
+          call_function("murmurhash2_32", key).as("murmur32_h"),
           pmod(cityhash64(key), lit(8)).cast("long").as("shard"))
     }),
 
@@ -79,18 +81,19 @@ object Extras extends QueryModule {
     // 1.0.2 / SipHash-2-4 implementations (see CityHashSpec); the join
     // against customer keeps the row set honest (a missing key fails).
     "q_shard_key" ->
-      """SELECT c.c_custkey, v.city_h, v.sip_h, v.md5half_h, v.murmur_h, v.shard
+      """SELECT c.c_custkey, v.city_h, v.sip_h, v.md5half_h, v.murmur_h,
+        |  v.murmur32_h, v.shard
         |FROM customer c
         |JOIN (VALUES
-        |  (1, -7033283626417106703, 5003827105613308882, -4266524885998034046, 746762829127501960, 1),
-        |  (2, -974149032703449225, -6997198735350404217, -4026655064267673757, 602994839685422785, 7),
-        |  (3, -7171393999769757590, 3672830208859661989, -1383792015730482434, -3266576381013309554, 2),
-        |  (4, 2169371982377735806, 5406800756778728304, -6305049951010035939, 2090661578966068036, 6),
-        |  (5, -2305045263268298267, -3965718763787747005, -1956185668341324987, -1703000253499410570, 5),
-        |  (6, -8343369942190246627, 1609946449970207933, 1619335558399004591, 2462676316711722248, 5),
-        |  (7, 5566429635965498611, 8255655750251093705, -8136627526607169926, -7446916648201533712, 3),
-        |  (8, -3538524045097112010, 8491335656787965458, -3895340354620576879, 1819085394523955522, 6))
-        |  AS v(c_custkey, city_h, sip_h, md5half_h, murmur_h, shard)
+        |  (1, -7033283626417106703, 5003827105613308882, -4266524885998034046, 746762829127501960, 1228156847, 1),
+        |  (2, -974149032703449225, -6997198735350404217, -4026655064267673757, 602994839685422785, 772897149, 7),
+        |  (3, -7171393999769757590, 3672830208859661989, -1383792015730482434, -3266576381013309554, 2292183779, 2),
+        |  (4, 2169371982377735806, 5406800756778728304, -6305049951010035939, 2090661578966068036, 873905602, 6),
+        |  (5, -2305045263268298267, -3965718763787747005, -1956185668341324987, -1703000253499410570, 1598865363, 5),
+        |  (6, -8343369942190246627, 1609946449970207933, 1619335558399004591, 2462676316711722248, 1503201697, 5),
+        |  (7, 5566429635965498611, 8255655750251093705, -8136627526607169926, -7446916648201533712, 3657602018, 3),
+        |  (8, -3538524045097112010, 8491335656787965458, -3895340354620576879, 1819085394523955522, 194571672, 6))
+        |  AS v(c_custkey, city_h, sip_h, md5half_h, murmur_h, murmur32_h, shard)
         |ON c.c_custkey = v.c_custkey""".stripMargin,
 
     "q_window_value_funcs" ->

@@ -69,5 +69,6 @@ class CityHashSpec extends AnyFunSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(123456).array()
     assert(MoreHashes.halfMD5(le4) == u("1452224150530656417"))
     assert(MoreHashes.murmurHash2x64(le4) == u("9052087431341907723"))
+    assert(MoreHashes.murmurHash2x32(le4) == 623211862L)
   }
 }
