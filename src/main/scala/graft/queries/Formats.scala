@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Format I/O + virtual-column surface (daisy:
   * `src/Processors/Formats/Impl/` — ~25 row formats; virtual columns
@@ -86,6 +87,106 @@ object Formats extends QueryModule {
           round(sum(col("c_acctbal")), 2).as("bal"),
           max(col("c_custkey")).as("max_key"),
           countDistinct(col("c_nationkey")).as("n_nations"))
+    }),
+
+    // JSONCompactEachRow round-trip (reference
+    // JSONCompactEachRowRowInputFormat — one JSON *array* per line, the
+    // format the REST ingest endpoint feeds to INSERT,
+    // IngestRestRouterHandler.cpp:78). Write: rows serialized as
+    // [k,"str",price] lines with to_json-escaped strings; read:
+    // from_json to array<string> (Spark's Jackson parser keeps the raw
+    // token text for string-typed elements) + positional casts.
+    "q_format_json_compact" -> ((s, dir) => {
+      val out = scratch(dir) + "/orders_jsoncompact"
+      val strJson = (c: org.apache.spark.sql.Column) => {
+        val arr = to_json(array(c))
+        arr.substr(lit(2), length(arr) - 2)
+      }
+      t(s, dir, "orders")
+        .select(concat(lit("["),
+          col("o_orderkey"), lit(","),
+          strJson(col("o_orderstatus")), lit(","),
+          strJson(col("o_orderpriority")), lit(","),
+          col("o_totalprice"), lit("]")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(from_json(col("value"), ArrayType(StringType)).as("r"))
+        .select(element_at(col("r"), 1).cast("long").as("o_orderkey"),
+          element_at(col("r"), 2).as("o_orderstatus"),
+          element_at(col("r"), 3).as("o_orderpriority"),
+          element_at(col("r"), 4).cast("double").as("o_totalprice"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // Values round-trip (reference ValuesBlockInputFormat /
+    // ValuesRowOutputFormat — SQL literal tuples `(1,'str',3.5)`, the
+    // INSERT ... VALUES wire format). Write: tuples built with concat,
+    // strings quoted with '' doubling (SQL literal escaping); read:
+    // parens stripped, then from_csv with quote='\'' escape='\'' — the
+    // same doubling convention — and the declared row schema.
+    "q_format_values" -> ((s, dir) => {
+      val out = scratch(dir) + "/part_values"
+      t(s, dir, "part")
+        .select(concat(lit("("),
+          col("p_partkey"), lit(",'"),
+          regexp_replace(col("p_type"), lit("'"), lit("''")), lit("','"),
+          regexp_replace(col("p_brand"), lit("'"), lit("''")), lit("',"),
+          col("p_retailprice"), lit(")")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(from_csv(
+          expr("substring(value, 2, length(value) - 2)"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "p_partkey long, p_type string, p_brand string, p_retailprice double"),
+          Map("quote" -> "'", "escape" -> "'")).as("r"))
+        .select(col("r.*"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("p_retailprice")), 2).as("avg_price"),
+          countDistinct(col("p_type")).as("n_types"),
+          min(col("p_partkey")).as("min_key"))
+    }),
+
+    // JSONAsString / LineAsString (reference JSONAsStringRowInputFormat,
+    // LineAsStringRowInputFormat): the file is read as one raw string
+    // row per line — schema-on-read, fields extracted lazily with
+    // get_json_object (exactly the rawstore pattern).
+    "q_format_json_as_string" -> ((s, dir) => {
+      val out = scratch(dir) + "/customer_jsonstr"
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").json(out)
+      s.read.text(out)                       // LineAsString: raw lines
+        .select(get_json_object(col("value"), "$.c_custkey")
+            .cast("long").as("c_custkey"),
+          get_json_object(col("value"), "$.c_mktsegment").as("c_mktsegment"),
+          get_json_object(col("value"), "$.c_acctbal")
+            .cast("double").as("c_acctbal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal"),
+          max(col("c_custkey")).as("max_key"))
+    }),
+
+    // RowBinary round-trip (reference BinaryRowInputFormat: per-row
+    // concatenation of per-column binary values — LE fixed-width
+    // numerics, varUInt-length strings, Nullable flag bytes) through
+    // graft.sources.RowBinaryIO with the WithNamesAndTypes header;
+    // covers Int64/Int32/Float64/String in one table.
+    "q_format_rowbinary" -> ((s, dir) => {
+      val out = scratch(dir) + "/part_rowbinary"
+      val part = t(s, dir, "part").select(
+        col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+      graft.sources.RowBinaryIO.write(part, out)
+      graft.sources.RowBinaryIO.read(s, out, part.schema)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p_retailprice")), 2).as("total"),
+          sum(col("p_size")).cast("long").as("sum_size"),
+          max(col("p_partkey")).as("max_key"))
     }),
 
     // TSKV round-trip (reference TSKVRowInput/OutputFormat: tab-separated
@@ -205,6 +306,26 @@ object Formats extends QueryModule {
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal,
         | max(c_custkey) AS max_key,
         | count(DISTINCT c_nationkey)::BIGINT AS n_nations
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q_format_rowbinary" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total,
+        | sum(p_size)::BIGINT AS sum_size, max(p_partkey) AS max_key
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_format_json_compact" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_format_values" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price,
+        | count(DISTINCT p_type)::BIGINT AS n_types, min(p_partkey) AS min_key
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_format_json_as_string" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+        | max(c_custkey) AS max_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_format_tskv" ->

@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** RowBinary source/sink — the reference's compact binary row format
+  * (`src/Processors/Formats/Impl/BinaryRowInputFormat.cpp`: each row is
+  * the per-column `deserializeBinary` concatenation, no framing). Wire
+  * layout per the public format docs: fixed-width little-endian numerics
+  * (Int32/Int64/Float64), String = varUInt (LEB128) byte length + UTF-8
+  * bytes, Nullable(T) = one flag byte (1 = NULL, 0 = value follows).
+  * The `WithNamesAndTypes` header variant (varUInt column count + name
+  * strings + type strings, `BinaryRowInputFormat.cpp:29-55`) is written
+  * so files are self-describing; the reader skips it the same way the
+  * reference does.
+  *
+  * File layout matches the row-format family here: one
+  * `part-N.rowbinary` per partition; reads parallelize over files and
+  * stream one row at a time — nothing funnels through the driver.
+  */
+object RowBinaryIO {
+
+  private def chType(dt: DataType): String = dt match {
+    case LongType    => "Int64"
+    case IntegerType => "Int32"
+    case DoubleType  => "Float64"
+    case StringType  => "String"
+    case t => throw new IllegalArgumentException(s"RowBinaryIO: unsupported $t")
+  }
+
+  // ---- primitives (LE on a DataOutputStream, which is BE-native) ----
+
+  private def writeVarUInt(out: java.io.OutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def readVarUInt(in: java.io.InputStream): Long = {
+    var v = 0L; var shift = 0
+    while (true) {
+      val b = in.read()
+      if (b < 0) throw new java.io.EOFException("RowBinaryIO: EOF in varUInt")
+      v |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return v
+      shift += 7
+    }
+    v
+  }
+
+  private def writeLongLE(out: java.io.OutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def writeIntLE(out: java.io.OutputStream, v: Int): Unit = {
+    var i = 0
+    while (i < 4) { out.write((v >>> (8 * i)) & 0xff); i += 1 }
+  }
+
+  private def readLongLE(in: java.io.InputStream): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) {
+      val b = in.read()
+      if (b < 0) throw new java.io.EOFException("RowBinaryIO: EOF in Int64")
+      v |= (b & 0xffL) << (8 * i); i += 1
+    }
+    v
+  }
+
+  private def readIntLE(in: java.io.InputStream): Int = {
+    var v = 0; var i = 0
+    while (i < 4) {
+      val b = in.read()
+      if (b < 0) throw new java.io.EOFException("RowBinaryIO: EOF in Int32")
+      v |= (b & 0xff) << (8 * i); i += 1
+    }
+    v
+  }
+
+  private def writeString(out: java.io.OutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    writeVarUInt(out, b.length.toLong)
+    out.write(b)
+  }
+
+  private def readString(in: java.io.InputStream): String = {
+    val len = readVarUInt(in).toInt
+    val b = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(b, off, len - off)
+      if (n < 0) throw new java.io.EOFException("RowBinaryIO: EOF in String")
+      off += n
+    }
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  // ---- row codec ----------------------------------------------------
+
+  private def writeRow(out: java.io.OutputStream, row: Row,
+                       fields: Array[StructField]): Unit = {
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (f.nullable) out.write(if (row.isNullAt(i)) 1 else 0)
+      else require(!row.isNullAt(i), s"RowBinaryIO: null in non-nullable ${f.name}")
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType    => writeLongLE(out, row.getLong(i))
+        case IntegerType => writeIntLE(out, row.getInt(i))
+        case DoubleType  => writeLongLE(out,
+          java.lang.Double.doubleToLongBits(row.getDouble(i)))
+        case StringType  => writeString(out, row.getString(i))
+        case t => throw new IllegalArgumentException(s"RowBinaryIO: unsupported $t")
+      }
+      i += 1
+    }
+  }
+
+  private def readValue(in: java.io.InputStream, dt: DataType): Any = dt match {
+    case LongType    => readLongLE(in)
+    case IntegerType => readIntLE(in)
+    case DoubleType  => java.lang.Double.longBitsToDouble(readLongLE(in))
+    case StringType  => readString(in)
+    case t => throw new IllegalArgumentException(s"RowBinaryIO: unsupported $t")
+  }
+
+  /** Write `df` under `path`, one RowBinaryWithNamesAndTypes stream per
+    * partition. */
+  def write(df: DataFrame, path: String): Unit = {
+    val fields = df.schema.fields
+    val dir = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+        new java.io.File(dir, f"part-$i%05d.rowbinary")))
+      // WithNamesAndTypes prefix: varUInt n, then names, then CH types
+      // (Nullable(T) wrapping mirrors the Spark-side nullability so the
+      // flag bytes are self-describing).
+      writeVarUInt(out, fields.length.toLong)
+      fields.foreach(f => writeString(out, f.name))
+      fields.foreach { f =>
+        val t = chType(f.dataType)
+        writeString(out, if (f.nullable) s"Nullable($t)" else t)
+      }
+      rows.foreach(writeRow(out, _, fields))
+      out.close()
+      Iterator.single(i)
+    }.count(): Unit
+  }
+
+  /** Read a RowBinaryIO-written directory back with `schema`, one task
+    * per file, streaming rows (the header is read and checked against
+    * the expected column count, then skipped — reference
+    * `BinaryRowInputFormat::readPrefix`). */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".rowbinary")).map(_.getAbsolutePath).toSeq
+    val fields = schema.fields
+    val n = fields.length
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { f =>
+        val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+        val cols = readVarUInt(in).toInt
+        require(cols == n, s"RowBinaryIO: header says $cols columns, expected $n")
+        var k = 0
+        while (k < 2 * cols) { readString(in); k += 1 }   // names + types
+        new Iterator[Row] {
+          private var nextByte = { in.mark(1); in.read() }
+          override def hasNext: Boolean = {
+            if (nextByte < 0) in.close()
+            nextByte >= 0
+          }
+          override def next(): Row = {
+            in.reset()                                     // un-consume probe byte
+            val vs = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              val f = fields(i)
+              val isNull = f.nullable && in.read() == 1
+              vs(i) = if (isNull) null else readValue(in, f.dataType)
+              i += 1
+            }
+            in.mark(1); nextByte = in.read()
+            Row.fromSeq(vs.toIndexedSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}
