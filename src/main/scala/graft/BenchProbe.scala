@@ -49,6 +49,15 @@ object BenchProbe {
     hits.createOrReplaceTempView("hits")
     graft.plans.TableStats.analyze(hits)
     graft.plans.SkipPartialAgg.register(spark)
+    if (!sys.env.get("SPARK_GRAFT_PROJECTIONS").contains("0")) {
+      graft.plans.Projections.register(spark, hits,
+        Seq("UserID"), Seq("UserID", "SearchPhrase", "EventTime"))
+      graft.plans.Projections.register(spark, hits,
+        Seq("ClientIP"), Seq("ClientIP", "WatchID", "SearchEngineID",
+          "SearchPhrase", "Refresh", "ResolutionWidth"))
+      graft.plans.Projections.register(spark, hits,
+        Seq("URL"), Seq("URL"))
+    }
     sys.env.get("SPARK_GRAFT_HITS_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
 

@@ -65,6 +65,24 @@ object Extras extends QueryModule {
           pmod(cityhash64(key), lit(8)).cast("long").as("shard"))
     }),
 
+    // Alternate-layout projection + automatic routing (daisy keeps
+    // same-rows/other-order copies as materialized views,
+    // src/Storages/StorageMaterializedView.cpp; graft routes in the
+    // optimizer — plans/Projections.scala). The GROUP BY o_custkey agg
+    // below is served by the o_custkey-partitioned projection without a
+    // shuffle (asserted in PlanSpec); the oracle runs on the BASE table,
+    // so hash-equality proves the routed rewrite is semantics-preserving.
+    "q_projection_route" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      graft.plans.Projections.register(s, base,
+        Seq("o_custkey"), Seq("o_custkey", "o_totalprice"))
+      base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("o_custkey") <= 300)
+    }),
+
     // GLOBAL IN (broadcast set membership — daisy
     // InJoinSubqueriesPreprocessor): small key set broadcast to all tasks.
     "q_global_in" -> ((s, dir) => {
@@ -121,5 +139,9 @@ object Extras extends QueryModule {
     "q_global_in" ->
       """SELECT count(*) AS n_promo_lines, round(sum(l_extendedprice),2) AS promo_revenue
         |FROM lineitem
-        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type='PROMO')""".stripMargin)
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type='PROMO')""".stripMargin,
+
+    "q_projection_route" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey <= 300 GROUP BY o_custkey""".stripMargin)
 }

@@ -175,4 +175,43 @@ class PlanSpec extends AnyFunSuite {
         spark.experimental.extraStrategies.filterNot(_ == SkipPartialAgg)
     }
   }
+
+  test("projection routing: covered agg is shuffle-free, uncovered is not") {
+    import graft.plans.Projections
+    val base = spark.range(50000)
+      .select((col("id") % 1000).as("k"), (col("id") % 7).as("v"),
+        (col("id") % 13).as("w"))
+      .persist()
+    base.count()
+    base.createOrReplaceTempView("proj_t")
+    // ground truth computed BEFORE any projection exists
+    val truth = base.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Projections.register(spark, base, Seq("k"), Seq("k", "v"))
+    try {
+      // exchange lines inside the projection's own cached build (its
+      // InMemoryRelation subtree) are the layout, not a per-query shuffle
+      def aboveCache(plan: String): Seq[String] =
+        plan.linesIterator.takeWhile(l => !l.contains("InMemoryRelation")).toSeq
+      val routed = spark.sql("SELECT k, sum(v) AS s FROM proj_t GROUP BY k")
+      val rp = physical(routed)
+      assert(!aboveCache(rp).exists(_.contains("Exchange")),
+        s"covered agg still shuffles:\n$rp")
+      val got = routed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, "routed aggregation changed results")
+      // w is not carried: the projection must NOT serve this query
+      val un = physical(
+        spark.sql("SELECT k, sum(w) FROM proj_t GROUP BY k"))
+      assert(aboveCache(un).exists(_.contains("Exchange")),
+        s"uncovered agg unexpectedly routed:\n$un")
+      // grouping keys not covering the partition key: no route either
+      val off = physical(
+        spark.sql("SELECT v, sum(k) FROM proj_t GROUP BY v"))
+      assert(aboveCache(off).exists(_.contains("Exchange")),
+        s"non-covering grouping unexpectedly routed:\n$off")
+    } finally {
+      Projections.clear()
+      base.unpersist(false)
+    }
+  }
 }
