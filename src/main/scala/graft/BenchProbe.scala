@@ -47,6 +47,7 @@ object BenchProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hits.count()
     hits.createOrReplaceTempView("hits")
+    graft.functions.GraftScalar.register(spark)
     graft.plans.TableStats.analyze(hits)
     graft.plans.SkipPartialAgg.register(spark)
     if (!sys.env.get("SPARK_GRAFT_PROJECTIONS").contains("0")) {

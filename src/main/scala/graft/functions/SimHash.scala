@@ -122,6 +122,10 @@ object GraftScalar {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohash_decode", exprs => GeohashDecodeExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "domain", exprs => DomainExpr(exprs.head, withoutWWW = false), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "domain_without_www", exprs => DomainExpr(exprs.head, withoutWWW = true), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),
         exprs(4).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -117,6 +117,29 @@ object Coverage extends QueryModule {
          abs(element_at(dec, 2) - col("lat")) < 1e-6).as("roundtrip"))
     }),
 
+    // domain / domainWithoutWWW (reference: src/Functions/URL/domain.h
+    // byte scanner) over the reference's OWN test vectors
+    // (tests/queries/0_stateless/00398_url_functions.sql:10-19) — the
+    // oracle pins the expected strings from its .reference file.
+    "q_func_domain" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftScalar.register(s)
+      Seq(
+        (1L, "http://paul@www.example.com:80/"),
+        (2L, "http:/paul/example/com"),
+        (3L, "http://www.example.com?q=4"),
+        (4L, "http://127.0.0.1:443/"),
+        (5L, "//www.example.com"),
+        (6L, "//paul@www.example.com"),
+        (7L, "www.example.com"),
+        (8L, "example.com"),
+        (9L, "svn+ssh://example.ru/?q=hello%20world"),
+        (10L, "")).toDF("id", "url")
+        .select(col("id"),
+          call_function("domain", col("url")).as("host"),
+          call_function("domain_without_www", col("url")).as("host_no_www"))
+    }),
+
     // geohashesInBox (reference: src/Functions/geohashesInBox.cpp):
     // covering cells for literal boxes at three precisions, posexploded
     // to scalar rows; expected strings from the independent encoder
@@ -168,6 +191,20 @@ object Coverage extends QueryModule {
         |  (6::BIGINT, 'r3gx2', 'r3gx2f77', 'r3gx2f77bn44', true),
         |  (7::BIGINT, 'ucfv0', 'ucfv0n01', 'ucfv0n014d7y', true)
         |) AS v(id, gh5, gh8, gh12, roundtrip)""".stripMargin,
+
+    "q_func_domain" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'www.example.com', 'example.com'),
+        |  (2, '', ''),
+        |  (3, 'www.example.com', 'example.com'),
+        |  (4, '127.0.0.1', '127.0.0.1'),
+        |  (5, 'www.example.com', 'example.com'),
+        |  (6, 'www.example.com', 'example.com'),
+        |  (7, 'www.example.com', 'example.com'),
+        |  (8, 'example.com', 'example.com'),
+        |  (9, 'example.ru', 'example.ru'),
+        |  (10, '', '')
+        |) AS v(id, host, host_no_www)""".stripMargin,
 
     "q_geo_hashes_in_box" ->
       """SELECT * FROM (VALUES
