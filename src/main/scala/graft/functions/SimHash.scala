@@ -126,6 +126,12 @@ object GraftScalar {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "domain_without_www", exprs => DomainExpr(exprs.head, withoutWWW = true), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "first_significant_subdomain",
+      exprs => FirstSignificantSubdomainExpr(exprs.head, cut = false), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cut_to_first_significant_subdomain",
+      exprs => FirstSignificantSubdomainExpr(exprs.head, cut = true), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),
         exprs(4).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

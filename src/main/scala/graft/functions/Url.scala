@@ -79,6 +79,103 @@ object UrlFuncs {
   }
 }
 
+object SubdomainFuncs {
+
+  /** Compound second-level public-suffix zones (subset of the
+    * publicsuffix.org list the reference generates its gperf table
+    * from, `src/Functions/URL/tldLookup.gperf:13` — production would
+    * load the full list; the subset keeps the lookup honest for the
+    * common zones and the reference's own test vectors). */
+  private val significantZones: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq(
+      "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+      "co.uk", "org.uk", "gov.uk", "ac.uk", "net.uk", "ltd.uk", "plc.uk",
+      "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+      "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+      "com.br", "net.br", "org.br", "gov.br", "edu.br",
+      "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+      "com.hk", "edu.hk", "gov.hk", "org.hk", "net.hk",
+      "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+      "com.tw", "net.tw", "org.tw",
+      "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+      "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+      "com.co", "net.co", "org.co", "edu.co", "gov.co",
+      "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+      "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+      "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+      "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+      "com.ua", "net.ua", "org.ua", "in.ua", "gov.ua", "edu.ua",
+      "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+      "com.my", "net.my", "org.my", "edu.my", "gov.my",
+      "com.ph", "net.ph", "org.ph",
+      "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+      "com.eg", "com.sa", "com.ae", "co.ae", "com.qa",
+      "co.il", "org.il", "net.il", "ac.il", "gov.il",
+      "co.th", "or.th", "ac.th", "go.th", "in.th",
+      "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+      "com.bd", "net.bd", "org.bd",
+      "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+      "com.ke", "co.ke", "or.ke",
+      "com.do", "com.ec", "com.uy", "com.py", "com.bo", "com.gt",
+      "com.sv", "com.ni", "com.hn", "com.pa", "com.pr",
+      "co.id", "or.id", "ac.id", "web.id", "net.id",
+      "co.cr", "co.ve", "co.ao", "co.mz", "co.tz", "co.ug", "co.zw"
+    ).foreach(z => s.add(z): Unit)
+    s
+  }
+
+  /** firstSignificantSubdomain / cutToFirstSignificantSubdomain
+    * (reference `src/Functions/URL/ExtractFirstSignificantSubdomain.h`):
+    * take domainWithoutWWW, strip a trailing dot, find the last three
+    * dots; no dot → whole domain; one dot → leading token; otherwise
+    * look the tail after the second-to-last dot up in the public-suffix
+    * zones and pick the token one dot further left when it matches.
+    * `cut = true` returns from the token start to the domain end
+    * (yandex.com.tr) instead of the token alone (yandex). */
+  def firstSignificant(u: UTF8String, cut: Boolean): UTF8String = {
+    val full = UrlFuncs.domain(u, withoutWWW = true)
+    val b = full.getBytes
+    var dl = b.length
+    if (dl == 0) return UTF8String.fromString("")
+    if (b(dl - 1) == '.') dl -= 1
+    var p0 = -1; var p1 = -1; var p2 = -1
+    var i = 0
+    while (i < dl) {
+      if (b(i) == '.') { p2 = p1; p1 = p0; p0 = i }
+      i += 1
+    }
+    val (start, tokenEnd) =
+      if (p0 < 0) (0, dl)                          // no dot: whole domain
+      else if (p1 < 0) (0, p0)                     // one dot: leading token
+      else {
+        val zone = new String(b, p1 + 1, dl - p1 - 1,
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (significantZones.contains(zone)) (p2 + 1, p1)
+        else (p1 + 1, p0)
+      }
+    UTF8String.fromBytes(b, start, (if (cut) dl else tokenEnd) - start)
+  }
+}
+
+/** first_significant_subdomain(url) / cut_to_first_significant_subdomain. */
+case class FirstSignificantSubdomainExpr(child: Expression, cut: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SubdomainFuncs.firstSignificant(input.asInstanceOf[UTF8String], cut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SubdomainFuncs.firstSignificant($c, $cut)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FirstSignificantSubdomainExpr =
+    copy(child = newChild)
+}
+
 /** domain(url) / domain_without_www(url) — codegen'd scanner. */
 case class DomainExpr(child: Expression, withoutWWW: Boolean)
     extends UnaryExpression {

@@ -140,6 +140,35 @@ object Coverage extends QueryModule {
           call_function("domain_without_www", col("url")).as("host_no_www"))
     }),
 
+    // firstSignificantSubdomain / cutToFirstSignificantSubdomain
+    // (reference: src/Functions/URL/ExtractFirstSignificantSubdomain.h)
+    // over the reference's OWN test vectors
+    // (tests/queries/0_stateless/00381_first_significant_subdomain.sql);
+    // the oracle pins the .reference expected strings.
+    "q_func_subdomain" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftScalar.register(s)
+      Seq(
+        (1L, "http://hello.canada.ca"),
+        (2L, "http://hello.congo.com"),
+        (3L, "http://pochemu.net-domena.ru"),
+        (4L, "ftp://www.yandex.com.tr/news.html"),
+        (5L, "https://www.yandex.ua/news.html"),
+        (6L, "magnet:yandex.abc"),
+        (7L, "ftp://www.yandex.co.uk/news.html"),
+        (8L, "https://api.www3.static.dev.ввв.яндекс.рф"),
+        (9L, "//www.yandex.com.tr/news.html"),
+        (10L, "http://hello.canada.c"),
+        (11L, "http://hello.canada."),
+        (12L, "http://hello.canada"),
+        (13L, "http://hello.canada..com"),
+        (14L, "http://hello..canada.com"),
+        (15L, "http://hello.canada.com.")).toDF("id", "url")
+        .select(col("id"),
+          call_function("first_significant_subdomain", col("url")).as("fss"),
+          call_function("cut_to_first_significant_subdomain", col("url")).as("cut"))
+    }),
+
     // geohashesInBox (reference: src/Functions/geohashesInBox.cpp):
     // covering cells for literal boxes at three precisions, posexploded
     // to scalar rows; expected strings from the independent encoder
@@ -191,6 +220,25 @@ object Coverage extends QueryModule {
         |  (6::BIGINT, 'r3gx2', 'r3gx2f77', 'r3gx2f77bn44', true),
         |  (7::BIGINT, 'ucfv0', 'ucfv0n01', 'ucfv0n014d7y', true)
         |) AS v(id, gh5, gh8, gh12, roundtrip)""".stripMargin,
+
+    "q_func_subdomain" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'canada', 'canada.ca'),
+        |  (2, 'congo', 'congo.com'),
+        |  (3, 'net-domena', 'net-domena.ru'),
+        |  (4, 'yandex', 'yandex.com.tr'),
+        |  (5, 'yandex', 'yandex.ua'),
+        |  (6, '', ''),
+        |  (7, 'yandex', 'yandex.co.uk'),
+        |  (8, 'яндекс', 'яндекс.рф'),
+        |  (9, 'yandex', 'yandex.com.tr'),
+        |  (10, 'canada', 'canada.c'),
+        |  (11, '', ''),
+        |  (12, 'hello', 'hello.canada'),
+        |  (13, '', '.com'),
+        |  (14, 'canada', 'canada.com'),
+        |  (15, '', '')
+        |) AS v(id, fss, cut)""".stripMargin,
 
     "q_func_domain" ->
       """SELECT * FROM (VALUES
