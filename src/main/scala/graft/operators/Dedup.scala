@@ -205,4 +205,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node starts as its own component and
+    * repeatedly adopts the minimum label among itself and its
+    * neighbors, until a fixpoint (converges in graph-diameter rounds —
+    * near-dup components are shallow clusters, so a handful). This is
+    * the canonical-document backbone of a dedup pipeline: after
+    * componentizing the MinHash/SimHash pair output, keep min(doc_id)
+    * per component and drop the rest.
+    *
+    * Each round is two shuffles (join on node id + groupBy on neighbor)
+    * over the label frame — at 100 TB the label frame is one long per
+    * document, orders smaller than the corpus, and the same shape
+    * GraphFrames' large-star/small-star CC uses. No driver-side data;
+    * the convergence check is a count.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym0 = pairs.toDF("a", "b")
+    val edges = sym0.select(col("a").as("src"), col("b").as("dst"))
+      .union(sym0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count(): Unit
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
+        .groupBy(col("dst").as("nid")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(
+          labels.select(col("id"), col("comp").as("old_comp")), Seq("id"))
+        .filter(col("comp") =!= col("old_comp")).count()
+      labels.unpersist(false)
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    val out = labels
+    edges.unpersist(false)
+    out.select(col("id"), col("comp"))
+  }
+
+  /** Keep one canonical document per near-dup component: docs not in
+    * any pair pass through, paired docs survive only as min(id) of
+    * their component. */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
 }

@@ -22,6 +22,21 @@ object DataOps extends QueryModule {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Connected components over a pair graph (the canonical-document
+    // step after near-dup pair mining) by distributed min-label
+    // propagation — oracled against a DuckDB recursive CTE on the SAME
+    // deterministic edge set, so the fixpoint itself is hash-checked.
+    "q_dedup_components" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") % 300).as("a"),
+          (lit(300) + col("o_custkey") % 300).as("b"))
+        .distinct()
+      Dedup.connectedComponents(edges)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+    }),
+
     // MinHash+LSH near-dup pairs (rows-only: sketch-dependent).
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -144,6 +159,22 @@ object DataOps extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_orderkey % 300 AS a, 300 + (o_custkey % 300) AS b
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), sym AS (
+        |  SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e
+        |), reach(id, comp) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+        |), c AS (
+        |  SELECT id, min(comp) AS comp FROM reach GROUP BY id
+        |)
+        |SELECT comp, count(*) AS n_members, max(id) AS max_id
+        |FROM c GROUP BY comp""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest,
         | min(doc_id) AS keep_id, count(*) AS n_copies

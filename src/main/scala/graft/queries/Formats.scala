@@ -89,6 +89,26 @@ object Formats extends QueryModule {
           countDistinct(col("c_nationkey")).as("n_nations"))
     }),
 
+    // Native round-trip (reference NativeBlockOutputStream — the
+    // columnar block wire format used between servers) through
+    // graft.sources.NativeIO: 64k-row blocks, column-contiguous bodies,
+    // Nullable null-mask vectors; lineitem exercises all four types at
+    // the largest row count of any format query.
+    "q_format_native" -> ((s, dir) => {
+      val out = scratch(dir) + "/lineitem_native"
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      graft.sources.NativeIO.write(li, out)
+      graft.sources.NativeIO.read(s, out, li.schema)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          max(col("l_orderkey")).as("max_key"),
+          sum(col("l_linenumber")).cast("long").as("sum_line"))
+    }),
+
     // JSONCompactEachRow round-trip (reference
     // JSONCompactEachRowRowInputFormat — one JSON *array* per line, the
     // format the REST ingest endpoint feeds to INSERT,
@@ -312,6 +332,12 @@ object Formats extends QueryModule {
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total,
         | sum(p_size)::BIGINT AS sum_size, max(p_partkey) AS max_key
         |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_format_native" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price, max(l_orderkey) AS max_key,
+        | sum(l_linenumber)::BIGINT AS sum_line
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_format_json_compact" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   */
 object RowBinaryIO {
 
-  private def chType(dt: DataType): String = dt match {
+  private[sources] def chType(dt: DataType): String = dt match {
     case LongType    => "Int64"
     case IntegerType => "Int32"
     case DoubleType  => "Float64"
@@ -30,13 +30,13 @@ object RowBinaryIO {
 
   // ---- primitives (LE on a DataOutputStream, which is BE-native) ----
 
-  private def writeVarUInt(out: java.io.OutputStream, v0: Long): Unit = {
+  private[sources] def writeVarUInt(out: java.io.OutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
   }
 
-  private def readVarUInt(in: java.io.InputStream): Long = {
+  private[sources] def readVarUInt(in: java.io.InputStream): Long = {
     var v = 0L; var shift = 0
     while (true) {
       val b = in.read()
@@ -48,17 +48,17 @@ object RowBinaryIO {
     v
   }
 
-  private def writeLongLE(out: java.io.OutputStream, v: Long): Unit = {
+  private[sources] def writeLongLE(out: java.io.OutputStream, v: Long): Unit = {
     var i = 0
     while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
   }
 
-  private def writeIntLE(out: java.io.OutputStream, v: Int): Unit = {
+  private[sources] def writeIntLE(out: java.io.OutputStream, v: Int): Unit = {
     var i = 0
     while (i < 4) { out.write((v >>> (8 * i)) & 0xff); i += 1 }
   }
 
-  private def readLongLE(in: java.io.InputStream): Long = {
+  private[sources] def readLongLE(in: java.io.InputStream): Long = {
     var v = 0L; var i = 0
     while (i < 8) {
       val b = in.read()
@@ -68,7 +68,7 @@ object RowBinaryIO {
     v
   }
 
-  private def readIntLE(in: java.io.InputStream): Int = {
+  private[sources] def readIntLE(in: java.io.InputStream): Int = {
     var v = 0; var i = 0
     while (i < 4) {
       val b = in.read()
@@ -78,13 +78,13 @@ object RowBinaryIO {
     v
   }
 
-  private def writeString(out: java.io.OutputStream, s: String): Unit = {
+  private[sources] def writeString(out: java.io.OutputStream, s: String): Unit = {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     writeVarUInt(out, b.length.toLong)
     out.write(b)
   }
 
-  private def readString(in: java.io.InputStream): String = {
+  private[sources] def readString(in: java.io.InputStream): String = {
     val len = readVarUInt(in).toInt
     val b = new Array[Byte](len)
     var off = 0

@@ -189,4 +189,20 @@ class DataOpsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_bytes.length <= Multimodal.FrameSize))
   }
+
+  test("connected components + canonicalize keep one doc per cluster") {
+    import spark.implicits._
+    // two chains (1-2-3, 10-11) and a singleton edge pair (20-21);
+    // docs 30, 31 appear in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 31L).toDF("doc_id")
+    val kept = Dedup.canonicalize(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L, 30L, 31L))
+  }
 }
