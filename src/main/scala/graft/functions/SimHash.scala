@@ -132,6 +132,12 @@ object GraftScalar {
       "cut_to_first_significant_subdomain",
       exprs => FirstSignificantSubdomainExpr(exprs.head, cut = true), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_protocol", exprs => UrlPartExpr(exprs.head, "protocol"), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "netloc", exprs => UrlPartExpr(exprs.head, "netloc"), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_level_domain", exprs => UrlPartExpr(exprs.head, "topLevelDomain"), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),
         exprs(4).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -77,6 +77,96 @@ object UrlFuncs {
         b(s + 2) == 'w' && b(s + 3) == '.') s += 4
     UTF8String.fromBytes(b, s, end - s)
   }
+
+  /** protocol (reference `src/Functions/URL/protocol.h` ExtractProtocol):
+    * RFC-3986 scheme chars from an alpha start, requiring a ':' and at
+    * least 4 bytes after the scheme. */
+  def protocol(u: UTF8String): UTF8String = {
+    val b = u.getBytes
+    val n = b.length
+    if (n == 0) return Empty
+    val c0 = b(0) & 0xff
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return Empty
+    var p = 1
+    while (p < n && {
+      val c = b(p) & 0xff
+      isAlphaNumeric(c) || c == '+' || c == '-' || c == '.'
+    }) p += 1
+    if (n - p < 4) return Empty
+    if (b(p) == ':') UTF8String.fromBytes(b, 0, p) else Empty
+  }
+
+  /** netloc (reference `src/Functions/URL/netloc.cpp`): scheme skip,
+    * then user:pass@host:port up to the path/query/fragment — a literal
+    * port including its slash/question-mark truncation bookkeeping. */
+  def netloc(u: UTF8String): UTF8String = {
+    val b = u.getBytes
+    val n = b.length
+    if (n == 0) return Empty
+    var pos = 0
+    if (pos + 2 < n && b(0) == '/' && b(1) == '/') pos = 2
+    else {
+      val schemeEnd = math.min(n, 16)
+      var p = 1
+      var stop = false
+      while (p < schemeEnd && !stop) {
+        val c = b(p) & 0xff
+        if (!isAlphaNumeric(c)) {
+          if (c == '.' || c == '-' || c == '+') ()
+          else if (isRestricted(c)) return Empty
+          else stop = true
+        }
+        if (!stop) p += 1
+      }
+      if (p + 2 < schemeEnd && b(p) == ':' && b(p + 1) == '/' && b(p + 2) == '/')
+        pos = p + 3
+      else pos = 0
+    }
+    var hasId = false
+    var qmPos = n
+    var slashPos = n
+    val start = pos
+    var p = pos
+    while (p < n) {
+      val c = b(p) & 0xff
+      if (c == '/') {
+        if (hasId) return UTF8String.fromBytes(b, start, p - start)
+        slashPos = p
+      } else if (c == '?') {
+        if (hasId) return UTF8String.fromBytes(b, start, p - start)
+        qmPos = p
+      } else if (c == '#') {
+        return UTF8String.fromBytes(b, start, p - start)
+      } else if (c == '@') {
+        hasId = true
+      } else if (isRestricted(c)) {
+        return if (p > start)
+          UTF8String.fromBytes(b, start,
+            math.min(math.min(p - 1, qmPos), slashPos) - start)
+        else Empty
+      }
+      p += 1
+    }
+    if (hasId) UTF8String.fromBytes(b, start, p - start)
+    else UTF8String.fromBytes(b, start,
+      math.min(math.min(p, qmPos), slashPos) - start)
+  }
+
+  /** topLevelDomain (reference `src/Functions/URL/topLevelDomain.cpp`):
+    * last dot-separated label of the host; empty for IPv4 (and, like
+    * the reference's signed-char compare, for multibyte labels). */
+  def topLevelDomain(u: UTF8String): UTF8String = {
+    val hb = domain(u, withoutWWW = false).getBytes
+    var hl = hb.length
+    if (hl == 0) return Empty
+    if (hb(hl - 1) == '.') hl -= 1
+    var lastDot = -1
+    var i = 0
+    while (i < hl) { if (hb(i) == '.') lastDot = i; i += 1 }
+    if (lastDot < 0) return Empty
+    if (hb(lastDot + 1) <= '9'.toByte) return Empty // digits + signed multibyte
+    UTF8String.fromBytes(hb, lastDot + 1, hl - lastDot - 1)
+  }
 }
 
 object SubdomainFuncs {
@@ -156,6 +246,31 @@ object SubdomainFuncs {
       }
     UTF8String.fromBytes(b, start, (if (cut) dl else tokenEnd) - start)
   }
+}
+
+/** protocol(url) / netloc(url) / top_level_domain(url) — codegen'd
+  * scanners dispatching to the matching [[UrlFuncs]] kernel. */
+case class UrlPartExpr(child: Expression, part: String)
+    extends UnaryExpression {
+
+  require(Set("protocol", "netloc", "topLevelDomain").contains(part))
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    part match {
+      case "protocol" => UrlFuncs.protocol(u)
+      case "netloc" => UrlFuncs.netloc(u)
+      case "topLevelDomain" => UrlFuncs.topLevelDomain(u)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlFuncs.$part($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlPartExpr =
+    copy(child = newChild)
 }
 
 /** first_significant_subdomain(url) / cut_to_first_significant_subdomain. */
