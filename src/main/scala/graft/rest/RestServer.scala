@@ -233,21 +233,45 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
           val paged = if (offset > 0) base.offset(offset) else base
           paged.limit(effLimit)
       }
-      val it = df.toJSON.toLocalIterator()
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
-      headersSent = true
-      val os = ex.getResponseBody
-      try {
-        os.write("""{"rows":[""".getBytes(UTF_8))
-        var first = true
-        while (it.hasNext) {
-          if (!first) os.write(','.toInt)
-          os.write(it.next().getBytes(UTF_8))
-          first = false
-        }
-        os.write("]}".getBytes(UTF_8))
-      } finally os.close()
+      // Display formats (reference presentation family, FORMAT Pretty/
+      // Vertical/Markdown/XML): rendered server-side as text. These are
+      // row-capped terminal/report formats, not the streaming data path.
+      opt("format").map(_.asText()) match {
+        case Some(fmt @ ("pretty" | "vertical" | "markdown" | "xml")) =>
+          val rendered = fmt match {
+            case "pretty" => graft.sources.TextRender.pretty(df)
+            case "vertical" => graft.sources.TextRender.vertical(df)
+            case "markdown" => graft.sources.TextRender.markdown(df)
+            case _ => graft.sources.TextRender.xml(df)
+          }
+          ex.getResponseHeaders.set("Content-Type",
+            if (fmt == "xml") "application/xml" else "text/plain; charset=utf-8")
+          val bytes = rendered.getBytes(UTF_8)
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          headersSent = true
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        case Some(other) if other != "json" =>
+          respond(ex, 400,
+            s"""{"error":"unknown format: ${other} (json, pretty, vertical, markdown, xml)"}""")
+          headersSent = true
+        case _ =>
+          val it = df.toJSON.toLocalIterator()
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+          headersSent = true
+          val os = ex.getResponseBody
+          try {
+            os.write("""{"rows":[""".getBytes(UTF_8))
+            var first = true
+            while (it.hasNext) {
+              if (!first) os.write(','.toInt)
+              os.write(it.next().getBytes(UTF_8))
+              first = false
+            }
+            os.write("]}".getBytes(UTF_8))
+          } finally os.close()
+      }
     } catch {
       case e: Throwable if !headersSent =>
         respond(ex, 400, s"""{"error":${Catalog.toJsonString(e.getMessage)}}""")

@@ -79,6 +79,22 @@ class RestSpec extends AnyFunSuite {
     assert(c2 == 200 && b2.contains("app") && b2.contains("nginx"), b2)
   }
 
+  test("search renders display formats (pretty/markdown/vertical/xml)") {
+    val q = """"query":"SELECT sourcetype, count(*) AS n FROM logs GROUP BY sourcetype ORDER BY sourcetype""""
+    val (pc, pb) = post("/search", s"""{$q,"format":"pretty"}""")
+    assert(pc == 200 && pb.contains("┏") && pb.contains("│"), pb)
+    val (mc, mb) = post("/search", s"""{$q,"format":"markdown"}""")
+    assert(mc == 200 && mb.startsWith("| sourcetype | n |"), mb)
+    assert(mb.contains("|:-|-:|"), mb)
+    val (vc, vb) = post("/search", s"""{$q,"format":"vertical"}""")
+    assert(vc == 200 && vb.startsWith("Row 1:"), vb)
+    val (xc, xb) = post("/search", s"""{$q,"format":"xml"}""")
+    assert(xc == 200 && xb.contains("<name>sourcetype</name>") &&
+      xb.contains("<rows>2</rows>"), xb)
+    val (bc, bb) = post("/search", s"""{$q,"format":"nope"}""")
+    assert(bc == 400 && bb.contains("unknown format"), bb)
+  }
+
   private def getRoot(path: String): (Int, String) = {
     val r = http.send(HttpRequest.newBuilder(
       URI.create(s"http://127.0.0.1:${server.boundPort}$path")).GET().build(),
