@@ -89,6 +89,26 @@ object Formats extends QueryModule {
           countDistinct(col("c_nationkey")).as("n_nations"))
     }),
 
+    // Cap'n Proto round-trip (reference CapnProtoRowInputFormat: one
+    // capnp message per row) through the encoding-spec codec in
+    // graft.sources.CapnProtoIO — segment table, root struct pointer,
+    // aligned data section, text list pointers; two string columns
+    // exercise multi-pointer layout.
+    "q_format_capnp" -> ((s, dir) => {
+      val out = scratch(dir) + "/part_capnp"
+      val part = t(s, dir, "part").select(
+        col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_brand"), col("p_retailprice"))
+      graft.sources.CapnProtoIO.write(part, out)
+      graft.sources.CapnProtoIO.read(s, out, part.schema)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p_retailprice")), 2).as("total"),
+          max(col("p_size")).as("max_size"),
+          min(col("p_name")).as("first_name"),
+          max(col("p_partkey")).as("max_key"))
+    }),
+
     // Native round-trip (reference NativeBlockOutputStream — the
     // columnar block wire format used between servers) through
     // graft.sources.NativeIO: 64k-row blocks, column-contiguous bodies,
@@ -331,6 +351,12 @@ object Formats extends QueryModule {
     "q_format_rowbinary" ->
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total,
         | sum(p_size)::BIGINT AS sum_size, max(p_partkey) AS max_key
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_format_capnp" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total,
+        | max(p_size) AS max_size, min(p_name) AS first_name,
+        | max(p_partkey) AS max_key
         |FROM part GROUP BY p_brand""".stripMargin,
 
     "q_format_native" ->
