@@ -95,6 +95,24 @@ object SimHash64 {
   * appear in SQL too.
   */
 object GraftScalar {
+
+  /** Extract a foldable integer argument at registration time with a
+    * real error message (arity, foldability, numeric width) instead of
+    * an IndexOutOfBounds/ClassCast from a blind eval. */
+  private def litInt(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                     i: Int, what: String): Int = {
+    require(exprs.length > i, s"$what: argument ${i + 1} missing")
+    val e = exprs(i)
+    require(e.foldable, s"$what must be a literal, got: ${e.sql}")
+    e.eval() match {
+      case v: java.lang.Integer => v.intValue()
+      case v: java.lang.Long => v.intValue()
+      case v: java.lang.Short => v.intValue()
+      case v: java.lang.Byte => v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got: $other")
+    }
+  }
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.call_function
 
@@ -118,7 +136,7 @@ object GraftScalar {
       "murmurhash2_32", exprs => MurmurHash2x32Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohash_encode", exprs => GeohashEncodeExpr(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
+        litInt(exprs, 2, "geohash_encode precision")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohash_decode", exprs => GeohashDecodeExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -139,7 +157,7 @@ object GraftScalar {
       "top_level_domain", exprs => UrlPartExpr(exprs.head, "topLevelDomain"), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),
-        exprs(4).eval().asInstanceOf[Int]), "built-in")
+        litInt(exprs, 4, "geohashes_in_box precision")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

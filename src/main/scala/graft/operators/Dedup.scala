@@ -237,10 +237,19 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst").as("nid")).agg(min(col("comp")).as("nbr_comp"))
-      val next = labels
+      val hop = labels
         .join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // pointer jumping: adopt the label OF the label, collapsing chains
+      // exponentially — a diameter-D path converges in O(log D) rounds
+      // instead of D (a 1M-doc chain would never finish one hop at a
+      // time within any fixed round budget).
+      val next = hop
+        .join(hop.select(col("id").as("jid"), col("comp").as("jcomp")),
+          hop("comp") === col("jid"), "left")
+        .select(hop("id"), least(hop("comp"),
+          coalesce(col("jcomp"), hop("comp"))).as("comp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(
           labels.select(col("id"), col("comp").as("old_comp")), Seq("id"))
@@ -250,9 +259,14 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
-    val out = labels
     edges.unpersist(false)
-    out.select(col("id"), col("comp"))
+    if (!done) {
+      labels.unpersist(false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds needed grow with log(component diameter))")
+    }
+    labels.select(col("id"), col("comp"))
   }
 
   /** Keep one canonical document per near-dup component: docs not in

@@ -77,8 +77,12 @@ object Projections {
       .repartition(partitionCols.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     proj.count() // materialize so the optimized plan below is the cache scan
-    registry.add(ProjDef(baseLeaf.canonicalized, pcLower, carried,
-      proj.queryExecution.optimizedPlan, proj))
+    val projPlan = proj.queryExecution.optimizedPlan
+    registry.add(ProjDef(baseLeaf.canonicalized, pcLower, carried, projPlan, proj))
+    // a projection has the same rows as its base, so its per-column NDV
+    // and row count are the base's — inherit them so SkipPartialAgg's
+    // leaf-scoped stats decision still fires on routed plans.
+    leafOf(projPlan).foreach(pl => TableStats.inherit(baseLeaf, pl, carried))
     install(spark)
     proj
   }

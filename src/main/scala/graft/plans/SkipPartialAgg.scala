@@ -52,14 +52,18 @@ object SkipPartialAgg extends SparkStrategy {
         SkipPartialAgg +: spark.experimental.extraStrategies
 
   /** Stats verdict: estimated groups >= ratio * rows, with every grouping
-    * attribute analyzed. Non-attribute expressions (minute(ts),
-    * regexp_extract(url), literals) can only LOWER the true group count
-    * versus their inputs, so they multiply by 1; an aggregate whose keys
-    * are all such expressions never fires. */
+    * attribute analyzed FOR THE RELATION THIS AGGREGATE SCANS (stats are
+    * leaf-scoped — another table's same-named column never fires here;
+    * multi-relation children veto). Non-attribute expressions
+    * (minute(ts), regexp_extract(url), literals) can only LOWER the true
+    * group count versus their inputs, so they multiply by 1; an
+    * aggregate whose keys are all such expressions never fires. */
   private def statsSayHighCard(
       groupingExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      child: LogicalPlan,
       ratio: Double): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+    val leaf = TableStats.leafOf(child).getOrElse(return false)
     var product = 1.0
     var rows = 0L
     var sawAttr = false
@@ -70,7 +74,7 @@ object SkipPartialAgg extends SparkStrategy {
       }
       e match {
         case ar: AttributeReference =>
-          TableStats.ndv(ar.name) match {
+          TableStats.ndv(leaf, ar.name) match {
             case Some((n, r)) =>
               sawAttr = true
               product = math.min(product * math.max(n, 1L), 1e18)
@@ -89,7 +93,7 @@ object SkipPartialAgg extends SparkStrategy {
         if {
           val mode = SQLConf.get.getConfString(ConfKey, "auto")
           mode == "true" || (mode == "auto" && statsSayHighCard(groupingExprs,
-            SQLConf.get.getConfString(RatioKey, "0.005").toDouble))
+            child, SQLConf.get.getConfString(RatioKey, "0.005").toDouble))
         } &&
           groupingExprs.nonEmpty && aggExprs.nonEmpty &&
           aggExprs.forall(ae => !ae.isDistinct && ae.filter.isEmpty) &&

@@ -23,8 +23,13 @@ import org.apache.spark.sql.types._
   */
 object TableStats {
 
-  /** column name (lower-cased) → (ndv, rowCountOfItsTable) */
-  private val stats = new ConcurrentHashMap[String, (Long, Long)]()
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  /** (canonicalized relation leaf, lower-cased column) →
+    * (ndv, rowCountOfItsTable). Leaf-scoping keeps one table's
+    * statistics from driving plans for a different table that happens
+    * to share a column name. */
+  private val stats = new ConcurrentHashMap[(LogicalPlan, String), (Long, Long)]()
 
   private def groupable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType |
@@ -32,9 +37,18 @@ object TableStats {
     case _ => false
   }
 
+  /** The single relation leaf a plan scans, if it has exactly one. */
+  def leafOf(plan: LogicalPlan): Option[LogicalPlan] =
+    plan.collectLeaves() match {
+      case Seq(one) => Some(one.canonicalized)
+      case _ => None
+    }
+
   /** Analyze `df`: one pass computing count + approx NDV for every
-    * groupable column (or the explicit `cols` subset). */
+    * groupable column (or the explicit `cols` subset), keyed to the
+    * DataFrame's relation leaf. */
   def analyze(df: DataFrame, cols: Seq[String] = Nil): Unit = {
+    val leaf = leafOf(df.queryExecution.optimizedPlan).getOrElse(return)
     val names =
       if (cols.nonEmpty) cols
       else df.schema.fields.filter(f => groupable(f.dataType)).map(_.name).toSeq
@@ -43,13 +57,23 @@ object TableStats {
       names.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
     val rows = row.getLong(0)
     names.zipWithIndex.foreach { case (c, i) =>
-      stats.put(c.toLowerCase, (row.getLong(i + 1), rows))
+      stats.put((leaf, c.toLowerCase), (row.getLong(i + 1), rows))
     }
   }
 
-  /** (ndv, tableRows) for a column, if analyzed. */
-  def ndv(column: String): Option[(Long, Long)] =
-    Option(stats.get(column.toLowerCase))
+  /** Copy `cols` statistics from one relation leaf to another — for
+    * derived same-rows relations (projections), whose per-column NDV
+    * and row count are identical to the base by construction. */
+  def inherit(from: LogicalPlan, to: LogicalPlan,
+              cols: Iterable[String]): Unit =
+    cols.foreach { c =>
+      val v = stats.get((from.canonicalized, c.toLowerCase))
+      if (v != null) stats.put((to.canonicalized, c.toLowerCase), v)
+    }
+
+  /** (ndv, tableRows) for a column of the given relation leaf. */
+  def ndv(leaf: LogicalPlan, column: String): Option[(Long, Long)] =
+    Option(stats.get((leaf.canonicalized, column.toLowerCase)))
 
   def clear(): Unit = stats.clear()
 }

@@ -323,14 +323,18 @@ object Formats extends QueryModule {
       t(s, dir, "lineitem")
         .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("_part"),
           spark_partition_id().as("_shard_num"))
-        .agg(countDistinct(col("_part")).as("n_parts"),
+        // boolean has_parts, not the literal count: the part count is a
+        // physical-layout property (file split of the test data), and a
+        // hash-checked literal would turn any re-generation into a
+        // false correctness failure.
+        .agg((countDistinct(col("_part")) >= 1).as("has_parts"),
           count(lit(1)).as("n_rows"),
           (countDistinct(col("_shard_num")) >= 1).as("sharded"))
     }))
 
   def oracles: Map[String, String] = Map(
     "q_virtual_columns" ->
-      """SELECT 1::BIGINT AS n_parts, count(*) AS n_rows, true AS sharded
+      """SELECT true AS has_parts, count(*) AS n_rows, true AS sharded
         |FROM lineitem""".stripMargin,
 
     "q_format_avro" ->

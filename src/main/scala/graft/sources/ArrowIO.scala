@@ -116,10 +116,17 @@ object ArrowIO {
         new Iterator[Row] {
           private var batch: Iterator[Row] = Iterator.empty
           private var open = true
+          private def closeAll(): Unit =
+            if (open) { reader.close(); ch.close(); alloc.close(); open = false }
+          // early-terminated scans (limit/take) abandon the iterator
+          // before EOF — the task-completion hook releases the reader,
+          // channel and off-heap allocator deterministically.
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
           private def advance(): Unit =
             while (open && !batch.hasNext) {
               if (reader.loadNextBatch()) batch = decodeBatch().iterator
-              else { reader.close(); ch.close(); alloc.close(); open = false }
+              else closeAll()
             }
           override def hasNext: Boolean = { advance(); batch.hasNext }
           override def next(): Row = { advance(); batch.next() }

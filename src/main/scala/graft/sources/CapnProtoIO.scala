@@ -189,6 +189,7 @@ object CapnProtoIO {
       .parallelize(files, math.max(1, files.size))
       .flatMap { f =>
         val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+        RowBinaryIO.closeOnTaskEnd(in)
         new Iterator[Row] {
           private var nextMsg: Array[Byte] = readMsg()
           private def readMsg(): Array[Byte] = {

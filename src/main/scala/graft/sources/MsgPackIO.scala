@@ -139,6 +139,7 @@ object MsgPackIO {
       .flatMap { f =>
         val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
           new java.io.FileInputStream(f)))
+        RowBinaryIO.closeOnTaskEnd(in)
         new Iterator[Row] {
           private var nextByte = in.read()
           override def hasNext: Boolean = {

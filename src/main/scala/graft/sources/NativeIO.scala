@@ -138,6 +138,7 @@ object NativeIO {
       .parallelize(files, math.max(1, files.size))
       .flatMap { f =>
         val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+        RowBinaryIO.closeOnTaskEnd(in)
         Iterator.continually(readBlock(in, fields))
           .takeWhile {
             case Some(_) => true

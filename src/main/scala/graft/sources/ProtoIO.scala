@@ -152,6 +152,7 @@ object ProtoIO {
       .parallelize(files, math.max(1, files.size))
       .flatMap { f =>
         val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+        RowBinaryIO.closeOnTaskEnd(in)
         new Iterator[Row] {
           private var nextLen = -2
           private def peek(): Unit = if (nextLen == -2) {
@@ -164,6 +165,8 @@ object ProtoIO {
               var b = first
               while ((b & 0x80) != 0) {
                 b = in.read()
+                if (b < 0) throw new java.io.EOFException(
+                  "ProtoIO: EOF inside length varint")
                 result |= (b & 0x7fL) << shift
                 shift += 7
               }

@@ -28,6 +28,15 @@ object RowBinaryIO {
     case t => throw new IllegalArgumentException(s"RowBinaryIO: unsupported $t")
   }
 
+
+  /** Register stream close on task completion — early-terminated scans
+    * (limit/take) abandon decode iterators before EOF, and the
+    * close-at-EOF path alone would leak one handle per such task. */
+  private[sources] def closeOnTaskEnd(c: java.io.Closeable): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ =>
+        try c.close() catch { case _: java.io.IOException => () }))
+
   // ---- primitives (LE on a DataOutputStream, which is BE-native) ----
 
   private[sources] def writeVarUInt(out: java.io.OutputStream, v0: Long): Unit = {
@@ -163,6 +172,7 @@ object RowBinaryIO {
       .parallelize(files, math.max(1, files.size))
       .flatMap { f =>
         val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+        closeOnTaskEnd(in)
         val cols = readVarUInt(in).toInt
         require(cols == n, s"RowBinaryIO: header says $cols columns, expected $n")
         var k = 0

@@ -91,10 +91,12 @@ object StreamOps {
   def latestPerKey(ds: Dataset[IngestRow]): Dataset[LatestRow] = {
     val session = ds.sparkSession
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    // conf.getOption yields the default for keys with defaults, so
-    // "unset" here means "still on the default in-memory provider".
-    if (session.conf.getOption(providerKey)
-        .forall(_.endsWith("HDFSBackedStateStoreProvider")))
+    // Flip to RocksDB only when the caller has NOT explicitly chosen a
+    // provider: SQLConf.settings distinguishes an explicit set (even to
+    // the default HDFS-backed provider — e.g. to resume a checkpoint
+    // written by it) from the untouched default, which conf.getOption
+    // cannot.
+    if (!session.sessionState.conf.contains(providerKey))
       session.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ds.sparkSession.implicits._
