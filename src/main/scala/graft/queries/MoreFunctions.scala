@@ -138,6 +138,27 @@ object MoreFunctions extends QueryModule {
              count(lit(1)).as("n_values"))
     }),
 
+    // sumMap/minMap/maxMap (reference AggregateFunctionSumMap.h — merge
+    // maps per group, summing/min-ing/max-ing values per key, keys
+    // sorted): explode → re-aggregate per (group, key) → sorted map
+    // re-assembly with array_sort(collect_list(struct)), posexploded to
+    // scalar rows for the gate (the assembly itself runs in the plan).
+    "q_agg_summap" -> ((s, dir) => {
+      val perKey = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(round(sum(col("l_quantity")), 2).as("vsum"),
+          min(col("l_quantity")).as("vmin"),
+          max(col("l_quantity")).as("vmax"))
+      perKey.groupBy(col("l_returnflag"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber").as("k"), col("vsum"),
+          col("vmin"), col("vmax")))).as("entries"))
+        .select(col("l_returnflag"), posexplode(col("entries")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("pos"),
+          col("col.k").as("k"), col("col.vsum").as("vsum"),
+          col("col.vmin").as("vmin"), col("col.vmax").as("vmax"))
+    }),
+
     // -ForEach combinator: element-wise aggregation across array columns.
     "q_agg_foreach" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -243,6 +264,15 @@ object MoreFunctions extends QueryModule {
       """SELECT label, round(sum(v), 4) AS sum_all_dims, count(*) AS n_values
         |FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
         |GROUP BY label""".stripMargin,
+
+    "q_agg_summap" ->
+      """SELECT l_returnflag,
+        | row_number() OVER (PARTITION BY l_returnflag ORDER BY l_linenumber) AS pos,
+        | l_linenumber AS k, vsum, vmin, vmax
+        |FROM (SELECT l_returnflag, l_linenumber,
+        |   round(sum(l_quantity), 2) AS vsum,
+        |   min(l_quantity) AS vmin, max(l_quantity) AS vmax
+        | FROM lineitem GROUP BY 1, 2)""".stripMargin,
 
     "q_agg_foreach" ->
       """SELECT label, (u.pos)::BIGINT AS pos, round(sum(u.v), 4) AS s
