@@ -222,17 +222,40 @@ object Dedup {
     * the convergence check is a count.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val sym0 = pairs.toDF("a", "b")
-    val edges = sym0.select(col("a").as("src"), col("b").as("dst"))
+    val edges0 = sym0.select(col("a").as("src"), col("b").as("dst"))
       .union(sym0.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size the loop's shuffles to the graph, not the session default: the
+    // iteration re-shuffles the label frame many times, and a small pair
+    // graph on 32-way partitions pays ~10x the wall clock in pure task
+    // scheduling. ~100k edges per partition keeps partitions meaningful
+    // at any scale (a 10^11-edge graph still gets the full session width).
+    val nEdges = edges0.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 100000L).toInt + 1))
+    val edges = edges0.repartition(parts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count(): Unit
+    edges0.unpersist(false)
+    // Every round's frame is eagerly localCheckpoint'ed: the self-join
+    // makes each round's LOGICAL PLAN reference the previous round's
+    // several times, so without lineage truncation the plan grows ~4x
+    // per round — exponential analysis/planning cost and an eventual
+    // driver OOM (persist caches data but keeps lineage). Checkpointing
+    // is the standard contract for iterative Spark algorithms.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count(): Unit
+      .localCheckpoint(true)
     var iter = 0
     var done = false
+    // Labels only ever DECREASE (min-propagation), so the label sum is
+    // strictly monotone while anything changes — comparing sums detects
+    // the fixpoint with one aggregate instead of a join against the
+    // previous round (one fewer shuffle per iteration).
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     while (!done && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
@@ -250,22 +273,17 @@ object Dedup {
           hop("comp") === col("jid"), "left")
         .select(hop("id"), least(hop("comp"),
           coalesce(col("jcomp"), hop("comp"))).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(
-          labels.select(col("id"), col("comp").as("old_comp")), Seq("id"))
-        .filter(col("comp") =!= col("old_comp")).count()
-      labels.unpersist(false)
-      labels = next
-      done = changed == 0
+        .localCheckpoint(true)
+      val sumNow = next.agg(sum(col("comp"))).head().getLong(0)
+      labels = next // previous round's checkpoint RDD is GC'd when dropped
+      done = sumNow == prevSum
+      prevSum = sumNow
       iter += 1
     }
     edges.unpersist(false)
-    if (!done) {
-      labels.unpersist(false)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter (rounds needed grow with log(component diameter))")
-    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds needed grow with log(component diameter))")
     labels.select(col("id"), col("comp"))
   }
 
