@@ -138,6 +138,39 @@ object MoreFunctions extends QueryModule {
              count(lit(1)).as("n_values"))
     }),
 
+    // boundingRatio (reference AggregateFunctionBoundingRatio.h: slope
+    // between the leftmost and rightmost (x, y) points) — pure
+    // min_by/max_by composition, no custom state.
+    "q_agg_bounding_ratio" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(
+          (max_by(col("o_totalprice"), col("o_orderkey")) -
+            min_by(col("o_totalprice"), col("o_orderkey"))) /
+            (max(col("o_orderkey")) - min(col("o_orderkey"))), 6)
+          .as("bounding_ratio"),
+          count(lit(1)).as("n"))
+    }),
+
+    // groupArrayInsertAt (reference AggregateFunctionGroupArrayInsertAt
+    // .h: build an array with each value placed at its position,
+    // default-filled gaps): per-position aggregation → map → dense
+    // array assembly with transform(sequence), posexploded for the gate.
+    "q_agg_insert_at" -> ((s, dir) => {
+      val perPos = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(round(sum(col("l_quantity")), 2).as("v"))
+      perPos.groupBy(col("l_returnflag"))
+        .agg(map_from_entries(collect_list(
+          struct(col("l_linenumber"), col("v")))).as("m"))
+        .select(col("l_returnflag"),
+          transform(sequence(lit(0), lit(7)),
+            p => coalesce(element_at(col("m"), p), lit(0.0))).as("arr"))
+        .select(col("l_returnflag"), posexplode(col("arr")))
+        .select(col("l_returnflag"), col("pos").cast("long").as("pos"),
+          col("col").as("v"))
+    }),
+
     // sumMap/minMap/maxMap (reference AggregateFunctionSumMap.h — merge
     // maps per group, summing/min-ing/max-ing values per key, keys
     // sorted): explode → re-aggregate per (group, key) → sorted map
@@ -264,6 +297,24 @@ object MoreFunctions extends QueryModule {
       """SELECT label, round(sum(v), 4) AS sum_all_dims, count(*) AS n_values
         |FROM (SELECT label, unnest(embedding) AS v FROM embeddings)
         |GROUP BY label""".stripMargin,
+
+    "q_agg_bounding_ratio" ->
+      """SELECT o_orderpriority,
+        | round((arg_max(o_totalprice, o_orderkey) - arg_min(o_totalprice, o_orderkey))
+        |   / (max(o_orderkey) - min(o_orderkey)), 6) AS bounding_ratio,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_agg_insert_at" ->
+      """WITH perkey AS (
+        |  SELECT l_returnflag, l_linenumber AS pos, round(sum(l_quantity), 2) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT DISTINCT l_returnflag, gs.pos
+        |  FROM lineitem, generate_series(0, 7) AS gs(pos))
+        |SELECT g.l_returnflag, g.pos, coalesce(p.v, 0) AS v
+        |FROM grid g LEFT JOIN perkey p
+        |  ON g.l_returnflag = p.l_returnflag AND g.pos = p.pos""".stripMargin,
 
     "q_agg_summap" ->
       """SELECT l_returnflag,
