@@ -89,6 +89,23 @@ object Formats extends QueryModule {
           countDistinct(col("c_nationkey")).as("n_nations"))
     }),
 
+    // RawBLOB (reference RawBLOBRowInputFormat: the whole input is ONE
+    // value of ONE row) via Spark's binaryFile source: a deterministic
+    // text blob is written (region names, keyed order, single part),
+    // read back as bytes, and content-addressed — the oracle recomputes
+    // the same md5 from the table, so the byte identity is hash-checked.
+    "q_format_rawblob" -> ((s, dir) => {
+      val out = scratch(dir) + "/region_blob"
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .repartition(1).sortWithinPartitions(col("r_regionkey"))
+        .select(col("r_name"))
+        .write.mode("overwrite").text(out)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*").load(out)
+        .select(md5(col("content")).as("blob_md5"),
+          col("length").cast("long").as("n_bytes"))
+    }),
+
     // Cap'n Proto round-trip (reference CapnProtoRowInputFormat: one
     // capnp message per row) through the encoding-spec codec in
     // graft.sources.CapnProtoIO — segment table, root struct pointer,
@@ -356,6 +373,11 @@ object Formats extends QueryModule {
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total,
         | sum(p_size)::BIGINT AS sum_size, max(p_partkey) AS max_key
         |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_format_rawblob" ->
+      """SELECT md5(string_agg(r_name || chr(10), '' ORDER BY r_regionkey)) AS blob_md5,
+        | sum(length(r_name) + 1)::BIGINT AS n_bytes
+        |FROM region""".stripMargin,
 
     "q_format_capnp" ->
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total,
