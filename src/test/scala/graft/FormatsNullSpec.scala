@@ -31,6 +31,36 @@ class FormatsNullSpec extends AnyFunSuite {
     assert(got == rows.map(_.toSeq).toSet)
   }
 
+  test("RowBinaryIO round-trips null cells (Nullable flag bytes)") {
+    val dir = java.nio.file.Files.createTempDirectory("rowbinary_null").toString
+    sources.RowBinaryIO.write(df, dir)
+    roundTrips(sources.RowBinaryIO.read(spark, dir, schema))
+  }
+
+  test("NativeIO round-trips null cells (null-mask vectors) across blocks") {
+    val dir = java.nio.file.Files.createTempDirectory("native_null").toString
+    sources.NativeIO.write(df, dir)
+    roundTrips(sources.NativeIO.read(spark, dir, schema))
+    // early termination must not break (task-completion close)
+    assert(sources.NativeIO.read(spark, dir, schema).limit(1).count() == 1)
+  }
+
+  test("CapnProtoIO rejects nulls loudly and round-trips non-null rows") {
+    val dir = java.nio.file.Files.createTempDirectory("capnp_null").toString
+    val ok = Seq(Row(1L, 10, 1.5, "a"), Row(2L, 20, -2.5, ""),
+      Row(Long.MinValue, -7, 0.0, "яндекс длинная строка за пределами слова"))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(ok, 2), schema)
+    sources.CapnProtoIO.write(d, dir)
+    val got = sources.CapnProtoIO.read(spark, dir, schema)
+      .collect().map(_.toSeq).toSet
+    assert(got == ok.map(_.toSeq).toSet)
+    val err = intercept[org.apache.spark.SparkException] {
+      sources.CapnProtoIO.write(df, dir + "_bad")
+    }
+    assert(err.getMessage.contains("CapnProtoIO") ||
+      Option(err.getCause).exists(_.getMessage.contains("CapnProtoIO")))
+  }
+
   test("AvroIO round-trips null cells (nullable union schema)") {
     val dir = java.nio.file.Files.createTempDirectory("avro_null").toString
     sources.AvroIO.write(df, dir)
