@@ -251,11 +251,6 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var done = false
-    // Labels only ever DECREASE (min-propagation), so the label sum is
-    // strictly monotone while anything changes — comparing sums detects
-    // the fixpoint with one aggregate instead of a join against the
-    // previous round (one fewer shuffle per iteration).
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     while (!done && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
@@ -263,21 +258,26 @@ object Dedup {
       val hop = labels
         .join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("ncomp"),
+          coalesce(col("nbr_comp") < col("comp"), lit(false)).as("chg1"))
       // pointer jumping: adopt the label OF the label, collapsing chains
       // exponentially — a diameter-D path converges in O(log D) rounds
       // instead of D (a 1M-doc chain would never finish one hop at a
-      // time within any fixed round budget).
-      val next = hop
-        .join(hop.select(col("id").as("jid"), col("comp").as("jcomp")),
-          hop("comp") === col("jid"), "left")
-        .select(hop("id"), least(hop("comp"),
-          coalesce(col("jcomp"), hop("comp"))).as("comp"))
+      // time within any fixed round budget). Convergence is detected by
+      // a per-row changed flag carried through the round — works for any
+      // orderable id type (strings included) and for empty inputs, with
+      // no extra shuffle (the count runs on the checkpointed frame).
+      val jumped = hop
+        .join(hop.select(col("id").as("jid"), col("ncomp").as("jcomp")),
+          hop("ncomp") === col("jid"), "left")
+        .select(hop("id"),
+          least(hop("ncomp"), coalesce(col("jcomp"), hop("ncomp"))).as("comp"),
+          (hop("chg1") ||
+            coalesce(col("jcomp") < hop("ncomp"), lit(false))).as("chg"))
         .localCheckpoint(true)
-      val sumNow = next.agg(sum(col("comp"))).head().getLong(0)
-      labels = next // previous round's checkpoint RDD is GC'd when dropped
-      done = sumNow == prevSum
-      prevSum = sumNow
+      val changed = jumped.filter(col("chg")).count()
+      labels = jumped.select(col("id"), col("comp"))
+      done = changed == 0
       iter += 1
     }
     edges.unpersist(false)

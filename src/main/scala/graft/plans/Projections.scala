@@ -50,6 +50,9 @@ object Projections {
 
   private val registry = new java.util.concurrent.CopyOnWriteArrayList[ProjDef]()
 
+  /** Raw (NOT canonicalized) single leaf — the routing rule replaces the
+    * leaf by reference (`eq`), so the original node is required here;
+    * [[TableStats.leafOf]] is the canonicalizing variant for map keys. */
   private def leafOf(plan: LogicalPlan): Option[LogicalPlan] =
     plan.collectLeaves() match {
       case Seq(one) => Some(one)

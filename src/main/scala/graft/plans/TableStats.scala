@@ -48,7 +48,11 @@ object TableStats {
     * groupable column (or the explicit `cols` subset), keyed to the
     * DataFrame's relation leaf. */
   def analyze(df: DataFrame, cols: Seq[String] = Nil): Unit = {
-    val leaf = leafOf(df.queryExecution.optimizedPlan).getOrElse(return)
+    val leaf = leafOf(df.queryExecution.optimizedPlan).getOrElse(
+      throw new IllegalArgumentException(
+        "TableStats.analyze requires a single-relation DataFrame " +
+          "(stats are keyed to the scanned relation); analyze each base " +
+          "table before joining"))
     val names =
       if (cols.nonEmpty) cols
       else df.schema.fields.filter(f => groupable(f.dataType)).map(_.name).toSeq

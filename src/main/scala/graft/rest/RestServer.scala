@@ -252,8 +252,8 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
           val os = ex.getResponseBody
           try os.write(bytes) finally os.close()
         case Some(other) if other != "json" =>
-          respond(ex, 400,
-            s"""{"error":"unknown format: ${other} (json, pretty, vertical, markdown, xml)"}""")
+          respond(ex, 400, s"""{"error":${Catalog.toJsonString(
+            s"unknown format: $other (json, pretty, vertical, markdown, xml)")}}""")
           headersSent = true
         case _ =>
           val it = df.toJSON.toLocalIterator()

@@ -89,7 +89,6 @@ object CapnProtoIO {
     putLongLE(msg, seg,
       (l.dataWords.toLong << 32) | (ptrWords.toLong << 48))
     val dataStart = seg + 8
-    val ptrStart = dataStart + l.dataWords * 8
     var i = 0
     while (i < fields.length) {
       if (l.dataOffsets(i) >= 0) {
@@ -173,8 +172,8 @@ object CapnProtoIO {
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
         new java.io.File(dir, f"part-$i%05d.capnp")))
-      rows.foreach(r => out.write(encodeRow(r, fields, l)))
-      out.close()
+      try rows.foreach(r => out.write(encodeRow(r, fields, l)))
+      finally out.close()
       Iterator.single(i)
     }.count(): Unit
   }

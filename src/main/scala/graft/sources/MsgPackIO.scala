@@ -75,8 +75,8 @@ object MsgPackIO {
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(
           new java.io.File(dir, f"part-$i%05d.msgpack"))))
-      rows.foreach(packRow(out, _, fields))
-      out.close()
+      try rows.foreach(packRow(out, _, fields))
+      finally out.close()
       Iterator.single(i)
     }.count(): Unit
   }

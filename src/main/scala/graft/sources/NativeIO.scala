@@ -69,8 +69,9 @@ object NativeIO {
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
         new java.io.File(dir, f"part-$i%05d.native")))
-      rows.grouped(BlockRows).foreach(g => writeBlock(out, g.toArray, fields))
-      out.close()
+      try rows.grouped(BlockRows)
+        .foreach(g => writeBlock(out, g.toArray, fields))
+      finally out.close()
       Iterator.single(i)
     }.count(): Unit
   }

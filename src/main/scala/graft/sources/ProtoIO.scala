@@ -87,12 +87,12 @@ object ProtoIO {
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
         new java.io.File(dir, f"part-$i%05d.pb")))
-      rows.foreach { row =>
+      try rows.foreach { row =>
         val msg = encodeRow(row, fields)
         writeVarint(out, msg.length.toLong)
         out.write(msg)
       }
-      out.close()
+      finally out.close()
       Iterator.single(i)
     }.count(): Unit
   }

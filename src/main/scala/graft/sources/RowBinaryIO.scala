@@ -153,8 +153,8 @@ object RowBinaryIO {
         val t = chType(f.dataType)
         writeString(out, if (f.nullable) s"Nullable($t)" else t)
       }
-      rows.foreach(writeRow(out, _, fields))
-      out.close()
+      try rows.foreach(writeRow(out, _, fields))
+      finally out.close()
       Iterator.single(i)
     }.count(): Unit
   }

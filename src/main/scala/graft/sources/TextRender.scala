@@ -65,18 +65,26 @@ object TextRender {
     sb.toString
   }
 
+  /** Markdown structural escaping: a literal '|' or newline inside a
+    * cell would otherwise add/split columns (the reference's Markdown
+    * output escapes through serializeTextEscaped the same way). */
+  private def mdEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("|", "\\|")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
   /** Markdown table with per-type alignment markers. */
   def markdown(df: DataFrame, maxRows: Int = MaxRows): String = {
     val rows = take(df, maxRows)
     val fields = df.schema.fields
     val sb = new StringBuilder
-    sb.append(fields.map(_.name).mkString("| ", " | ", " |")).append('\n')
+    sb.append(fields.map(f => mdEsc(f.name)).mkString("| ", " | ", " |"))
+      .append('\n')
     sb.append(fields.map(f =>
       if (isNumeric(f.dataType)) "-:" else ":-").mkString("|", "|", "|"))
       .append('\n')
     rows.foreach { r =>
-      sb.append(fields.indices.map(cell(r, _)).mkString("| ", " | ", " |"))
-        .append('\n')
+      sb.append(fields.indices.map(i => mdEsc(cell(r, i)))
+        .mkString("| ", " | ", " |")).append('\n')
     }
     sb.toString
   }
@@ -106,8 +114,16 @@ object TextRender {
     val fields = df.schema.fields
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // computed columns like count(1) are not valid XML names — the
+    // reference substitutes a generic <field> tag for those; the real
+    // name stays (escaped) in the meta block.
+    val tags = fields.map { f =>
+      if (f.name.matches("[A-Za-z_][A-Za-z0-9_.-]*")) f.name else "field"
+    }
     val sb = new StringBuilder
-    sb.append("<?xml version='1.0' encoding='UTF-8' ?>\n<result>\n\t<meta>\n\t\t<columns>\n")
+    sb.append("<?xml version='1.0' encoding='UTF-8' ?>\n")
+    sb.append("<result xmlns:xsi=\"http://www.w3.org/2001/XMLSchema-instance\">\n")
+    sb.append("\t<meta>\n\t\t<columns>\n")
     fields.foreach { f =>
       sb.append("\t\t\t<column>\n")
         .append(s"\t\t\t\t<name>${esc(f.name)}</name>\n")
@@ -118,7 +134,7 @@ object TextRender {
     rows.foreach { r =>
       sb.append("\t\t<row>\n")
       fields.indices.foreach { c =>
-        val tag = esc(fields(c).name)
+        val tag = tags(c)
         if (r.isNullAt(c)) sb.append(s"\t\t\t<$tag xsi:nil=\"true\" />\n")
         else sb.append(s"\t\t\t<$tag>${esc(r.get(c).toString)}</$tag>\n")
       }

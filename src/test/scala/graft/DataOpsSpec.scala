@@ -204,5 +204,14 @@ class DataOpsSpec extends AnyFunSuite {
     val kept = Dedup.canonicalize(docs, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 10L, 20L, 30L, 31L))
+    // empty pair set: all docs pass through (no NPE on the fixpoint)
+    val none = Dedup.canonicalize(docs, "doc_id",
+      pairs.limit(0)).collect().map(_.getLong(0)).toSet
+    assert(none == docs.collect().map(_.getLong(0)).toSet)
+    // string ids: min-label works on any orderable key type
+    val sPairs = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val sComp = Dedup.connectedComponents(sPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sComp == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 }
