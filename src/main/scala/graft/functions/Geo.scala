@@ -100,10 +100,14 @@ object GeoAlgos {
     val lonStep = 360.0 / (1L << lonBits)
     val latStep = 180.0 / (1L << latBits)
     if (lonMax <= lonMin || latMax <= latMin) return new GenericArrayData(Array.empty[Any])
-    val i0 = math.floor((lonMin + 180.0) / lonStep).toLong
+    // Clamp to the grid on BOTH ends: a box reaching past ±180/±90 would
+    // otherwise walk negative (or past-the-edge) indices and emit
+    // saturated garbage cells (geohashEncode silently clamps coords).
+    val i0 = math.max(0L, math.floor((lonMin + 180.0) / lonStep).toLong)
     val i1 = math.min(math.ceil((lonMax + 180.0) / lonStep).toLong - 1, (1L << lonBits) - 1)
-    val j0 = math.floor((latMin + 90.0) / latStep).toLong
+    val j0 = math.max(0L, math.floor((latMin + 90.0) / latStep).toLong)
     val j1 = math.min(math.ceil((latMax + 90.0) / latStep).toLong - 1, (1L << latBits) - 1)
+    if (i1 < i0 || j1 < j0) return new GenericArrayData(Array.empty[Any])
     val count = (i1 - i0 + 1) * (j1 - j0 + 1)
     require(count <= cap, s"geohashes_in_box: $count cells exceeds cap $cap")
     val out = new Array[Any](count.toInt)

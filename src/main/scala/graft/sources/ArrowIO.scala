@@ -76,8 +76,7 @@ object ArrowIO {
   /** Read an ArrowIO-written directory back with `schema`, one task per
     * IPC file, streaming record batches. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).toSeq
+    val files = RowBinaryIO.listPartFiles(path, ".arrow")
     val n = schema.length
     val fields = schema.fields
     val rdd = spark.sparkContext

@@ -73,8 +73,7 @@ object AvroIO {
   /** Read an AvroIO-written directory back as a DataFrame with `schema`.
     * Files are distributed across tasks; each streams its container. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).toSeq
+    val files = RowBinaryIO.listPartFiles(path, ".avro")
     val n = schema.length
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.size))

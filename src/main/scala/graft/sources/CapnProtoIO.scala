@@ -149,12 +149,22 @@ object CapnProtoIO {
       } else {
         val ptrWordPos = ptrStart + p * 8
         val ptr = getLongLE(msg, ptrWordPos)
-        require((ptr & 3) == 1, "CapnProtoIO: expected list pointer")
-        val offsetWords = (ptr & 0xFFFFFFFFL).toInt >> 2
-        val count = (ptr >>> 35).toInt
-        val bodyPos = ptrWordPos + 8 + offsetWords * 8
-        vs(i) = new String(msg, bodyPos, count - 1, // drop NUL
-          java.nio.charset.StandardCharsets.UTF_8)
+        if (ptr == 0L) {
+          // An all-zero pointer word is capnp's null/absent pointer — a
+          // stock writer emits it for an unset Text field; decode as "".
+          vs(i) = ""
+        } else {
+          require((ptr & 3) == 1, "CapnProtoIO: expected list pointer")
+          val elementSize = ((ptr >>> 32) & 7).toInt
+          require(elementSize == 2,
+            s"CapnProtoIO: Text requires 1-byte list elements (size tag 2), got $elementSize")
+          val offsetWords = (ptr & 0xFFFFFFFFL).toInt >> 2
+          val count = (ptr >>> 35).toInt
+          require(count >= 1, s"CapnProtoIO: Text list count $count lacks NUL terminator")
+          val bodyPos = ptrWordPos + 8 + offsetWords * 8
+          vs(i) = new String(msg, bodyPos, count - 1, // drop NUL
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
         p += 1
       }
       i += 1
@@ -180,8 +190,7 @@ object CapnProtoIO {
 
   /** Read a CapnProtoIO-written directory back with `schema`. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".capnp")).map(_.getAbsolutePath).toSeq
+    val files = RowBinaryIO.listPartFiles(path, ".capnp")
     val fields = schema.fields
     val l = layout(fields)
     val rdd = spark.sparkContext

@@ -130,8 +130,7 @@ object MsgPackIO {
   /** Read a MsgPackIO-written directory back with `schema`, one task per
     * file, streaming rows. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".msgpack")).map(_.getAbsolutePath).toSeq
+    val files = RowBinaryIO.listPartFiles(path, ".msgpack")
     val fields = schema.fields
     val n = fields.length
     val rdd = spark.sparkContext

@@ -132,8 +132,7 @@ object NativeIO {
   /** Read a NativeIO-written directory back with `schema`, one task per
     * file, one block in memory at a time. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".native")).map(_.getAbsolutePath).toSeq
+    val files = RowBinaryIO.listPartFiles(path, ".native")
     val fields = schema.fields
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.size))

@@ -145,8 +145,7 @@ object ProtoIO {
 
   /** Read a ProtoIO-written directory back with `schema`. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".pb")).map(_.getAbsolutePath).toSeq
+    val files = RowBinaryIO.listPartFiles(path, ".pb")
     val fields = schema.fields
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, files.size))

@@ -29,6 +29,18 @@ object RowBinaryIO {
   }
 
 
+  /** List the part files of a row-format directory, failing descriptively
+    * on a missing/non-directory path (File.listFiles returns null there,
+    * which would otherwise surface as an opaque NPE in the caller). */
+  private[sources] def listPartFiles(path: String, suffix: String): Seq[String] = {
+    val dir = new java.io.File(path)
+    val files = dir.listFiles()
+    if (files == null)
+      throw new java.io.FileNotFoundException(
+        s"$path is not a readable directory (expected *$suffix part files)")
+    files.filter(_.getName.endsWith(suffix)).map(_.getAbsolutePath).toSeq
+  }
+
   /** Register stream close on task completion — early-terminated scans
     * (limit/take) abandon decode iterators before EOF, and the
     * close-at-EOF path alone would leak one handle per such task. */
@@ -48,6 +60,8 @@ object RowBinaryIO {
   private[sources] def readVarUInt(in: java.io.InputStream): Long = {
     var v = 0L; var shift = 0
     while (true) {
+      if (shift >= 64)
+        throw new java.io.IOException("RowBinaryIO: varUInt longer than 64 bits (corrupt stream)")
       val b = in.read()
       if (b < 0) throw new java.io.EOFException("RowBinaryIO: EOF in varUInt")
       v |= (b & 0x7fL) << shift
@@ -164,8 +178,7 @@ object RowBinaryIO {
     * the expected column count, then skipped — reference
     * `BinaryRowInputFormat::readPrefix`). */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".rowbinary")).map(_.getAbsolutePath).toSeq
+    val files = listPartFiles(path, ".rowbinary")
     val fields = schema.fields
     val n = fields.length
     val rdd = spark.sparkContext
