@@ -69,11 +69,60 @@ object WalSource {
       .text(dir)
       .select(col("value"), current_timestamp().as("_wal_time"))
 
+  /** One consumed broker record as seen by the streaming pipeline:
+    * `_wal_sn` is the broker offset = the commit sequence number. */
+  final case class BrokerRecord(value: String, _wal_partition: Int,
+                                _wal_sn: Long, _wal_time: java.sql.Timestamp)
+
+  /** Fake-broker transport: tails a [[FakeBroker]] into a MemoryStream so
+    * the FULL commit pipeline (consume → decode → idem dedup →
+    * checkpointed commit) actually executes against a replayable
+    * non-file source in this broker-less environment. Plays the role of
+    * `KafkaWALConsumer` (daisy `KafkaWAL.cpp` consume loop): [[pump]] is
+    * one consumer poll; the tail owns its fetch positions, the broker
+    * stays a dumb log. Swapping this for [[kafka]] changes one reader
+    * call — the record shape and pipeline are identical. */
+  final class BrokerTail(broker: FakeBroker, spark: SparkSession) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream: MemoryStream[BrokerRecord] = MemoryStream[BrokerRecord]
+    private val positions = Array.fill(broker.numPartitions)(0L)
+
+    /** One consumer poll over all partitions (consume batch cap `max`
+      * per partition, like `KafkaWAL.cpp` `max_rows`). Returns the
+      * number of records pulled into the stream. */
+    def pump(max: Int = 10000): Int = synchronized {
+      var n = 0
+      for (p <- 0 until broker.numPartitions) {
+        val recs = broker.fetch(p, positions(p), max)
+        if (recs.nonEmpty) {
+          stream.addData(recs.map(r =>
+            BrokerRecord(r.value, r.partition, r.offset, r.walTime)))
+          positions(p) = recs.last.offset + 1
+          n += recs.length
+        }
+      }
+      n
+    }
+
+    /** The WAL record shape shared with the kafka()/files() transports,
+      * keeping the SN and partition as metadata columns. */
+    def toDF: DataFrame =
+      stream.toDF().select(col("value"), col("_wal_time"),
+        col("_wal_partition"), col("_wal_sn"))
+  }
+
   /** Decode JSON WAL payloads to typed rows (the consumer side of
     * `KafkaWAL.cpp` deserializeBlock): malformed records become null
     * structs the caller can route to a dead-letter sink instead of
     * poisoning the commit loop. */
-  def decodeJson(wal: DataFrame, rowSchema: StructType): DataFrame =
-    wal.select(from_json(col("value"), rowSchema).as("row"), col("_wal_time"))
-      .select(col("row.*"), col("_wal_time"))
+  def decodeJson(wal: DataFrame, rowSchema: StructType): DataFrame = {
+    // keep every transport metadata column (_wal_time, and for the broker
+    // transport _wal_partition/_wal_sn) alongside the decoded payload
+    val meta = wal.columns.filter(_ != "value").map(col).toSeq
+    wal.select(from_json(col("value"), rowSchema).as("row") +: meta: _*)
+      .select(col("row.*") +: meta: _*)
+  }
 }
