@@ -3,25 +3,29 @@ package graft.functions
 import java.util.{HashSet => JHashSet}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** shingle_hashes(tokens, n) — distinct xxhash64 values of the word
+/** shingle_hashes(tokens, n) — distinct 64-bit FNV-1a hashes of the word
   * n-grams of a token array, in first-occurrence order, as one native
   * pass.
   *
   * Fuses what was a four-layer interpreted HOF chain
   * (indexed transform → slice → array_join, then filter, array_distinct,
-  * and a second transform for xxhash64) — per-element interpreted lambda
+  * and a second transform for the hash) — per-element interpreted lambda
   * evaluation there cost ~1.4 ms per 50-token document and dominated the
   * dedup benchmarks. Hash values are bit-identical to
-  * `xxhash64(array_join(slice(toks, i+1, n), " "))` (Spark's string
-  * xxhash64 = XXH64.hashUTF8String(s, 42)), and the distinct set equals
-  * the distinct shingle-string set (64-bit collisions ~ |shingles|²/2^64),
-  * so MinHash signatures, LSH buckets, and Jaccard counts are unchanged.
+  * `fnv1a64(array_join(slice(toks, i+1, n), " "))`
+  * ([[SimHash64.fnv1a64]] over UTF-8 bytes — FNV-1a rather than
+  * xxhash64 so the exact per-shingle hash is reproducible byte-for-byte
+  * in external engines and the DuckDB correctness oracle can mirror the
+  * whole MinHash/LSH pipeline, not just its row counts). The distinct
+  * hash set equals the distinct shingle-string set (64-bit collisions ~
+  * |shingles|²/2^64), so MinHash signatures, LSH buckets, and Jaccard
+  * counts are hash-choice-independent.
   *
   * Codegen emits a static call to [[ShingleHashes.compute]] so the
   * shingling projection stays inside WholeStageCodegen.
@@ -75,7 +79,7 @@ object ShingleHashes {
       val joined =
         if (p == n) UTF8String.concatWs(sep, parts: _*)
         else UTF8String.concatWs(sep, java.util.Arrays.copyOf(parts, p): _*)
-      val h = XXH64.hashUTF8String(joined, 42L)
+      val h = SimHash64.fnv1a64(joined)
       if (seen.add(h)) { out(outLen) = h; outLen += 1 }
       i += 1
     }

@@ -87,6 +87,30 @@ object SimHash64 {
   def fnv1a64(s: String): Long = fnv1a64(UTF8String.fromString(s))
 }
 
+/** fnv1a64(string) — the stable public FNV-1a 64-bit hash over UTF-8
+  * bytes, as a Column-usable expression. Used where a hash value must be
+  * reproducible OUTSIDE the JVM (LSH band buckets, shingle hashes): the
+  * byte-at-a-time xor/multiply loop is trivially re-expressible in any
+  * SQL engine, which is what lets the DuckDB oracles verify banding
+  * arithmetic bit-for-bit. */
+case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fnv1a64 requires string, got ${child.dataType}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.fnv1a64(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.SimHash64.fnv1a64($s);")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Expr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for custom scalar expressions.
   *
   * Custom expressions are registered into the session FunctionRegistry
@@ -122,6 +146,8 @@ object GraftScalar {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv1a64", exprs => Fnv1a64Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_arr", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -174,6 +200,8 @@ object GraftScalar {
   def murmurhash2_64(s0: Column): Column = call_function("murmurhash2_64", s0)
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  def fnv1a64(s: Column): Column = call_function("fnv1a64", s)
 
   def dotArr(a: Column, b: Column): Column = call_function("dot_arr", a, b)
 

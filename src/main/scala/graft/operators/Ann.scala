@@ -150,6 +150,58 @@ object Ann {
     (indexed, model.clusterCenters.map(_.toArray))
   }
 
+  /** Deterministic IVF build: fixed seeding (the `nlist` lowest-id
+    * vectors are the initial centroids) plus `iters` Lloyd steps — the
+    * same coarse-quantizer/inverted-cell structure as [[ivfIndex]], but
+    * with a fully specified, engine-independent construction so the
+    * probe + rerank path is value-reproducible and therefore
+    * ORACLE-ABLE: the DuckDB gate recomputes the identical seeding,
+    * assignment (euclidean distance, cell-index tie-break), element-wise
+    * centroid means, and probing. [[ivfIndex]] (Spark ML k-means||)
+    * remains the production builder — its random-init quality is better,
+    * but its output depends on the ML library's internals, which no
+    * external oracle can replay.
+    *
+    * Each Lloyd step is two narrow passes over the corpus (assign:
+    * codegen'd distance columns + one struct-min; update: posexplode +
+    * per-(cell,dim) avg) — no crossJoin, no driver-side data beyond the
+    * nlist×dim centroid table, exactly like [[ivfTopK]]'s probe. */
+  def ivfIndexDeterministic(df: DataFrame, idCol: String, embCol: String,
+                            nlist: Int, iters: Int = 1): (DataFrame, Array[Array[Double]]) = {
+    val e = df.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("emb"))
+    var centers: Array[Array[Double]] = e.orderBy(col("id")).limit(nlist)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    val dim = centers.head.length
+
+    // nearest centroid by (euclidean distance, cell) — the distance is
+    // sqrt(sum of squared diffs) in exactly the oracle's formula
+    def assigned: DataFrame = {
+      val cands = centers.zipWithIndex.map { case (c, i) =>
+        val cl = array(c.map(lit).toIndexedSeq: _*)
+        struct(
+          sqrt(aggregate(zip_with(col("emb"), cl, (x, y) => (x - y) * (x - y)),
+            lit(0.0), _ + _)).as("d"),
+          lit(i).as("c"))
+      }
+      e.withColumn("cell", array_min(array(cands.toIndexedSeq: _*)).getField("c"))
+    }
+
+    for (_ <- 0 until iters) {
+      val a = assigned
+      // element-wise mean per cell (the Lloyd update), one narrow agg
+      val means = a.select(col("cell"), posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("mv"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
+        .select(col("cell"), transform(col("ms"), s => s.getField("mv")).as("cent"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centers = Array.tabulate(centers.length)(i => means.getOrElse(i, centers(i)))
+      assert(means.forall(_._2.length == dim))
+    }
+    (assigned.select(col("id"), col("cell"), col("emb")), centers)
+  }
+
   /** Search an [[ivfIndex]]: probe the `nprobe` cells whose centroids are
     * closest to the query (computed on the driver over nlist values),
     * exact cosine top-k inside those cells only. */

@@ -97,12 +97,14 @@ object Dedup {
     // (band, bucket, id) ONLY — shingle payloads are NOT carried through
     // the band join (carrying them multiplied shuffle volume 16× and
     // dominated runtime).
+    // bucket = fnv1a64("<band>|<sig slice joined>") — FNV-1a (not
+    // xxhash64) so the DuckDB oracle can recompute the exact buckets
     val banded = sigs.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, array_join(
+        b => GraftScalar.fnv1a64(concat(b.cast("string"), lit("|"), array_join(
           transform(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
-            h => h.cast("string")), ",")))))
+            h => h.cast("string")), ","))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 

@@ -81,11 +81,13 @@ object DataOps extends QueryModule {
         queryVector(s, dir), k = 10, bands = 2, rowsPerBand = 4)
     }),
 
-    // IVF coarse-quantizer ANN (rows-only; recall asserted in
-    // DataOpsSpec): k-means cells, nprobe-nearest probed, exact rerank.
+    // IVF coarse-quantizer ANN: deterministic fixed-seed Lloyd build so
+    // the oracle can replay cell assignment + probing + rerank exactly
+    // (the ML k-means|| builder stays the production path; recall and
+    // plan shape are asserted on it in DataOpsSpec/PlanSpec).
     "q_ann_ivf_topk" -> ((s, dir) => {
-      val (index, centers) = Ann.ivfIndex(
-        t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 8)
+      val (index, centers) = Ann.ivfIndexDeterministic(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 8, iters = 1)
       Ann.ivfTopK(Tables.registerScratch(index.persist()), centers,
         queryVector(s, dir), k = 10, nprobe = 3)
     }),
@@ -158,7 +160,170 @@ object DataOps extends QueryModule {
       Multimodal.extractFeatures(media).toDF()
     }))
 
+  // ---- DuckDB mirrors of the hash/banding arithmetic ----
+  // The dedup/ANN oracles recompute the EXACT pipeline — FNV-1a shingle
+  // and bucket hashes, XXH64.hashLong signature hashing, sign-band and
+  // Lloyd quantizer assignment — so a drift in any banding constant or
+  // hash step fails the gate (rows-only checks could not see that).
+
+  private val M64 = "18446744073709551616" // 2^64
+
+  /** FNV-1a 64 over the UTF-8 bytes of `s` (mirrors [[graft.functions.SimHash64.fnv1a64]];
+    * the test corpus is ASCII so ord() == byte). */
+  private def fnvSql(s: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(range(1, strlen($s)+1), fi -> ord(substr($s, fi, 1))::HUGEINT)),
+       |   (fh, fb) -> (xor(fh::UBIGINT, fb::UBIGINT)::HUGEINT * 1099511628211) % $M64)""".stripMargin
+
+  /** (a * p) mod 2^64 without HUGEINT overflow (a < 2^64). */
+  private def mulmodSql(a: String, p: java.math.BigInteger): String = {
+    val lo = s"((($a % 4294967296) * $p) % $M64)"
+    val hi = s"(((($a >> 32) * $p) % 4294967296) * 4294967296)"
+    s"($lo + $hi) % $M64"
+  }
+  private def big(l: Long): java.math.BigInteger =
+    new java.math.BigInteger(java.lang.Long.toUnsignedString(l))
+
+  /** Sign-band signature of `emb` (DOUBLE[]) for band `b`, rowsPerBand
+    * bits — mirrors [[graft.operators.Ann.signBandSignature]]. */
+  private def signBandSql(emb: String, b: Int, rowsPerBand: Int): String =
+    (0 until rowsPerBand).map { i =>
+      s"(CASE WHEN $emb[${b * rowsPerBand + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** The q_dedup_minhash oracle: FNV-1a shingle hashes → 64 XXH64.hashLong
+    * signature mins (unrolled into DISTINCT-fenced projection stages —
+    * every step is bijective in the shingle hash, so DISTINCT is a
+    * semantic no-op that stops DuckDB's projection fusion from
+    * re-expanding the shared subterms ~2000x) → FNV-1a band buckets →
+    * same-bucket pairs → exact-Jaccard verification. */
+  private def minhashOracle: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val P1 = big(-7046029288634856825L) // 0x9E3779B185EBCA87
+    val P2 = big(-4417276706812531889L) // 0xC2B2AE3D27D4EB4F
+    val P3 = big(1609587929392839161L)
+    val P4 = big(-8796714831421723037L) // 0x85EBCA77C2B2AE63
+    val P5 = big(2870177450012600261L)
+    val initAdd = P5.add(java.math.BigInteger.valueOf(8)) // seed + P5 + 8
+    val seeds = (0 until 64).map(i =>
+      java.lang.Long.toUnsignedString(XXH64.hashInt(i, 42L)))
+    s"""WITH d AS (SELECT doc_id AS id,
+       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |shs AS (SELECT id, list_distinct(list_filter(
+       |    list_transform(toks, (x, i) -> CASE WHEN i <= len(toks) - 2
+       |      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+       |    s -> s IS NOT NULL)) AS sh FROM d),
+       |hashed AS (SELECT id, list_transform(sh, sg -> ${fnvSql("sg")}) AS hs
+       |  FROM shs WHERE len(sh) > 0),
+       |expl AS (SELECT id, unnest(hs) AS hv FROM hashed),
+       |seedt AS (SELECT sdi.si AS si,
+       |    ([${seeds.map(_ + "::HUGEINT").mkString(",")}])[sdi.si+1] AS sd
+       |  FROM (SELECT unnest(range(64)) AS si) sdi),
+       |x0 AS (SELECT DISTINCT id, si, hv AS l, (sd + $initAdd) % $M64 AS h FROM expl, seedt),
+       |x1 AS (SELECT DISTINCT id, si, h, ${mulmodSql("l", P2)} AS t FROM x0),
+       |x2 AS (SELECT DISTINCT id, si, h, ((t * ${1L << 31}) % $M64 + (t >> 33)) AS t FROM x1),
+       |x3 AS (SELECT DISTINCT id, si, xor(h::UBIGINT, (${mulmodSql("t", P1)})::UBIGINT)::HUGEINT AS h FROM x2),
+       |x4 AS (SELECT DISTINCT id, si, ((h * ${1L << 27}) % $M64 + (h >> 37)) AS t FROM x3),
+       |x5 AS (SELECT DISTINCT id, si, (${mulmodSql("t", P1)} + $P4) % $M64 AS h FROM x4),
+       |x6 AS (SELECT DISTINCT id, si, ${mulmodSql("xor(h::UBIGINT, (h >> 33)::UBIGINT)::HUGEINT", P2)} AS h FROM x5),
+       |x7 AS (SELECT DISTINCT id, si, ${mulmodSql("xor(h::UBIGINT, (h >> 29)::UBIGINT)::HUGEINT", P3)} AS h FROM x6),
+       |x8 AS (SELECT id, si, xor(h::UBIGINT, (h >> 32)::UBIGINT)::HUGEINT AS h FROM x7),
+       |sigv AS (SELECT id, si, min(CASE WHEN h >= 9223372036854775808
+       |    THEN (h - $M64)::BIGINT ELSE h::BIGINT END) AS sv
+       |  FROM x8 GROUP BY id, si),
+       |sigs AS (SELECT id, list(sv ORDER BY si) AS sig FROM sigv GROUP BY id),
+       |bands AS (SELECT id, bd.b AS band,
+       |    ${fnvSql("(bd.b::VARCHAR || '|' || array_to_string(sig[bd.b*4+1 : bd.b*4+4], ','))")} AS bucket
+       |  FROM sigs, (SELECT unnest(range(16)) AS b) bd),
+       |grp AS (SELECT band, bucket, list(id ORDER BY id) AS ids
+       |  FROM bands GROUP BY band, bucket HAVING count(*) > 1),
+       |cand AS (SELECT DISTINCT t1.ia AS id_a, t2.ib AS id_b
+       |  FROM grp, unnest(grp.ids) t1(ia), unnest(grp.ids) t2(ib) WHERE t1.ia < t2.ib)
+       |SELECT c.id_a, c.id_b,
+       |  round(len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4) AS jaccard
+       |FROM cand c JOIN hashed ha ON ha.id = c.id_a JOIN hashed hb ON hb.id = c.id_b
+       |WHERE round(len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4) >= 0.5""".stripMargin
+  }
+
+  /** The q_dedup_simhash oracle: FNV-1a token hashes → per-bit +1/-1
+    * votes → 64-bit fingerprint → 4x16-bit chunk blocking → Hamming
+    * filter. Mirrors [[graft.operators.Dedup.simhashPairs]]. */
+  private def simhashOracle: String =
+    s"""WITH d AS (SELECT doc_id AS id,
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |tok AS (SELECT id, unnest(string_split(t, ' ')) AS tk FROM d),
+       |th AS (SELECT id, ${fnvSql("tk")} AS h FROM tok),
+       |votes AS (SELECT id, bits.b AS b,
+       |    sum(CASE WHEN ((h >> bits.b) % 2) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, (SELECT unnest(range(64)) AS b) bits GROUP BY id, bits.b),
+       |fpt AS (SELECT id, sum(CASE WHEN v > 0 THEN ((1::UBIGINT << b))::HUGEINT
+       |    ELSE 0::HUGEINT END) AS fp
+       |  FROM votes GROUP BY id),
+       |ch AS (SELECT id, fp, ci.i AS chunk_id, (fp >> (ci.i*16)) % 65536 AS chunk
+       |  FROM fpt, (SELECT unnest(range(4)) AS i) ci),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+       |  FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.id < b.id)
+       |SELECT id_a, id_b, bit_count(xor(fp_a::UBIGINT, fp_b::UBIGINT))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(fp_a::UBIGINT, fp_b::UBIGINT)) <= 3""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracle,
+
+    "q_dedup_simhash" -> simhashOracle,
+
+    // mirrors Ann.lshTopK(bands=2, rowsPerBand=4): candidates agree with
+    // the query on at least one band's sign signature, exact cosine rerank
+    "q_ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |s AS (SELECT vec_id, emb, ${signBandSql("emb", 0, 4)} AS s0,
+         |    ${signBandSql("emb", 1, 4)} AS s1 FROM e),
+         |qs AS (SELECT ${signBandSql("qe", 0, 4)} AS s0,
+         |    ${signBandSql("qe", 1, 4)} AS s1 FROM q)
+         |SELECT s.vec_id AS id, round(list_cosine_similarity(s.emb, q.qe), 6) AS cosine
+         |FROM s, qs, q WHERE s.s0 = qs.s0 OR s.s1 = qs.s1
+         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    // mirrors Ann.ivfIndexDeterministic(nlist=8, iters=1) + ivfTopK(
+    // nprobe=3, k=10): fixed seeding by the 8 lowest vec_ids, one Lloyd
+    // step (assign by (euclidean, cell), element-wise mean), probe the 3
+    // nearest cells, exact cosine top-10. The distance is the same
+    // left-fold sum of squared diffs as the Spark side's aggregate().
+    "q_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cent
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |a0 AS (SELECT vec_id, emb, cell FROM (
+        |  SELECT e.vec_id, e.emb, c0.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(range(1, len(e.emb)+1),
+        |          di -> (e.emb[di]-c0.cent[di])*(e.emb[di]-c0.cent[di]))),
+        |        (ax, ay) -> ax + ay)), c0.cell) AS rn
+        |  FROM e, c0) WHERE rn = 1),
+        |mv AS (SELECT cell, pos, avg(val) AS m FROM (
+        |  SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val FROM a0)
+        |  GROUP BY cell, pos),
+        |c1 AS (SELECT cell, list(m ORDER BY pos) AS cent FROM mv GROUP BY cell),
+        |a1 AS (SELECT vec_id, emb, cell FROM (
+        |  SELECT e.vec_id, e.emb, c1.cell, row_number() OVER (
+        |      PARTITION BY e.vec_id ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(range(1, len(e.emb)+1),
+        |          di -> (e.emb[di]-c1.cent[di])*(e.emb[di]-c1.cent[di]))),
+        |        (ax, ay) -> ax + ay)), c1.cell) AS rn
+        |  FROM e, c1) WHERE rn = 1),
+        |probe AS (SELECT c1.cell FROM c1, q
+        |  ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, len(q.qe)+1),
+        |        di -> (q.qe[di]-c1.cent[di])*(q.qe[di]-c1.cent[di]))),
+        |      (ax, ay) -> ax + ay)), c1.cell LIMIT 3)
+        |SELECT a1.vec_id AS id, round(list_cosine_similarity(a1.emb, q.qe), 6) AS cosine
+        |FROM a1, q WHERE a1.cell IN (SELECT cell FROM probe)
+        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
     "q_dedup_components" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT o_orderkey % 300 AS a, 300 + (o_custkey % 300) AS b

@@ -55,7 +55,8 @@ class DataOpsSpec extends AnyFunSuite {
       2L -> "a b",                                              // shorter than n
       3L -> "x y z")                                            // exactly n
       .withColumn("toks", Dedup.tokenize(col("text")))
-    val hof = transform(Dedup.shinglesFromToks(col("toks"), 3), s => xxhash64(s))
+    val hof = transform(Dedup.shinglesFromToks(col("toks"), 3),
+      s => GraftScalar.fnv1a64(s))
     val rows = d.select(col("doc_id"),
       GraftScalar.shingleHashes(col("toks"), 3).as("native"), hof.as("ref")).collect()
     rows.foreach { r =>
