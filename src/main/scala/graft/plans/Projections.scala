@@ -35,9 +35,17 @@ import org.apache.spark.storage.StorageLevel
   *
   * At 100 TB the same trade holds — a projection is one extra stored
   * copy of the hot columns, bucketed by the hot key at write time, and
-  * every aggregation it serves saves a full-table shuffle. Projections
-  * are point-in-time snapshots of the base data (the reference's MVs
-  * have the same freshness contract, refreshed on ingest).
+  * every aggregation it serves saves a full-table shuffle.
+  *
+  * Freshness follows the reference's materialized views, which are
+  * refreshed BY the insert path (`src/Storages/StorageMaterializedView
+  * .cpp` — every block written to the base table is pushed through the
+  * view's pipeline): each ingest that appends to a file-backed base
+  * table calls [[invalidatePath]], which re-lists the base's file index
+  * and rebuilds every projection registered over it, so routed queries
+  * see exactly what a fresh scan of the base sees. Bases that are
+  * in-memory caches define their own snapshot — a projection over a
+  * cached base is exactly as fresh as the cache, never staler.
   */
 object Projections {
 
@@ -46,9 +54,16 @@ object Projections {
       partitionCols: Seq[String],         // lower-cased
       carried: Set[String],               // lower-cased
       projPlan: LogicalPlan,              // optimized (InMemoryRelation) plan
-      projDf: DataFrame)
+      projDf: DataFrame,
+      base: DataFrame,                    // lineage holder for rebuilds
+      columnsOrdered: Seq[String],        // register() args, for rebuilds
+      partitionColsOrdered: Seq[String],
+      basePaths: Set[String])             // normalized file-source roots
 
   private val registry = new java.util.concurrent.CopyOnWriteArrayList[ProjDef]()
+  // guards the find-or-build in register() and the rebuild in
+  // invalidatePath(); routing only reads the COW list, lock-free
+  private val lock = new Object
 
   /** Raw (NOT canonicalized) single leaf — the routing rule replaces the
     * leaf by reference (`eq`), so the original node is required here;
@@ -59,39 +74,97 @@ object Projections {
       case _ => None
     }
 
-  /** Build, cache and register a projection of `base`: `columns`,
-    * hash-partitioned on `partitionCols`. Returns the projection
-    * DataFrame (already materialized). Re-registering the same
-    * (base, partitioning, columns) triple returns the existing one. */
-  def register(spark: SparkSession, base: DataFrame,
-               partitionCols: Seq[String], columns: Seq[String]): DataFrame = {
-    val pcLower = partitionCols.map(_.toLowerCase)
-    val carried = columns.map(_.toLowerCase).toSet
-    require(pcLower.forall(carried), "partition columns must be carried")
-    val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
-      .getOrElse(throw new IllegalArgumentException(
-        "Projections.register: base must scan a single relation"))
-    registry.asScala.find { p =>
-      p.baseLeafCanonical == baseLeaf.canonicalized &&
-        p.partitionCols == pcLower && p.carried == carried
-    }.foreach(p => return p.projDf)
+  /** File-source root paths scanned by `df`, scheme-stripped so callers
+    * can invalidate by plain local path. */
+  private def rootPathsOf(df: DataFrame): Set[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten.toSet
+
+  /** Materialize one projection build: narrow select, hash-repartition
+    * on the hot key, cache, and force so the captured optimized plan is
+    * the cache scan. Shared by register() and the refresh path. */
+  private def build(base: DataFrame, partitionCols: Seq[String],
+                    columns: Seq[String]): (LogicalPlan, DataFrame) = {
     val proj = base
       .select(columns.map(col): _*)
       .repartition(partitionCols.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    proj.count() // materialize so the optimized plan below is the cache scan
-    val projPlan = proj.queryExecution.optimizedPlan
-    registry.add(ProjDef(baseLeaf.canonicalized, pcLower, carried, projPlan, proj))
-    // a projection has the same rows as its base, so its per-column NDV
-    // and row count are the base's — inherit them so SkipPartialAgg's
-    // leaf-scoped stats decision still fires on routed plans.
-    leafOf(projPlan).foreach(pl => TableStats.inherit(baseLeaf, pl, carried))
-    install(spark)
-    proj
+    proj.count()
+    (proj.queryExecution.optimizedPlan, proj)
   }
 
+  /** Build, cache and register a projection of `base`: `columns`,
+    * hash-partitioned on `partitionCols`. Returns the projection
+    * DataFrame (already materialized). Re-registering the same
+    * (base, partitioning, columns) triple returns the existing one;
+    * concurrent registrations of the same triple build it once. */
+  def register(spark: SparkSession, base: DataFrame,
+               partitionCols: Seq[String], columns: Seq[String]): DataFrame =
+    lock.synchronized {
+      val pcLower = partitionCols.map(_.toLowerCase)
+      val carried = columns.map(_.toLowerCase).toSet
+      require(pcLower.forall(carried), "partition columns must be carried")
+      val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
+        .getOrElse(throw new IllegalArgumentException(
+          "Projections.register: base must scan a single relation"))
+      registry.asScala.find { p =>
+        p.baseLeafCanonical == baseLeaf.canonicalized &&
+          p.partitionCols == pcLower && p.carried == carried
+      }.foreach(p => return p.projDf)
+      val (projPlan, proj) = build(base, partitionCols, columns)
+      registry.add(ProjDef(baseLeaf.canonicalized, pcLower, carried, projPlan,
+        proj, base, columns, partitionCols, rootPathsOf(base)))
+      // a projection has the same rows as its base, so its per-column NDV
+      // and row count are the base's — inherit them so SkipPartialAgg's
+      // leaf-scoped stats decision still fires on routed plans.
+      leafOf(projPlan).foreach(pl => TableStats.inherit(baseLeaf, pl, carried))
+      install(spark)
+      proj
+    }
+
+  /** Insert-triggered projection refresh — the ingest paths (Catalog
+    * ingest/ingestRaw, WalCommitter.commitBatch) call this after
+    * appending files under `path`. Every projection whose base scans
+    * that path is dropped and rebuilt: the base's file index is
+    * re-listed first (same mechanism as `spark.catalog.refreshByPath`),
+    * so both the rebuilt projection and any later un-routed scan of the
+    * same base lineage see the appended rows. */
+  def invalidatePath(path: String): Unit = lock.synchronized {
+    if (registry.isEmpty) return
+    val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    registry.asScala.zipWithIndex.foreach { case (p, i) =>
+      if (p.basePaths.contains(target)) {
+        p.projDf.unpersist(false)
+        p.base.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.refresh()
+              case _ =>
+            }
+          case _ =>
+        }
+        val (projPlan, proj) =
+          build(p.base, p.partitionColsOrdered, p.columnsOrdered)
+        registry.set(i, p.copy(projPlan = projPlan, projDf = proj))
+        for (bl <- leafOf(p.base.queryExecution.optimizedPlan);
+             pl <- leafOf(projPlan))
+          TableStats.inherit(bl, pl, p.carried)
+      }
+    }
+  }
+
+  /** Number of registered projections (spec hook). */
+  private[graft] def registeredCount: Int = registry.size()
+
   /** Unpersist and drop every registered projection. */
-  def clear(): Unit = {
+  def clear(): Unit = lock.synchronized {
     registry.forEach(p => p.projDf.unpersist(false): Unit)
     registry.clear()
   }

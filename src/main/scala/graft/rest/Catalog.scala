@@ -160,6 +160,10 @@ class Catalog(spark: SparkSession, root: String) {
       else bucketed
     arranged.write.mode("append")
       .partitionBy(TimeTable.BucketCol).parquet(dataPath(name))
+    // insert-triggered projection refresh (the reference pushes every
+    // inserted block through dependent MVs; our equivalent re-lists and
+    // rebuilds projections registered over this table's path)
+    graft.plans.Projections.invalidatePath(dataPath(name))
     n
   }
 
@@ -222,6 +226,7 @@ class Catalog(spark: SparkSession, root: String) {
       .sortWithinPartitions(col("sourcetype"))
       .write.mode("append")
       .partitionBy(TimeTable.BucketCol).parquet(dataPath(name))
+    graft.plans.Projections.invalidatePath(dataPath(name))
     n
   }
 

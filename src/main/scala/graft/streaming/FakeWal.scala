@@ -272,6 +272,9 @@ final class WalCommitter(tablePath: String, maxIdemKeys: Int = 100000) {
             col("_idem").isNull || !col("_idem").isInCollection(known))
         deduped.drop("_wal_partition", "_wal_sn")
           .write.mode("append").parquet(tablePath)
+        // commit hook: refresh projections registered over this table
+        // (reference: inserts push blocks through dependent MVs)
+        graft.plans.Projections.invalidatePath(tablePath)
         val newKeys = rows.select("_idem").na.drop().distinct().as[String].collect()
         seenIdem.synchronized(newKeys.foreach(k => seenIdem.put(k, java.lang.Boolean.TRUE)))
         ranges.foreach { case (p, lo, hi) =>
