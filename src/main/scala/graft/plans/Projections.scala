@@ -121,9 +121,12 @@ object Projections {
       registry.add(ProjDef(baseLeaf.canonicalized, pcLower, carried, projPlan,
         proj, base, columns, partitionCols, rootPathsOf(base)))
       // a projection has the same rows as its base, so its per-column NDV
-      // and row count are the base's — inherit them so SkipPartialAgg's
-      // leaf-scoped stats decision still fires on routed plans.
-      leafOf(projPlan).foreach(pl => TableStats.inherit(baseLeaf, pl, carried))
+      // and row count are the base's — inherit them (by attribute
+      // identity: the projection keeps the base's exprIds) so
+      // SkipPartialAgg's leaf-scoped stats decision fires on routed
+      // plans too.
+      leafOf(projPlan).foreach(pl =>
+        TableStats.inherit(baseLeaf, pl, projPlan.output))
       install(spark)
       proj
     }
@@ -155,7 +158,7 @@ object Projections {
         registry.set(i, p.copy(projPlan = projPlan, projDf = proj))
         for (bl <- leafOf(p.base.queryExecution.optimizedPlan);
              pl <- leafOf(projPlan))
-          TableStats.inherit(bl, pl, p.carried)
+          TableStats.inherit(bl, pl, projPlan.output)
       }
     }
   }

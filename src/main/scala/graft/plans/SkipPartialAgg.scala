@@ -54,7 +54,9 @@ object SkipPartialAgg extends SparkStrategy {
   /** Stats verdict: estimated groups >= ratio * rows, with every grouping
     * attribute analyzed FOR THE RELATION THIS AGGREGATE SCANS (stats are
     * leaf-scoped — another table's same-named column never fires here;
-    * multi-relation children veto). Non-attribute expressions
+    * multi-relation children veto) AND resolved BY ATTRIBUTE IDENTITY
+    * (exprId, not name — a column renamed to an analyzed name is a
+    * different attribute, misses, and vetoes). Non-attribute expressions
     * (minute(ts), regexp_extract(url), literals) can only LOWER the true
     * group count versus their inputs, so they multiply by 1; an
     * aggregate whose keys are all such expressions never fires. */
@@ -74,7 +76,7 @@ object SkipPartialAgg extends SparkStrategy {
       }
       e match {
         case ar: AttributeReference =>
-          TableStats.ndv(leaf, ar.name) match {
+          TableStats.ndv(leaf, ar.exprId) match {
             case Some((n, r)) =>
               sawAttr = true
               product = math.min(product * math.max(n, 1L), 1e18)

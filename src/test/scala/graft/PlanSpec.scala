@@ -176,6 +176,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("TableStats are identity-keyed: renames and other tables cannot cross-fire") {
+    import graft.plans.{SkipPartialAgg, TableStats}
+    val df = spark.range(20000)
+      .select(col("id").as("user_id"), (col("id") % 4).as("region_id"))
+    TableStats.analyze(df)
+    SkipPartialAgg.register(spark)
+    try {
+      def plan(q: DataFrame): String = q.queryExecution.executedPlan.toString
+      // another table with the SAME column name, unanalyzed: veto
+      val other = spark.range(64).select((col("id") % 2).as("user_id"))
+      assert(plan(other.groupBy("user_id").agg(count(lit(1))))
+        .contains("partial_count"), "foreign same-named column cross-fired")
+      // the low-card column RENAMED to the high-card name: attribute
+      // identity says 4 distinct values — a name-keyed lookup would have
+      // borrowed user_id's 20000 NDV and wrongly skipped the partial agg
+      val renamed = df.select(col("region_id").as("user_id"))
+        .groupBy("user_id").agg(count(lit(1)))
+      assert(plan(renamed).contains("partial_count"),
+        "renamed low-card column borrowed the high-card name's stats")
+      // sanity: the genuine high-card attribute still fires
+      assert(!plan(df.groupBy("user_id").agg(count(lit(1))))
+        .contains("partial_count"), "identity-keyed stats lost the hit")
+      // re-registration evicts: an attribute absent from the new analyze
+      // pass must veto again, not serve stale numbers
+      TableStats.analyze(df, Seq("region_id"))
+      assert(plan(df.groupBy("user_id").agg(count(lit(1))))
+        .contains("partial_count"), "stale stats survived re-registration")
+    } finally {
+      TableStats.clear()
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == SkipPartialAgg)
+    }
+  }
+
   test("projection routing: covered agg is shuffle-free, uncovered is not") {
     import graft.plans.Projections
     val base = spark.range(50000)
