@@ -30,6 +30,36 @@ object Formats extends QueryModule {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // Template format (reference TemplateBlockOutputFormat /
+    // TemplateRowInputFormat): user format string with per-column
+    // serializations, compiled to one concat projection on write and
+    // one anchored regex on read (TemplateIO).
+    "q_format_template" -> ((s, dir) => {
+      val out = scratch(dir) + "/customer_tpl"
+      val tpl = "cust ${c_custkey:Raw}: name=${c_name:Quoted} " +
+        "seg=${c_mktsegment:CSV} bal=${c_acctbal:Raw}"
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.TemplateIO.write(customer, out, tpl)
+      graft.sources.TemplateIO.read(s, out, tpl, customer.schema)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("c_acctbal")), 2).as("bal"),
+          max(col("c_custkey")).as("max_key"),
+          min(col("c_name")).as("first_name"))
+    }),
+
+    // Null output format (reference NullFormat.cpp): the plan executes
+    // fully distributed and every row is discarded — Spark's noop sink.
+    // The returned aggregate proves the discarded rows were computed.
+    "q_format_null" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      graft.sources.NullIO.write(li)
+      li.agg(count(lit(1)).cast("long").as("n_discarded"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // TabSeparated round-trip (reference TabSeparatedRowInputFormat —
     // ClickHouse's default text format).
     "q_format_tsv" -> ((s, dir) => {
@@ -438,5 +468,15 @@ object Formats extends QueryModule {
 
     "q_format_tsv" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
-        |FROM supplier GROUP BY s_nationkey""".stripMargin)
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
+    "q_format_template" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+        | max(c_custkey) AS max_key, min(c_name) AS first_name
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q_format_null" ->
+      """SELECT count(*) AS n_discarded,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem""".stripMargin)
 }
