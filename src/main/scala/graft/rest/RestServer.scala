@@ -19,7 +19,9 @@ import graft.sql.Search
   *   POST   /dae/v1/ingest/tables/{t}     {columns, data} row ingest
   *                                        (IngestRestRouterHandler.cpp:17-97)
   *   GET    /dae/v1/ingest/statuses?poll_id=…  commit status
-  *   POST   /dae/v1/search                time-bounded SQL (SearchHandler.cpp)
+  *   POST   /dae/v1/search                time-bounded SQL (SearchHandler.cpp);
+  *                                        `watch:N` = live-view long-poll
+  *                                        (StorageLiveView periodic refresh)
   *   POST   /dae/v1/sqlanalyzer           EXPLAIN endpoint
   *   POST   /dae/v1/ddl/{t}/columns       add column (ColumnRestRouterHandler)
   *   DELETE /dae/v1/ddl/{t}/columns/{c}   drop column
@@ -225,7 +227,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
       val limit = opt("limit").map(_.asInt()).getOrElse(100)
       val effLimit = if (limit <= 0) RestServer.MaxResultRows else limit
       val offset = opt("offset").map(_.asInt()).getOrElse(0)
-      val df = (opt("start_time"), opt("end_time")) match {
+      def buildDf() = (opt("start_time"), opt("end_time")) match {
         case (Some(st), Some(en)) =>
           Search.timeBounded(spark, sql, st.asText(), en.asText(), effLimit, offset)
         case _ =>
@@ -233,10 +235,49 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
           val paged = if (offset > 0) base.offset(offset) else base
           paged.limit(effLimit)
       }
-      // Display formats (reference presentation family, FORMAT Pretty/
-      // Vertical/Markdown/XML): rendered server-side as text. These are
-      // row-capped terminal/report formats, not the streaming data path.
-      opt("format").map(_.asText()) match {
+      val df = buildDf()
+
+      // WATCH mode (reference live views, `StorageLiveView.h:84-88`
+      // periodic refresh + `ASTWatchQuery` LIMIT n): a chunked NDJSON
+      // long-poll that re-evaluates the query on an interval and emits
+      // a `{"version":k,"rows":[...]}` line each time the result
+      // CHANGES, closing after `watch` emissions (or the timeout). The
+      // views are re-registered per refresh, so each evaluation is a
+      // fresh scan that sees rows ingested since the previous one.
+      opt("watch").map(_.asInt()).filter(_ > 0) match {
+        case Some(nUpdates) =>
+          val intervalMs = opt("watch_interval_ms").map(_.asLong()).getOrElse(250L)
+          val timeoutMs = opt("watch_timeout_ms").map(_.asLong()).getOrElse(30000L)
+          ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+          ex.sendResponseHeaders(200, 0) // chunked
+          headersSent = true
+          val os = ex.getResponseBody
+          try {
+            var version = 0
+            var last: Seq[String] = null
+            val deadline = System.nanoTime() + timeoutMs * 1000000L
+            var current = df
+            while (version < nUpdates && System.nanoTime() < deadline) {
+              val rows = current.toJSON.collect().toSeq
+              if (rows != last) {
+                version += 1
+                last = rows
+                os.write((s"""{"version":$version,"rows":[""" +
+                  rows.mkString(",") + "]}\n").getBytes(UTF_8))
+                os.flush()
+              }
+              if (version < nUpdates) {
+                Thread.sleep(intervalMs)
+                catalog.registerViews() // fresh scans: see new ingests
+                current = buildDf()
+              }
+            }
+          } finally os.close()
+
+        // Display formats (reference presentation family, FORMAT Pretty/
+        // Vertical/Markdown/XML): rendered server-side as text. These are
+        // row-capped terminal/report formats, not the streaming data path.
+        case None => opt("format").map(_.asText()) match {
         case Some(fmt @ ("pretty" | "vertical" | "markdown" | "xml")) =>
           val rendered = fmt match {
             case "pretty" => graft.sources.TextRender.pretty(df)
@@ -271,6 +312,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
             }
             os.write("]}".getBytes(UTF_8))
           } finally os.close()
+        }
       }
     } catch {
       case e: Throwable if !headersSent =>

@@ -164,6 +164,42 @@ class RestSpec extends AnyFunSuite {
     assert(bd.contains("\"id\":49999"), bd.takeRight(200))
   }
 
+  test("watch long-poll re-emits the refreshed result as data changes") {
+    // WATCH (reference live views: periodic refresh, ASTWatchQuery
+    // LIMIT n): the chunked NDJSON stream must deliver version 1
+    // immediately, then version 2 only after new rows are ingested —
+    // each refresh is a fresh scan of the table.
+    val conn = new java.net.URI(base + "/search").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.getOutputStream.write(
+      """{"query":"SELECT count(*) AS n FROM logs","watch":2,
+        |"watch_interval_ms":200}""".stripMargin.getBytes("UTF-8"))
+    conn.getOutputStream.close()
+    assert(conn.getResponseCode == 200)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+    val line1 = reader.readLine()
+    assert(line1.startsWith("""{"version":1,"""), line1)
+    val n1 = """"n":(\d+)""".r.findFirstMatchIn(line1).get.group(1).toLong
+
+    // no change yet → nothing new arrives; now ingest one more row
+    val (ic, ib) = post("/ingest/tables/logs",
+      """{"columns":["sourcetype","latency","_time","_idem"],
+        |"data":[["watchsrc","3.5","2024-03-03 08:00:00","w1"]]}""".stripMargin)
+    assert(ic == 200, ib)
+
+    val line2 = reader.readLine()
+    assert(line2 != null, "watch stream closed before the second refresh")
+    assert(line2.startsWith("""{"version":2,"""), line2)
+    val n2 = """"n":(\d+)""".r.findFirstMatchIn(line2).get.group(1).toLong
+    assert(n2 == n1 + 1, s"refresh did not see the ingested row: $n1 -> $n2")
+    assert(reader.readLine() == null, "stream must close after watch=2 updates")
+    reader.close()
+  }
+
   test("analyzer returns a physical plan without executing") {
     val (code, body) = post("/sqlanalyzer",
       """{"query":"SELECT sourcetype, avg(latency) FROM logs GROUP BY sourcetype"}""")
