@@ -49,21 +49,34 @@ object Sketches extends QueryModule {
     }),
 
     // quantileTDigest analogue: approx_percentile (Greenwald–Khanna
-    // summary; mergeable partial states internally). Accuracy 10^5 puts
-    // the rank error bound (n_group/accuracy) under one rank at the
-    // sf0.01 correctness gate (~30k rows/group → bound 0.3 < 1 rank), so
-    // the sketch answer IS the exact order statistic there and the
-    // oracle is DuckDB's quantile_disc (both sides take the
-    // ceil(p·n)-rank element). Unlike 10^6 (which buffered effectively
-    // every value — an O(n)-state aggregate at bench SF), 10^5 caps the
-    // retained-sample state at ~1e5 per group regardless of input size —
-    // the same bounded-state contract as the reference's TDigest
-    // (AggregateFunctionQuantile.cpp:124-165).
+    // summary; mergeable partial states internally). The GK rank-error
+    // bound is n_group/accuracy, so the sketch answer IS the exact order
+    // statistic — matching DuckDB's quantile_disc oracle, both sides
+    // taking the ceil(p·n)-rank element — whenever accuracy > n_group.
+    // Rather than a hard-coded constant whose exactness silently depends
+    // on the gate SF, probe the largest group and derive
+    //   accuracy = clamp(4 * maxGroup, 10^4, 10^5):
+    //  * theory says accuracy > n_group suffices (rank error < 1), but
+    //    Spark's merged-then-compressed partial summaries lose headroom:
+    //    measured at the sf0.01 gate (~30k rows/group), accuracy =
+    //    n_group + 1 is one rank off while ~3.3x n_group is exact — so
+    //    the derivation carries a 4x margin;
+    //  * the 10^5 ceiling is the bounded-state contract — the same cap
+    //    as the reference's TDigest (AggregateFunctionQuantile.cpp:
+    //    124-165); past ~2.5·10^4 rows/group (gate SF >= ~0.01 here the
+    //    clamp is already at the ceiling) exactness margin shrinks, and
+    //    a gate run at sf >= ~0.1 would need a rank-tolerant oracle
+    //    instead — that SF dependence is the price of bounded state.
+    // The probe is one map-side-combined count on a 3-value key — noise
+    // next to the quantile job itself.
     "q_quantile_approx" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_linestatus"))
-        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(100000)).as("median_approx"),
-             approx_percentile(col("l_extendedprice"), lit(0.95), lit(100000)).as("p95_approx"))
+      val li = t(s, dir, "lineitem")
+      val maxGroup = li.groupBy(col("l_linestatus")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      val accuracy = math.max(10000L, math.min(4 * maxGroup, 100000L)).toInt
+      li.groupBy(col("l_linestatus"))
+        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("median_approx"),
+             approx_percentile(col("l_extendedprice"), lit(0.95), lit(accuracy)).as("p95_approx"))
     }),
 
     // uniqTheta (daisy AggregateFunctionUniq.cpp:137, DataSketches theta):

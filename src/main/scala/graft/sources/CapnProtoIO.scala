@@ -162,6 +162,10 @@ object CapnProtoIO {
           val count = (ptr >>> 35).toInt
           require(count >= 1, s"CapnProtoIO: Text list count $count lacks NUL terminator")
           val bodyPos = ptrWordPos + 8 + offsetWords * 8
+          // A corrupt offset/count lands outside the message; surface a
+          // descriptive decode error, not StringIndexOutOfBounds.
+          require(bodyPos >= 0 && bodyPos + count <= msg.length,
+            s"CapnProtoIO: Text body [$bodyPos, ${bodyPos + count}) outside ${msg.length}-byte message")
           vs(i) = new String(msg, bodyPos, count - 1, // drop NUL
             java.nio.charset.StandardCharsets.UTF_8)
         }

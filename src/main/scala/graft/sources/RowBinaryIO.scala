@@ -64,6 +64,11 @@ object RowBinaryIO {
         throw new java.io.IOException("RowBinaryIO: varUInt longer than 64 bits (corrupt stream)")
       val b = in.read()
       if (b < 0) throw new java.io.EOFException("RowBinaryIO: EOF in varUInt")
+      // At shift 63 only the low bit of this byte still fits in 64 bits;
+      // any higher payload bit would be silently shifted out — reject the
+      // encoding as corrupt rather than decode a truncated value.
+      if (shift == 63 && (b & 0x7e) != 0)
+        throw new java.io.IOException("RowBinaryIO: varUInt overflows 64 bits (corrupt stream)")
       v |= (b & 0x7fL) << shift
       if ((b & 0x80) == 0) return v
       shift += 7
