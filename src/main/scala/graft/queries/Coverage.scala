@@ -30,6 +30,27 @@ object Coverage extends QueryModule {
           round(max(col("o_totalprice")), 2).as("hi"))
     }),
 
+    // Synthetic table functions (reference: numbers/zeros/values/input,
+    // `src/TableFunctions/registerTableFunctions.cpp:13-19`). Spark-first:
+    // `spark.range` IS numbers() — a distributed, fileless source split
+    // across partitions (numbers_mt); a literal Seq.toDF is values();
+    // generateRandom's role (deterministic synthetic payloads) is a
+    // Knuth-multiplicative hash of the row id, reproducible on both
+    // sides. The whole pipeline is one codegen stage per partition +
+    // one 2-group shuffle, then a broadcast join against the literal.
+    "q_source_numbers" -> ((s, dir) => {
+      import s.implicits._
+      val vals = Seq((0L, "even"), (1L, "odd")).toDF("par", "lbl")
+      s.range(0, 100000, 1, 16).toDF("n")
+        .select(col("n"), (col("n") % 2).as("par"),
+          ((col("n") * 2654435761L) % 1000000007L).as("h"))
+        .groupBy(col("par"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sum_n"),
+          sum(col("h")).as("sum_h"))
+        .join(broadcast(vals), "par")
+        .select(col("par"), col("lbl"), col("cnt"), col("sum_n"), col("sum_h"))
+    }),
+
     // entropy(x) (reference: AggregateFunctionEntropy.cpp — Shannon
     // entropy of the value distribution). Two-level aggregation: counts
     // per value, then -Σ p·log2(p); both shuffles carry only partials,
@@ -244,6 +265,14 @@ object Coverage extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_source_numbers" ->
+      """SELECT a.par::BIGINT AS par, v.lbl, a.cnt, a.sum_n, a.sum_h FROM (
+        |  SELECT n % 2 AS par, count(*)::BIGINT AS cnt,
+        |         sum(n)::BIGINT AS sum_n,
+        |         sum((n * 2654435761) % 1000000007)::BIGINT AS sum_h
+        |  FROM range(0, 100000) t(n) GROUP BY 1) a
+        |JOIN (VALUES (0, 'even'), (1, 'odd')) v(par, lbl) ON a.par = v.par""".stripMargin,
+
     "q_geo_geohash" ->
       """SELECT * FROM (VALUES
         |  (0::BIGINT, 'ezs42', 'ezs42e44', 'ezs42e44yx96', true),
