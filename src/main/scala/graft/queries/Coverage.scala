@@ -51,6 +51,46 @@ object Coverage extends QueryModule {
         .select(col("par"), col("lbl"), col("cnt"), col("sum_n"), col("sum_h"))
     }),
 
+    // TTL expiry as a checked batch job (reference: scheduled DELETE
+    // WHERE, TTLBlockInputStream.cpp). The query copies `orders` to a
+    // scratch dir, runs the real Maintenance.expireOlderThan rewrite
+    // (filtered rewrite + crash-recoverable swap), then aggregates the
+    // surviving table — so the gate checks the subsystem end-to-end
+    // (row counts AND content checksum), not just a filter expression.
+    "q_ttl_expiry" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_ttl/orders").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "orders").write.parquet(scratch)
+      val (_, dropped) = graft.operators.Maintenance.expireOlderThan(
+        s, scratch, "o_orderdate", "1996-01-01")
+      s.read.parquet(scratch).agg(
+          count(lit(1)).as("kept_rows"),
+          round(sum(col("o_totalprice")), 2).as("kept_total"),
+          min(col("o_orderdate")).cast("date").as("kept_min_date"))
+        .select(col("kept_rows"), col("kept_total"), col("kept_min_date"),
+          lit(dropped).as("dropped_rows"))
+    }),
+
+    // Markdown display renderer (reference MarkdownRowOutputFormat.cpp)
+    // checked line-by-line: render a deterministic 5-row result, split
+    // into (line_no, line) rows, and let DuckDB rebuild the same table
+    // from the markdown grammar — an independent reconstruction, not a
+    // pinned snapshot. Driver-side collect is the correct pattern here:
+    // display formats are terminal sinks (row-capped by contract).
+    "q_render_markdown" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+      val md = graft.sources.TextRender.markdown(src)
+      val lines = md.split("\n", -1).toSeq.dropRight(1) // trailing \n
+      lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("line_no", "line")
+    }),
+
     // entropy(x) (reference: AggregateFunctionEntropy.cpp — Shannon
     // entropy of the value distribution). Two-level aggregation: counts
     // per value, then -Σ p·log2(p); both shuffles carry only partials,
@@ -265,6 +305,23 @@ object Coverage extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_ttl_expiry" ->
+      """SELECT count(*)::BIGINT AS kept_rows,
+        |       round(sum(o_totalprice), 2) AS kept_total,
+        |       min(o_orderdate)::DATE AS kept_min_date,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderdate < '1996-01-01')::BIGINT AS dropped_rows
+        |FROM orders WHERE o_orderdate >= '1996-01-01'""".stripMargin,
+
+    "q_render_markdown" ->
+      """SELECT * FROM (
+        |  SELECT 0::BIGINT AS line_no, '| r_regionkey | r_name |' AS line
+        |  UNION ALL SELECT 1, '|-:|:-|'
+        |  UNION ALL
+        |  SELECT 1 + row_number() OVER (ORDER BY r_regionkey),
+        |         '| ' || r_regionkey || ' | ' || r_name || ' |'
+        |  FROM region)""".stripMargin,
+
     "q_source_numbers" ->
       """SELECT a.par::BIGINT AS par, v.lbl, a.cnt, a.sum_n, a.sum_h FROM (
         |  SELECT n % 2 AS par, count(*)::BIGINT AS cnt,
