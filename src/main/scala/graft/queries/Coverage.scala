@@ -74,6 +74,31 @@ object Coverage extends QueryModule {
           lit(dropped).as("dropped_rows"))
     }),
 
+    // OPTIMIZE as a checked batch job (reference: background part merges
+    // / OPTIMIZE TABLE, MergeTreeData.cpp). Writes `lineitem` as many
+    // small files (the post-ingest fragmentation the job exists to fix),
+    // compacts to 4 sorted files via the real Maintenance.compact
+    // rewrite, then checks the surviving table content (count + two
+    // checksums) — merges must never lose, duplicate, or alter rows —
+    // plus the achieved file count as data.
+    "q_optimize_compact" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_opt/lineitem").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "lineitem").repartition(64).write.parquet(scratch)
+      graft.operators.Maintenance.compact(s, scratch, 4,
+        sortBy = Seq("l_orderkey", "l_linenumber"))
+      val files = graft.operators.Maintenance.fileCount(s, scratch).toLong
+      s.read.parquet(scratch).agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          sum(col("l_orderkey") * col("l_linenumber")).as("key_checksum"))
+        .select(col("n_rows"), col("sum_price"), col("key_checksum"),
+          lit(files).as("n_files"))
+    }),
+
     // Markdown display renderer (reference MarkdownRowOutputFormat.cpp)
     // checked line-by-line: render a deterministic 5-row result, split
     // into (line_no, line) rows, and let DuckDB rebuild the same table
@@ -312,6 +337,13 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM orders
         |        WHERE o_orderdate < '1996-01-01')::BIGINT AS dropped_rows
         |FROM orders WHERE o_orderdate >= '1996-01-01'""".stripMargin,
+
+    "q_optimize_compact" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       sum(l_orderkey * l_linenumber)::BIGINT AS key_checksum,
+        |       4::BIGINT AS n_files
+        |FROM lineitem""".stripMargin,
 
     "q_render_markdown" ->
       """SELECT * FROM (
