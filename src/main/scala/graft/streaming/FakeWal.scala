@@ -261,15 +261,20 @@ final class WalCommitter(tablePath: String, maxIdemKeys: Int = 100000) {
           seenIdem.keySet().asScala.toSet
         }
         // within-batch: first record per idem key wins (lowest SN);
-        // cross-batch: drop keys already in the recent-key index
+        // cross-batch: drop keys already in the recent-key index.
+        // Keyless rows bypass the window entirely — partitioning the
+        // window by _idem would funnel every null-key row into ONE
+        // window partition (a straggler task at scale); they need no
+        // dedup, so they must not pay for one.
+        val keyless = rows.filter(col("_idem").isNull)
         val w = Window.partitionBy("_idem").orderBy("_wal_sn")
-        val firstPerKey = rows
+        val firstPerKey = rows.filter(col("_idem").isNotNull)
           .withColumn("_rn", row_number().over(w))
-          .filter(col("_idem").isNull || col("_rn") === 1).drop("_rn")
-        val deduped =
+          .filter(col("_rn") === 1).drop("_rn")
+        val dedupedKeyed =
           if (known.isEmpty) firstPerKey
-          else firstPerKey.filter(
-            col("_idem").isNull || !col("_idem").isInCollection(known))
+          else firstPerKey.filter(!col("_idem").isInCollection(known))
+        val deduped = keyless.unionByName(dedupedKeyed)
         deduped.drop("_wal_partition", "_wal_sn")
           .write.mode("append").parquet(tablePath)
         // commit hook: refresh projections registered over this table
