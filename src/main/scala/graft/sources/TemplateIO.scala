@@ -128,16 +128,28 @@ object TemplateIO {
       case _ => "(-?[0-9][0-9.eE+-]*|true|false)" // plain typed rendering
     }
 
+  /** Stand-in for a decoded backslash during unescaping. U+FFFF is a
+    * Unicode noncharacter, so it cannot appear in interchange text. */
+  private val BS = "￿"
+
   private def unescape(c: Column, dt: DataType, fmt: ColFmt): Column =
     (dt, fmt) match {
+      // Escape pairs must decode left-to-right in ONE logical pass:
+      // sequential replaces would mis-read the tail of one pair as the
+      // head of the next (wire `\\t` — an escaped backslash then a
+      // literal 't' — must NOT become a tab). Decoding `\\` to a
+      // sentinel first removes every ambiguous backslash before the
+      // single-char escapes run, then the sentinel restores it.
       case (StringType, EscapedFmt) =>
-        regexp_replace(regexp_replace(regexp_replace(
-          c, "\\\\t", "\t"), "\\\\n", "\n"), "\\\\\\\\", "\\\\")
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          c, "\\\\\\\\", BS), "\\\\t", "\t"), "\\\\n", "\n"), BS, "\\\\")
       case (StringType, QuotedFmt) =>
-        regexp_replace(regexp_replace(c, "\\\\'", "'"), "\\\\\\\\", "\\\\")
+        regexp_replace(regexp_replace(regexp_replace(
+          c, "\\\\\\\\", BS), "\\\\'", "'"), BS, "\\\\")
       case (StringType, CsvFmt) => regexp_replace(c, "\"\"", "\"")
       case (StringType, JsonFmt) =>
-        regexp_replace(regexp_replace(c, "\\\\\"", "\""), "\\\\\\\\", "\\\\")
+        regexp_replace(regexp_replace(regexp_replace(
+          c, "\\\\\\\\", BS), "\\\\\"", "\""), BS, "\\\\")
       case _ => c
     }
 

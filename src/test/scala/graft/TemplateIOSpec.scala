@@ -42,7 +42,15 @@ class TemplateIOSpec extends AnyFunSuite {
       Row(1L, "plain", 1.5),
       Row(2L, "it's got 'quotes'", -2.25),
       Row(3L, "back\\slash and \"double\"", 0.0),
-      Row(4L, "tab\there", 1e10))
+      Row(4L, "tab\there", 1e10),
+      // escape-pair adjacency: a literal backslash directly before a
+      // char that is itself an escape target — decodes wrongly unless
+      // unescaping is single-pass (`\t` on the wire is backslash+'t',
+      // NOT a tab; `\\'` is backslash+quote)
+      Row(5L, "\\t", -1.0),
+      Row(6L, "\\n\\\\t", 2.0),
+      Row(7L, "\\'", 3.0),
+      Row(8L, "\\\"", 4.0))
     for (fmt <- Seq("Quoted", "CSV", "JSON", "Escaped")) {
       val tpl = s"row ${"${id:Raw}"}: ${"${name:" + fmt + "}"} = ${"${score:Raw}"}"
       val got = roundTrip(hostile, tpl)
