@@ -217,6 +217,22 @@ object BenchHits {
     graft.plans.Projections.register(spark, hits,
       Seq("URL"), Seq("URL"))
 
+    // AGGREGATE projections (the reference's AggregatingMergeTree MVs):
+    // per-key partial state — count/sum/min/max/HLL — that the global
+    // aggregates and low-cardinality group-bys (q1-q15) finish from
+    // instead of re-scanning 10 M rows. Registration order is
+    // smallest-state-first: routing takes the first match, so global
+    // aggregates finish from the ~10 k-row phone table, not a wider one.
+    graft.plans.Projections.registerAgg(spark, hits,
+      Seq("MobilePhone", "MobilePhoneModel"),
+      Seq("UserID", "AdvEngineID", "ResolutionWidth", "SearchPhrase",
+        "EventDate"))
+    graft.plans.Projections.registerAgg(spark, hits,
+      Seq("RegionID", "AdvEngineID"),
+      Seq("UserID", "AdvEngineID", "ResolutionWidth"))
+    graft.plans.Projections.registerAgg(spark, hits,
+      Seq("SearchEngineID", "SearchPhrase"), Seq("UserID"))
+
     def once(sql: String): Double = {
       val t0 = System.nanoTime()
       spark.sql(sql).write.mode("overwrite").format("noop").save()

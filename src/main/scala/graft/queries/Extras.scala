@@ -83,6 +83,28 @@ object Extras extends QueryModule {
         .filter(col("o_custkey") <= 300)
     }),
 
+    // AGGREGATE projection + automatic routing (daisy AggregatingMergeTree
+    // materialized views, src/Storages/MergeTree/registerStorageMergeTree
+    // .cpp + AggregateFunctionMerge.cpp: per-key partial state finished
+    // with -Merge combinators). The GROUP BY below re-aggregates the
+    // registered per-priority state — sum of sums, min of mins — instead
+    // of scanning base rows (shape asserted in PlanSpec); the oracle runs
+    // on the BASE table, so hash-equality proves the state rewrite exact.
+    "q_projection_agg_route" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"), col("o_totalprice"))
+      graft.plans.Projections.registerAgg(s, base,
+        Seq("o_orderpriority"), Seq("o_totalprice", "o_custkey"))
+      base.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_priced"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_custkey")).as("first_cust"))
+    }),
+
     // GLOBAL IN (broadcast set membership — daisy
     // InJoinSubqueriesPreprocessor): small key set broadcast to all tasks.
     "q_global_in" -> ((s, dir) => {
@@ -143,5 +165,13 @@ object Extras extends QueryModule {
 
     "q_projection_route" ->
       """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders WHERE o_custkey <= 300 GROUP BY o_custkey""".stripMargin)
+        |FROM orders WHERE o_custkey <= 300 GROUP BY o_custkey""".stripMargin,
+
+    "q_projection_agg_route" ->
+      """SELECT o_orderpriority, count(*) AS n, count(o_totalprice) AS n_priced,
+        | round(sum(o_totalprice), 2) AS total,
+        | round(avg(o_totalprice), 2) AS avg_price,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        | min(o_custkey) AS first_cust
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }

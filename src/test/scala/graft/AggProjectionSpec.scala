@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Projections
+import graft.streaming.WalCommitter
+
+/** Aggregate-projection contract (the reference's AggregatingMergeTree
+  * materialized views, `src/Storages/MergeTree/registerStorageMergeTree
+  * .cpp` + `AggregateFunctionMerge.cpp`): queries finish from pre-merged
+  * per-key state instead of re-scanning base rows. The rewrite must be
+  * invisible — identical results to the un-routed plan for the whole
+  * supported family (count/count(col)/sum/min/max/avg/
+  * approx_count_distinct), refuse everything outside it, and refresh
+  * with the insert path like any projection. */
+class AggProjectionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+  /** The state table's synthetic columns only appear in routed plans. */
+  private def routed(df: DataFrame): Boolean = physical(df).contains("__cnt")
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  /** Base with nulls in the measure, a string measure, and two keys. */
+  private def makeBase(): DataFrame = {
+    val df = spark.range(20000).select(
+      (col("id") % 7).as("k1"),
+      (col("id") % 3).as("k2"),
+      when(col("id") % 11 === 0, lit(null)).otherwise(col("id") % 50)
+        .cast("long").as("v"),
+      concat(lit("s"), col("id") % 40).as("s"))
+      .persist()
+    df.count()
+    df
+  }
+
+  test("routed agg matches the un-routed result for the whole function family") {
+    val base = makeBase()
+    def q: DataFrame = base.groupBy(col("k1")).agg(
+      count(lit(1)).as("n"),
+      count(col("v")).as("nn"),
+      sum(col("v")).as("sv"),
+      min(col("v")).as("mn"),
+      max(col("v")).as("mx"),
+      avg(col("v")).as("av"),
+      approx_count_distinct(col("s")).as("u"))
+    val exact = rows(q.drop("u"))
+    assert(!routed(q), "query routed before any registration")
+    Projections.registerAgg(spark, base, Seq("k1", "k2"), Seq("v", "s"))
+    try {
+      assert(routed(q), s"agg did not route to the state table:\n${physical(q)}")
+      assert(rows(q.drop("u")) == exact, "routed result diverges from base scan")
+      // the approx column swaps HLL++ for a DataSketches union — both
+      // approximate, both within their error contract of the true 40
+      // distinct s per group (HLL++ at rsd 0.05 measures 38 here; the
+      // lgK=12 sketch is still in its exact regime and returns 40)
+      q.select(col("u")).collect().map(_.getLong(0)).foreach(u =>
+        assert(math.abs(u - 40) <= 4, s"routed estimate $u outside 10% of 40"))
+    } finally { Projections.clear(); base.unpersist(false) }
+  }
+
+  test("roll-up to a key subset and the global aggregate route and match") {
+    val base = makeBase()
+    def bySubset: DataFrame =
+      base.groupBy(col("k2")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    def global: DataFrame =
+      base.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), avg(col("v")).as("av"))
+    val expSubset = rows(bySubset)
+    val expGlobal = rows(global)
+    Projections.registerAgg(spark, base, Seq("k1", "k2"), Seq("v", "s"))
+    try {
+      assert(routed(bySubset), "key-subset roll-up did not route")
+      assert(routed(global), "global aggregate did not route")
+      assert(rows(bySubset) == expSubset)
+      assert(rows(global) == expGlobal)
+    } finally { Projections.clear(); base.unpersist(false) }
+  }
+
+  test("key-column filters route exactly; measure filters refuse") {
+    val base = makeBase()
+    def onKey: DataFrame = base.filter(col("k1") =!= 2)
+      .groupBy(col("k2")).agg(sum(col("v")).as("sv"))
+    def onMeasure: DataFrame = base.filter(col("v") > 10)
+      .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+    val expKey = rows(onKey)
+    val expMeasure = rows(onMeasure)
+    Projections.registerAgg(spark, base, Seq("k1", "k2"), Seq("v", "s"))
+    try {
+      // a key filter partitions whole groups: state rows filter exactly
+      assert(routed(onKey), "key-column filter blocked routing")
+      assert(rows(onKey) == expKey)
+      // a measure filter partitions rows WITHIN groups: must see the base
+      assert(!routed(onMeasure), "measure filter wrongly routed")
+      assert(rows(onMeasure) == expMeasure)
+    } finally { Projections.clear(); base.unpersist(false) }
+  }
+
+  test("unsupported aggregates refuse the rewrite and stay correct") {
+    val base = makeBase()
+    // count(NULL) never reaches the rule — Spark constant-folds it to 0
+    // first, leaving a distinct-keys aggregate that IS exact from state —
+    // but its guard in rewriteAggExprs still matters for hand-built plans,
+    // and the result must match either way
+    def nullCount: DataFrame =
+      base.groupBy(col("k1")).agg(count(lit(null)).as("n"))
+    def distinctSum: DataFrame =
+      base.groupBy(col("k1")).agg(sum_distinct(col("v")).as("sv"))
+    def collectList: DataFrame =
+      base.groupBy(col("k2")).agg(size(collect_list(col("k1"))).as("n"))
+    def exprKey: DataFrame =
+      base.groupBy((col("k1") + 1).as("k")).agg(count(lit(1)).as("n"))
+    val exp = Seq(nullCount, distinctSum, collectList, exprKey).map(rows)
+    Projections.registerAgg(spark, base, Seq("k1", "k2"), Seq("v", "s"))
+    try {
+      val qs = Seq(distinctSum, collectList, exprKey)
+      qs.zip(Seq("sum(DISTINCT)", "collect_list",
+        "expression key")).foreach { case (q, name) =>
+        assert(!routed(q), s"$name wrongly routed:\n${physical(q)}")
+      }
+      assert(Seq(nullCount, distinctSum, collectList, exprKey).map(rows) == exp)
+    } finally { Projections.clear(); base.unpersist(false) }
+  }
+
+  test("a grouping column registered as a measure re-aggregates from state") {
+    val base = makeBase()
+    // the hits-suite q3 shape: SUM over a column that is also a key
+    def q: DataFrame = base.agg(sum(col("k1")).as("sk"), count(lit(1)).as("n"))
+    val expected = rows(q)
+    Projections.registerAgg(spark, base, Seq("k1"), Seq("k1", "v"))
+    try {
+      assert(routed(q), "key-as-measure aggregate did not route")
+      assert(rows(q) == expected)
+    } finally { Projections.clear(); base.unpersist(false) }
+  }
+
+  test("re-registering the same definition reuses the existing projection") {
+    val base = makeBase()
+    try {
+      val n0 = Projections.registeredCount
+      val p1 = Projections.registerAgg(spark, base, Seq("k1"), Seq("v"))
+      val p2 = Projections.registerAgg(spark, base, Seq("k1"), Seq("v"))
+      assert(Projections.registeredCount == n0 + 1)
+      assert(p1 eq p2)
+    } finally { Projections.clear(); base.unpersist(false) }
+  }
+
+  test("WAL commit refreshes the aggregate state: routed sees appended rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("aggproj_wal").toString
+    val table = s"$dir/t"
+    Seq((1L, 10L), (1L, 5L), (2L, 20L)).toDF("k", "v").write.parquet(table)
+
+    val base = spark.read.parquet(table)
+    Projections.registerAgg(spark, base, Seq("k"), Seq("v"))
+    try {
+      def q: DataFrame = base.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      def result: Map[Long, Long] =
+        q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(routed(q), "parquet-backed agg projection did not route")
+      assert(result == Map(1L -> 15L, 2L -> 20L))
+
+      new WalCommitter(table).commitBatch(
+        Seq((0, 0L, "a", 2L, 22L), (0, 1L, "b", 3L, 30L))
+          .toDF("_wal_partition", "_wal_sn", "_idem", "k", "v"))
+
+      assert(routed(q), "rebuilt agg projection no longer routes")
+      assert(result == Map(1L -> 15L, 2L -> 42L, 3L -> 30L),
+        "WAL-committed rows not visible through the aggregate state")
+    } finally Projections.clear()
+  }
+}

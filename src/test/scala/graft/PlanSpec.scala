@@ -248,4 +248,21 @@ class PlanSpec extends AnyFunSuite {
       base.unpersist(false)
     }
   }
+
+  test("aggregate projection: gate query finishes from state, exchange-free") {
+    import graft.plans.Projections
+    try {
+      val df = SparkEntry.queries("q_projection_agg_route")(spark, sf)
+      val plan = physical(df)
+      // the rewrite swapped base rows for the per-key state table
+      assert(plan.contains("__cnt"),
+        s"agg gate query did not route to the state table:\n$plan")
+      // exact-key re-aggregation inherits the state build's partitioning:
+      // exchanges inside the cached build are layout, not per-query cost
+      val above = plan.linesIterator
+        .takeWhile(l => !l.contains("InMemoryRelation")).toSeq
+      assert(!above.exists(_.contains("Exchange")),
+        s"state re-aggregation still shuffles:\n$plan")
+    } finally Projections.clear()
+  }
 }
