@@ -116,6 +116,49 @@ object Coverage extends QueryModule {
         .toDF("line_no", "line")
     }),
 
+    // Pretty display renderer (reference PrettyBlockOutputFormat.cpp):
+    // the full box-drawing frame — ┏━┳━┓ header, ├─┼─┤ row separators,
+    // numbers right-aligned — rebuilt independently by the oracle from
+    // the base rows and the same width arithmetic.
+    "q_render_pretty" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+      val txt = graft.sources.TextRender.pretty(src)
+      txt.split("\n", -1).toSeq.dropRight(1).zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }
+        .toDF("line_no", "line")
+    }),
+
+    // Vertical display renderer (reference VerticalRowOutputFormat.cpp):
+    // `Row N:`, a ─ rule sized to the title, `name: value` lines with
+    // names padded to the widest column name.
+    "q_render_vertical" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+      val txt = graft.sources.TextRender.vertical(src)
+      txt.split("\n", -1).toSeq.dropRight(1).zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }
+        .toDF("line_no", "line")
+    }),
+
+    // XML result document (reference XMLRowOutputFormat.cpp): meta block
+    // with column names/types, one element per field, tab indentation,
+    // trailing row count — every line reconstructed by the oracle.
+    "q_render_xml" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+      val txt = graft.sources.TextRender.xml(src)
+      txt.split("\n", -1).toSeq.dropRight(1).zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }
+        .toDF("line_no", "line")
+    }),
+
     // entropy(x) (reference: AggregateFunctionEntropy.cpp — Shannon
     // entropy of the value distribution). Two-level aggregation: counts
     // per value, then -Σ p·log2(p); both shuffles carry only partials,
@@ -353,6 +396,87 @@ object Coverage extends QueryModule {
         |  SELECT 1 + row_number() OVER (ORDER BY r_regionkey),
         |         '| ' || r_regionkey || ' | ' || r_name || ' |'
         |  FROM region)""".stripMargin,
+
+    // Both render widths are 11: col1 from the header 'r_regionkey',
+    // col2 from the widest value 'MIDDLE EAST'. A width drift in the
+    // renderer breaks every reconstructed line.
+    "q_render_pretty" ->
+      """WITH r AS (SELECT r_regionkey, r_name,
+        |    row_number() OVER (ORDER BY r_regionkey) AS rn FROM region),
+        |  body AS (
+        |    SELECT rn, k, CASE k
+        |      WHEN 0 THEN '├' || repeat('─', 13) || '┼' || repeat('─', 13) || '┤'
+        |      WHEN 1 THEN '│ ' || lpad(r_regionkey::VARCHAR, 11, ' ') ||
+        |                  ' │ ' || rpad(r_name, 11, ' ') || ' │'
+        |      END AS line
+        |    FROM r, range(0, 2) t(k) WHERE NOT (rn = 1 AND k = 0)),
+        |  al AS (
+        |    SELECT 0 AS ord, 0 AS rn, 0 AS k,
+        |           '┏' || repeat('━', 13) || '┳' || repeat('━', 13) || '┓' AS line
+        |    UNION ALL SELECT 1, 0, 0,
+        |      '┃ ' || rpad('r_regionkey', 11, ' ') || ' ┃ ' ||
+        |      rpad('r_name', 11, ' ') || ' ┃'
+        |    UNION ALL SELECT 2, 0, 0,
+        |      '┡' || repeat('━', 13) || '╇' || repeat('━', 13) || '┩'
+        |    UNION ALL SELECT 3, rn, k::INT, line FROM body
+        |    UNION ALL SELECT 4, 0, 0,
+        |      '└' || repeat('─', 13) || '┴' || repeat('─', 13) || '┘')
+        |SELECT row_number() OVER (ORDER BY ord, rn, k) - 1 AS line_no, line
+        |FROM al""".stripMargin,
+
+    "q_render_vertical" ->
+      """WITH r AS (SELECT r_regionkey, r_name,
+        |    row_number() OVER (ORDER BY r_regionkey) AS rn FROM region),
+        |  l AS (
+        |    SELECT rn, k, CASE k
+        |      WHEN 0 THEN ''
+        |      WHEN 1 THEN 'Row ' || rn || ':'
+        |      WHEN 2 THEN repeat('─', length('Row ' || rn || ':'))
+        |      WHEN 3 THEN 'r_regionkey: ' || r_regionkey
+        |      WHEN 4 THEN 'r_name     : ' || r_name
+        |      END AS line
+        |    FROM r, range(0, 5) t(k) WHERE NOT (rn = 1 AND k = 0))
+        |SELECT row_number() OVER (ORDER BY rn, k) - 1 AS line_no, line
+        |FROM l""".stripMargin,
+
+    "q_render_xml" ->
+      """WITH r AS (SELECT r_regionkey, r_name,
+        |    row_number() OVER (ORDER BY r_regionkey) AS rn FROM region),
+        |  hdr(ord, line) AS (VALUES
+        |    (0, '<?xml version=''1.0'' encoding=''UTF-8'' ?>'),
+        |    (1, '<result xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'),
+        |    (2, chr(9) || '<meta>'),
+        |    (3, repeat(chr(9), 2) || '<columns>'),
+        |    (4, repeat(chr(9), 3) || '<column>'),
+        |    (5, repeat(chr(9), 4) || '<name>r_regionkey</name>'),
+        |    (6, repeat(chr(9), 4) || '<type>int</type>'),
+        |    (7, repeat(chr(9), 3) || '</column>'),
+        |    (8, repeat(chr(9), 3) || '<column>'),
+        |    (9, repeat(chr(9), 4) || '<name>r_name</name>'),
+        |    (10, repeat(chr(9), 4) || '<type>string</type>'),
+        |    (11, repeat(chr(9), 3) || '</column>'),
+        |    (12, repeat(chr(9), 2) || '</columns>'),
+        |    (13, chr(9) || '</meta>'),
+        |    (14, chr(9) || '<data>')),
+        |  body AS (
+        |    SELECT rn, k, CASE k
+        |      WHEN 0 THEN repeat(chr(9), 2) || '<row>'
+        |      WHEN 1 THEN repeat(chr(9), 3) || '<r_regionkey>' ||
+        |                  r_regionkey || '</r_regionkey>'
+        |      WHEN 2 THEN repeat(chr(9), 3) || '<r_name>' || r_name || '</r_name>'
+        |      WHEN 3 THEN repeat(chr(9), 2) || '</row>'
+        |      END AS line
+        |    FROM r, range(0, 4) t(k)),
+        |  ftr(ord, line) AS (VALUES
+        |    (0, chr(9) || '</data>'),
+        |    (1, chr(9) || '<rows>' || (SELECT count(*) FROM region) || '</rows>'),
+        |    (2, '</result>')),
+        |  al AS (
+        |    SELECT 0 AS sec, ord AS rn, 0 AS k, line FROM hdr
+        |    UNION ALL SELECT 1, rn, k::INT, line FROM body
+        |    UNION ALL SELECT 2, ord, 0, line FROM ftr)
+        |SELECT row_number() OVER (ORDER BY sec, rn, k) - 1 AS line_no, line
+        |FROM al""".stripMargin,
 
     "q_source_numbers" ->
       """SELECT a.par::BIGINT AS par, v.lbl, a.cnt, a.sum_n, a.sum_h FROM (
