@@ -27,12 +27,14 @@ object Tables {
     * in-memory Dictionaries, `src/Dictionaries/`). */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
-  /** Load a test table. `events.ts` is written as parquet
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]); we read it as raw long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros —
-    * identical to how DuckDB truncates TIMESTAMP_NS → TIMESTAMP, so
-    * oracle comparisons line up.
+  /** Load a test table. `events.ts` has shipped in two physical layouts
+    * across test-data generations: parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects, so it arrives as raw long nanos
+    * under spark.sql.legacy.parquet.nanosAsLong and is truncated to
+    * micros — and plain TIMESTAMP(MICROS) without a UTC adjustment, which
+    * Spark reads as TIMESTAMP_NTZ. Both normalize to a session-local
+    * TIMESTAMP under the UTC session timezone, matching how DuckDB treats
+    * the same column, so oracle comparisons line up either way.
     *
     * The nanos fallback forces the NON-vectorized parquet reader, which
     * made every events-table query pay a pathological row-by-row scan
@@ -71,8 +73,13 @@ object Tables {
         // would run single-threaded (judge r3: q_func_json spent 6 s
         // parsing JSON on one core). Spread the cache across the session's
         // cores once at build; at 100 TB real file splits make this moot.
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        val ts = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            expr("timestamp_micros(ts div 1000)") // legacy nanos-as-long
+          case _ => col("ts").cast("timestamp")   // NTZ micros (or already LTZ)
+        }
+        raw.withColumn("ts", ts)
           .repartition(spark.sparkContext.defaultParallelism)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })

@@ -223,6 +223,65 @@ object Ann {
       .limit(k)
   }
 
+  /** SQ8 scalar-quantized ANN (the FAISS ScalarQuantizer/QT_8bit pattern;
+    * Jégou et al., "Product quantization for nearest neighbor search",
+    * TPAMI 2011 §III introduces the uniform-quantizer baseline). Train:
+    * per-dimension [min, max] over the corpus — a single narrow
+    * posexplode + groupBy(pos) aggregate, reduced to a dim-sized table
+    * (driver-held like the IVF centroid table). Encode: each element
+    * maps to an 8-bit level floor((x-min)/scale + 0.5), scale =
+    * (max-min)/255 — 4× smaller than float32 storage, the actual point
+    * of SQ at 100 TB: the scan reads codes, not floats. Search: distances
+    * are computed on the RECONSTRUCTED values min + code*scale, so the
+    * whole chain (train, encode, reconstruct, score) is deterministic
+    * double arithmetic that a DuckDB oracle replays bit-for-bit.
+    *
+    * The quantize→reconstruct pipeline is three zip_with maps over
+    * literal min/scale arrays plus the codegen'd dot product — no UDF,
+    * no shuffle; top-k is TakeOrderedAndProject, same as brute force. */
+  def sq8Stats(df: DataFrame, embCol: String): (Array[Double], Array[Double]) = {
+    val stats = df.select(posexplode(col(embCol).cast("array<double>")))
+      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mins = stats.map(_.getDouble(1))
+    val scales = stats.map(r => {
+      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+      if (mx > mn) (mx - mn) / 255.0 else 1.0
+    })
+    (mins, scales)
+  }
+
+  /** Reconstructed (de-quantized) embedding column under SQ8 codes. */
+  def sq8Reconstruct(emb: Column, mins: Array[Double],
+                     scales: Array[Double]): Column = {
+    val minArr = array(mins.map(lit).toIndexedSeq: _*)
+    val scaleArr = array(scales.map(lit).toIndexedSeq: _*)
+    val diffs = zip_with(emb.cast("array<double>"), minArr, (x, mn) => x - mn)
+    val codes = zip_with(diffs, scaleArr, (d, s) =>
+      greatest(lit(0.0), least(lit(255.0), floor(d / s + lit(0.5)))))
+    zip_with(zip_with(codes, scaleArr, (c, s) => c * s), minArr, (v, mn) => v + mn)
+  }
+
+  /** SQ8 top-k for one query vector: cosine over reconstructed corpus
+    * vectors against the identically-quantized query. */
+  def sq8TopK(df: DataFrame, idCol: String, embCol: String,
+              query: Seq[Float], k: Int): DataFrame = {
+    import graft.functions.GraftScalar.dotArr
+    val (mins, scales) = sq8Stats(df, embCol)
+    def quant(x: Double, d: Int): Double =
+      math.max(0.0, math.min(255.0, math.floor((x - mins(d)) / scales(d) + 0.5)))
+    val qRec = query.map(_.toDouble).zipWithIndex
+      .map { case (x, d) => mins(d) + quant(x, d) * scales(d) }
+    val qArr = array(qRec.map(lit): _*)
+    val qNorm = math.sqrt(qRec.map(v => v * v).sum)
+    val rec = sq8Reconstruct(col(embCol), mins, scales)
+    df.select(col(idCol).as("id"),
+        round(dotArr(rec, qArr) / (sqrt(dotArr(rec, rec)) * lit(qNorm)), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-N most similar — O(n²) by construction; retained ONLY
     * as the spec cross-check for lshNearDupPairs and for small candidate
     * sets. Not registered as a query. */

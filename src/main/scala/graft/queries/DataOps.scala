@@ -92,6 +92,14 @@ object DataOps extends QueryModule {
         queryVector(s, dir), k = 10, nprobe = 3)
     }),
 
+    // SQ8 scalar-quantized ANN: per-dimension 8-bit codes, cosine over
+    // reconstructed values — the train/encode/reconstruct arithmetic is
+    // deterministic, so the oracle replays it exactly.
+    "q_ann_sq8_topk" -> ((s, dir) => {
+      Ann.sq8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVector(s, dir), k = 10)
+    }),
+
     "q_embedding_centroids" -> ((s, dir) => {
       t(s, dir, "embeddings").groupBy(col("label")).agg(
         count(lit(1)).as("n"),
@@ -386,6 +394,28 @@ object DataOps extends QueryModule {
         |SELECT vec_id AS id,
         | round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 6) AS cosine
         |FROM embeddings, q
+        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    // mirrors Ann.sq8TopK: per-dim [min,max] train, 8-bit encode
+    // floor((x-min)/scale + 0.5) clamped to [0,255], reconstruct
+    // min + code*scale, cosine on reconstructed values.
+    "q_ann_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        |  SELECT generate_subscripts(emb, 1) AS pos, unnest(emb) AS val
+        |  FROM e) GROUP BY pos),
+        |sc AS (SELECT list(mn ORDER BY pos) AS mns,
+        |  list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END
+        |       ORDER BY pos) AS scs FROM st),
+        |r AS (SELECT vec_id, list_transform(range(1, len(emb) + 1),
+        |    di -> sc.mns[di] + greatest(0.0, least(255.0,
+        |            floor((emb[di] - sc.mns[di]) / sc.scs[di] + 0.5)))
+        |          * sc.scs[di]) AS rec
+        |  FROM e, sc),
+        |qr AS (SELECT rec AS qrec FROM r WHERE vec_id = 0)
+        |SELECT r.vec_id AS id,
+        | round(list_cosine_similarity(r.rec, qr.qrec), 6) AS cosine
+        |FROM r, qr
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
 
     "q_embedding_centroids" ->

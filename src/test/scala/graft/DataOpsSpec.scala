@@ -155,6 +155,21 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall got=$got brute=$brute")
   }
 
+  test("SQ8 ANN: quantized search recalls nearly all of the brute-force top-k") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val got = Ann.sq8TopK(emb, "vec_id", "embedding", q, 10).collect()
+    // 8-bit levels keep ~1/255 of the per-dim range as max error: the
+    // query finds itself at rank 1 with cosine ≈ 1 and the top-k barely
+    // moves relative to exact search.
+    assert(got.head.getAs[Long]("id") == 0L)
+    assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-3)
+    val recall = brute.intersect(got.map(_.getAs[Long]("id")).toSet).size / 10.0
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("LSH near-dup pairs: true near-dups recalled, matches exact rerank") {
     // deterministic corpus with two planted near-dup pairs: (0,1) and
     // (2,3) differ by a tiny perturbation in one dimension; the rest are
