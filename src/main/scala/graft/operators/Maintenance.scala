@@ -48,6 +48,55 @@ object Maintenance {
     n
   }
 
+  /** ALTER TABLE … DELETE WHERE — the reference's mutation subsystem
+    * (`src/Interpreters/MutationsInterpreter.cpp`: a mutation re-reads
+    * the affected parts, drops matching rows, writes replacement parts).
+    * Spark: filtered rewrite through the same crash-recoverable
+    * temp+swap as TTL. Rows where the predicate is NULL are KEPT (the
+    * DELETE takes only rows where it is true). Returns
+    * (kept, deleted). */
+  def mutateDelete(spark: SparkSession, path: String,
+                   predicateSql: String): (Long, Long) = {
+    val df = spark.read.parquet(path)
+    val total = df.count()
+    val kept = df.filter(!coalesce(expr(predicateSql), lit(false)))
+    val tmp = path + ".del_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    val keptCount = spark.read.parquet(tmp).count()
+    swap(spark, tmp, path)
+    (keptCount, total - keptCount)
+  }
+
+  /** ALTER TABLE … UPDATE col = expr, … WHERE — mutation semantics per
+    * MutationsInterpreter: every assignment expression and the predicate
+    * are evaluated against the PRE-mutation row (so `a = b, b = a`
+    * swaps), and each result is cast back to its column's type (the
+    * interpreter wraps assignments in CAST to the column type). One
+    * projection + rewrite; unmatched rows pass through byte-identical.
+    * Returns the number of matched (rewritten) rows. */
+  def mutateUpdate(spark: SparkSession, path: String,
+                   assignments: Seq[(String, String)],
+                   predicateSql: String): Long = {
+    val df = spark.read.parquet(path)
+    val asg = assignments.toMap
+    require(asg.keySet.subsetOf(df.columns.toSet),
+      s"mutateUpdate: unknown columns ${asg.keySet -- df.columns}")
+    val pred = coalesce(expr(predicateSql), lit(false))
+    val matched = df.filter(pred).count()
+    val outCols = df.columns.map { c =>
+      asg.get(c) match {
+        case Some(e) =>
+          when(pred, expr(e).cast(df.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    val tmp = path + ".upd_tmp"
+    df.select(outCols.toIndexedSeq: _*).write.mode("overwrite").parquet(tmp)
+    swap(spark, tmp, path)
+    matched
+  }
+
   /** Swap `tmp` into place at `path`, crash-recoverably: the live dir is
     * renamed aside first, so every crash point leaves either the old or
     * the new directory intact (recovery = rename `path + ".old"` back).

@@ -74,6 +74,45 @@ object Coverage extends QueryModule {
           lit(dropped).as("dropped_rows"))
     }),
 
+    // Mutations as checked batch jobs (reference: ALTER DELETE/UPDATE,
+    // `src/Interpreters/MutationsInterpreter.cpp`). Each copies `orders`
+    // to a scratch dir, runs the real rewrite+swap, then aggregates the
+    // mutated table — content checksums, not just row counts.
+    "q_mutation_delete" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_mutdel/orders").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "orders").write.parquet(scratch)
+      val (_, deleted) = graft.operators.Maintenance.mutateDelete(
+        s, scratch, "o_orderstatus = 'F'")
+      s.read.parquet(scratch).agg(
+          count(lit(1)).as("kept_rows"),
+          round(sum(col("o_totalprice")), 2).as("kept_total"))
+        .select(col("kept_rows"), col("kept_total"),
+          lit(deleted).as("deleted_rows"))
+    }),
+
+    "q_mutation_update" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_mutupd/orders").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "orders").write.parquet(scratch)
+      val matched = graft.operators.Maintenance.mutateUpdate(s, scratch,
+        Seq("o_totalprice" -> "o_totalprice + 10.0",
+            "o_orderpriority" -> "'0-MUTATED'"),
+        "o_orderpriority = '1-URGENT'")
+      s.read.parquet(scratch).agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(when(col("o_orderpriority") === "0-MUTATED", 1)).as("n_mutated"))
+        .select(col("n_rows"), col("sum_price"), col("n_mutated"),
+          lit(matched).as("matched_rows"))
+    }),
+
     // OPTIMIZE as a checked batch job (reference: background part merges
     // / OPTIMIZE TABLE, MergeTreeData.cpp). Writes `lineitem` as many
     // small files (the post-ingest fragmentation the job exists to fix),
@@ -380,6 +419,24 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM orders
         |        WHERE o_orderdate < '1996-01-01')::BIGINT AS dropped_rows
         |FROM orders WHERE o_orderdate >= '1996-01-01'""".stripMargin,
+
+    "q_mutation_delete" ->
+      """SELECT count(*)::BIGINT AS kept_rows,
+        |       round(sum(o_totalprice), 2) AS kept_total,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderstatus = 'F')::BIGINT AS deleted_rows
+        |FROM orders WHERE NOT (o_orderstatus = 'F')""".stripMargin,
+
+    "q_mutation_update" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN o_totalprice + 10.0
+        |                 ELSE o_totalprice END), 2) AS sum_price,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderpriority = '1-URGENT')::BIGINT AS n_mutated,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderpriority = '1-URGENT')::BIGINT AS matched_rows
+        |FROM orders""".stripMargin,
 
     "q_optimize_compact" ->
       """SELECT count(*)::BIGINT AS n_rows,

@@ -37,6 +37,30 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == before)
   }
 
+  test("ALTER DELETE drops matching rows; NULL predicate rows are kept") {
+    val dir = "/root/repo/target/mutdel_test"
+    Seq((1, Some(5)), (2, Some(20)), (3, None: Option[Int]))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val (kept, deleted) = Maintenance.mutateDelete(spark, dir, "v > 10")
+    assert(kept == 2 && deleted == 1)
+    assert(spark.read.parquet(dir).select($"id").as[Int].collect().sorted
+      .sameElements(Array(1, 3)))
+  }
+
+  test("ALTER UPDATE evaluates assignments on the pre-mutation row and casts to the column type") {
+    val dir = "/root/repo/target/mutupd_test"
+    Seq((1, 10L, 100L), (2, 20L, 200L)).toDF("id", "a", "b")
+      .write.mode("overwrite").parquet(dir)
+    // simultaneous swap + a double-typed expression cast back to LONG:
+    // both read the ORIGINAL a/b (MutationsInterpreter semantics)
+    val matched = Maintenance.mutateUpdate(spark, dir,
+      Seq("a" -> "b", "b" -> "a + 0.9"), "id = 1")
+    assert(matched == 1)
+    val out = spark.read.parquet(dir).orderBy($"id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(Array((1, 100L, 10L), (2, 20L, 200L))))
+  }
+
   test("analyzer endpoint returns plans without executing") {
     Tables.load(spark, sf, "orders").createOrReplaceTempView("orders_an")
     val out = Search.analyze(spark,
