@@ -282,6 +282,101 @@ object Ann {
       .limit(k)
   }
 
+  /** Product quantization (Jégou et al., TPAMI 2011): the embedding is
+    * split into `m` subvectors of `dsub` dims; each subspace gets its own
+    * `ksub`-centroid codebook, and a vector's code is its nearest
+    * centroid per subspace — m bytes instead of 4·dim, the memory-bound
+    * regime where PQ beats SQ8's 1 byte/dim. Search scores against the
+    * RECONSTRUCTION (concatenated code centroids), which equals the
+    * classic ADC table-lookup sum but keeps one arithmetic shape both
+    * engines can replay.
+    *
+    * Training is the same deterministic fixed-seed Lloyd construction as
+    * [[ivfIndexDeterministic]] run per subspace (seed = the ksub
+    * lowest-id subvectors, `iters` assign/mean steps, empty cells keep
+    * their previous centroid), so the full train→encode→score chain is
+    * ORACLE-ABLE. At 100 TB the train pass runs on a sample and the
+    * codebooks are a [m][ksub][dsub] literal broadcast into the encode
+    * scan — no shuffle anywhere in encode or search. */
+  def pqTrainDeterministic(df: DataFrame, idCol: String, embCol: String,
+                           m: Int, dsub: Int, ksub: Int,
+                           iters: Int = 1): Array[Array[Array[Double]]] = {
+    val e = df.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val seeds = e.orderBy(col("id")).limit(ksub)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    Array.tabulate(m) { s =>
+      val lo = s * dsub
+      var cents: Array[Array[Double]] =
+        seeds.map(v => v.slice(lo, lo + dsub))
+      val sub = e.select(col("id"),
+        slice(col("emb"), lo + 1, dsub).as("se"))
+      for (_ <- 0 until iters) {
+        val assigned = sub.withColumn("cell",
+          nearestCell(col("se"), cents))
+        val means = assigned.select(col("cell"), posexplode(col("se")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("mv"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
+          .select(col("cell"),
+            transform(col("ms"), st => st.getField("mv")).as("cent"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = Array.tabulate(ksub)(i => means.getOrElse(i, cents(i)))
+      }
+      cents
+    }
+  }
+
+  /** Nearest-centroid cell by (euclidean distance, cell index) — the
+    * shared assignment expression of the IVF and PQ deterministic
+    * builds. */
+  private def nearestCell(v: Column, cents: Array[Array[Double]]): Column = {
+    val cands = cents.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit).toIndexedSeq: _*)
+      struct(
+        sqrt(aggregate(zip_with(v, cl, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)).as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(cands.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** PQ reconstruction: per subspace, pick the nearest codebook centroid
+    * of the subvector and concatenate — the decoded form of the m-byte
+    * code. */
+  def pqReconstruct(emb: Column,
+                    codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks(0)(0).length
+    val parts = codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = slice(emb.cast("array<double>"), s * dsub + 1, dsub)
+      val bookLit = array(book.map(c =>
+        array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      element_at(bookLit, nearestCell(sub, book) + 1)
+    }
+    concat(parts.toIndexedSeq: _*)
+  }
+
+  /** PQ top-k for one query vector: cosine between the raw query and
+    * each corpus vector's PQ reconstruction (ADC — the query side stays
+    * unquantized). */
+  def pqTopK(df: DataFrame, idCol: String, embCol: String,
+             query: Seq[Float], k: Int, m: Int = 8, ksub: Int = 16,
+             iters: Int = 1): DataFrame = {
+    import graft.functions.GraftScalar.dotArr
+    val dim = query.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val books = pqTrainDeterministic(df, idCol, embCol, m, dim / m, ksub, iters)
+    val q = query.map(_.toDouble)
+    val qArr = array(q.map(lit): _*)
+    val qNorm = math.sqrt(q.map(v => v * v).sum)
+    val rec = pqReconstruct(col(embCol), books)
+    df.select(col(idCol).as("id"),
+        round(dotArr(rec, qArr) / (sqrt(dotArr(rec, rec)) * lit(qNorm)), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-N most similar — O(n²) by construction; retained ONLY
     * as the spec cross-check for lshNearDupPairs and for small candidate
     * sets. Not registered as a query. */

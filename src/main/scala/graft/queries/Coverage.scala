@@ -74,6 +74,29 @@ object Coverage extends QueryModule {
           lit(dropped).as("dropped_rows"))
     }),
 
+    // system.* introspection over a scratch catalog (reference:
+    // src/Storages/System/StorageSystemTables.cpp / StorageSystemColumns
+    // .cpp): creates two fixed tables, then reads system_columns joined
+    // with system_tables — the metadata pipeline end to end, checked
+    // against the statically-known answer.
+    "q_system_catalog" -> ((s, dir) => {
+      val root = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_system").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = new graft.rest.Catalog(s, root)
+      cat.create(graft.rest.TableDef("sys_demo_events",
+        Seq(graft.rest.ColumnDef("msg", "STRING"),
+            graft.rest.ColumnDef("n", "BIGINT")), Seq("n"), "D"))
+      cat.create(graft.rest.TableDef("sys_demo_metrics",
+        Seq(graft.rest.ColumnDef("v", "DOUBLE")), Seq.empty, "H"))
+      graft.rest.SystemTables.columns(s, cat)
+        .join(graft.rest.SystemTables.tables(s, cat)
+          .select(col("name").as("table"), col("engine"), col("granularity")),
+          Seq("table"))
+    }),
+
     // Mutations as checked batch jobs (reference: ALTER DELETE/UPDATE,
     // `src/Interpreters/MutationsInterpreter.cpp`). Each copies `orders`
     // to a scratch dir, runs the real rewrite+swap, then aggregates the
@@ -419,6 +442,15 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM orders
         |        WHERE o_orderdate < '1996-01-01')::BIGINT AS dropped_rows
         |FROM orders WHERE o_orderdate >= '1996-01-01'""".stripMargin,
+
+    "q_system_catalog" ->
+      """SELECT * FROM (VALUES
+        | ('sys_demo_events',  'msg',   'STRING',    1::BIGINT, 'tabular', 'D'),
+        | ('sys_demo_events',  'n',     'BIGINT',    2::BIGINT, 'tabular', 'D'),
+        | ('sys_demo_events',  '_time', 'TIMESTAMP', 3::BIGINT, 'tabular', 'D'),
+        | ('sys_demo_metrics', 'v',     'DOUBLE',    1::BIGINT, 'tabular', 'H'),
+        | ('sys_demo_metrics', '_time', 'TIMESTAMP', 2::BIGINT, 'tabular', 'H')
+        |) AS t("table", "name", "type", "position", "engine", "granularity")""".stripMargin,
 
     "q_mutation_delete" ->
       """SELECT count(*)::BIGINT AS kept_rows,

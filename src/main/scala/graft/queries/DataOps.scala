@@ -100,6 +100,15 @@ object DataOps extends QueryModule {
         queryVector(s, dir), k = 10)
     }),
 
+    // PQ (product-quantization) ANN: per-subspace codebooks trained with
+    // the same deterministic fixed-seed Lloyd construction as the IVF
+    // build, cosine between the raw query and each vector's
+    // reconstruction — train/encode/score all replayed by the oracle.
+    "q_ann_pq_topk" -> ((s, dir) => {
+      Ann.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVector(s, dir), k = 10, m = 8, ksub = 16, iters = 1)
+    }),
+
     "q_embedding_centroids" -> ((s, dir) => {
       t(s, dir, "embeddings").groupBy(col("label")).agg(
         count(lit(1)).as("n"),
@@ -175,6 +184,56 @@ object DataOps extends QueryModule {
   // hash step fails the gate (rows-only checks could not see that).
 
   private val M64 = "18446744073709551616" // 2^64
+
+  /** Oracle for q_ann_pq_topk — replays Ann.pqTrainDeterministic /
+    * pqReconstruct per subspace: seed codebook = the ksub lowest-id
+    * subvectors, one Lloyd step (assign by (euclidean, cell), per-cell
+    * element-wise mean, empty cells keep their seed), final assignment,
+    * reconstruction = concatenated chosen centroids, cosine vs the raw
+    * query. Generated per subspace so m/dsub/ksub stay in one place. */
+  private def pqOracle(m: Int, dsub: Int, ksub: Int): String = {
+    def dist(se: String, cent: String) =
+      s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, $dsub + 1),
+         |        di -> ($se[di]-$cent[di])*($se[di]-$cent[di]))),
+         |      (ax, ay) -> ax + ay))""".stripMargin
+    val subs = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      val se = s"e.emb[$lo:$hi]"
+      s"""c0_$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    emb[$lo:$hi] AS cent
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $ksub)),
+         |a0_$s AS (SELECT vec_id, se, cell FROM (
+         |  SELECT e.vec_id, $se AS se, c.cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${dist(se, "c.cent")}, c.cell) AS rn
+         |  FROM e, c0_$s c) WHERE rn = 1),
+         |m_$s AS (SELECT cell, list(mval ORDER BY pos) AS cent FROM (
+         |  SELECT cell, pos, avg(val) AS mval FROM (
+         |    SELECT cell, generate_subscripts(se, 1) AS pos, unnest(se) AS val
+         |    FROM a0_$s)
+         |  GROUP BY cell, pos) GROUP BY cell),
+         |c1_$s AS (SELECT c0.cell, COALESCE(m.cent, c0.cent) AS cent
+         |  FROM c0_$s c0 LEFT JOIN m_$s m USING (cell)),
+         |a1_$s AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${dist(se, "c.cent")}, c.cell) AS rn
+         |  FROM e, c1_$s c) WHERE rn = 1),
+         |r_$s AS (SELECT a.vec_id, c.cent FROM a1_$s a JOIN c1_$s c USING (cell))"""
+        .stripMargin
+    }
+    val joins = (1 until m).map(s => s"JOIN r_$s USING (vec_id)").mkString(" ")
+    val cat = (0 until m).map(s => s"r_$s.cent").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+       |${subs.mkString(",\n")},
+       |rec AS (SELECT r_0.vec_id, $cat AS rec FROM r_0 $joins)
+       |SELECT rec.vec_id AS id,
+       | round(list_cosine_similarity(rec.rec, q.qe), 6) AS cosine
+       |FROM rec, q
+       |ORDER BY cosine DESC, id LIMIT 10""".stripMargin
+  }
 
   /** FNV-1a 64 over the UTF-8 bytes of `s` (mirrors [[graft.functions.SimHash64.fnv1a64]];
     * the test corpus is ASCII so ord() == byte). */
@@ -395,6 +454,8 @@ object DataOps extends QueryModule {
         | round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 6) AS cosine
         |FROM embeddings, q
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    "q_ann_pq_topk" -> pqOracle(m = 8, dsub = 8, ksub = 16),
 
     // mirrors Ann.sq8TopK: per-dim [min,max] train, 8-bit encode
     // floor((x-min)/scale + 0.5) clamped to [0,255], reconstruct

@@ -27,6 +27,8 @@ import graft.sql.Search
   *   DELETE /dae/v1/ddl/{t}/columns/{c}   drop column
   *   GET    /dae/ping | /dae/info         liveness/build (PingHandler)
   *   GET    /dae/v1/clusterinfo           topology (ClusterInfoHandler)
+  *   GET    /dae/v1/system/{t}            system.* introspection tables
+  *                                        (src/Storages/System/)
   *
   * Built on the JDK's HttpServer (no extra dependencies). Ingest here is
   * synchronous (commit before the response returns) — poll_ids resolve
@@ -185,6 +187,23 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     (200, s"""{"nodes":${execs.length},"default_parallelism":${sc.defaultParallelism},"master":${Catalog.toJsonString(sc.master)}}""")
   })
 
+  /** system.* introspection tables (daisy `src/Storages/System/`) as
+    * JSON row arrays: GET /dae/v1/system/{tables|columns|databases|
+    * functions|metrics|one}. The same frames are reachable from /search
+    * SQL as `system_<name>` views. */
+  server.createContext("/dae/v1/system", (ex: HttpExchange) => handle(ex) {
+    val name = ex.getRequestURI.getPath.stripPrefix("/dae/v1/system")
+      .stripPrefix("/")
+    if (ex.getRequestMethod != "GET") (405, """{"error":"unsupported"}""")
+    else if (!SystemTables.names.contains(name))
+      (404, s"""{"error":"no such system table"}""")
+    else {
+      val rows = SystemTables.frame(spark, catalog, name)
+        .toJSON.collect().mkString(",")
+      (200, s"""{"rows":[$rows]}""")
+    }
+  })
+
   server.createContext("/dae/v1/ingest/tables", (ex: HttpExchange) => handle(ex) {
     val name = ex.getRequestURI.getPath.stripPrefix("/dae/v1/ingest/tables/")
     val b = body(ex)
@@ -221,6 +240,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     try {
       val b = body(ex)
       catalog.registerViews()
+      SystemTables.registerViews(spark, catalog)
       def opt(field: String): Option[JsonNode] =
         Option(b.get(field)).filter(!_.isNull)
       val sql = b.get("query").asText()

@@ -1,0 +1,104 @@
+package graft.rest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's `system.*` introspection tables (daisy
+  * `src/Storages/System/StorageSystemTables.cpp`, `StorageSystemColumns
+  * .cpp`, `StorageSystemDatabases.cpp`, `StorageSystemFunctions.cpp`,
+  * `StorageSystemMetrics.cpp`, `StorageSystemOne.cpp`) over the live
+  * catalog and session.
+  *
+  * Spark temp views are database-less, so the dotted `system.tables`
+  * name maps to a `system_` prefix: `SELECT * FROM system_columns` in
+  * any `/search` request. All frames are built from in-memory metadata
+  * (one `createDataFrame` over a few dozen rows) — introspection never
+  * scans data, exactly like the reference's one-block system storages.
+  * Served over REST at `GET /dae/v1/system/{tables,columns,databases,
+  * functions,metrics,one}`.
+  */
+object SystemTables {
+
+  val names: Seq[String] =
+    Seq("tables", "columns", "databases", "functions", "metrics", "one")
+
+  /** system.tables — one row per catalog table. */
+  def tables(spark: SparkSession, catalog: Catalog): DataFrame = {
+    import spark.implicits._
+    catalog.list().flatMap(catalog.get).map { t =>
+      (t.name, t.subtype, t.orderBy.mkString(","), t.granularity,
+        t.columns.size.toLong)
+    }.toDF("name", "engine", "order_by", "granularity", "n_columns")
+  }
+
+  /** system.columns — one row per declared column (the `_time`
+    * auto-column included, as the reference lists materialized columns). */
+  def columns(spark: SparkSession, catalog: Catalog): DataFrame = {
+    import spark.implicits._
+    catalog.list().flatMap(catalog.get).flatMap { t =>
+      t.schema.fields.zipWithIndex.map { case (f, i) =>
+        (t.name, f.name, f.dataType.sql, (i + 1).toLong)
+      }
+    }.toDF("table", "name", "type", "position")
+  }
+
+  /** system.databases. */
+  def databases(spark: SparkSession, catalog: Catalog): DataFrame = {
+    import spark.implicits._
+    ("default" +: catalog.listDatabases()).distinct.sorted.toDF("name")
+  }
+
+  /** system.functions — the engine's own registered functions: every
+    * session-registry entry that is NOT a Spark built-in (the graft
+    * Catalyst expressions registered by GraftScalar plus any session
+    * UDAFs), introspected rather than hardcoded so the list can't
+    * drift from the registry. */
+  def functions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftScalar.register(spark)
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      .builtin.listFunction().map(_.funcName).toSet
+    spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filterNot(builtin)
+      .distinct.sorted.map(n => (n, "graft"))
+      .toDF("name", "origin")
+  }
+
+  /** system.metrics — a small live-session metric set (the reference's
+    * CurrentMetrics snapshot). Values are point-in-time, not oracled. */
+  def metrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rt = Runtime.getRuntime
+    val sc = spark.sparkContext
+    Seq(
+      ("default_parallelism", sc.defaultParallelism.toLong),
+      ("executor_count", sc.statusTracker.getExecutorInfos.length.toLong),
+      ("active_jobs", sc.statusTracker.getActiveJobIds().length.toLong),
+      ("jvm_heap_used_bytes", rt.totalMemory() - rt.freeMemory()),
+      ("jvm_heap_max_bytes", rt.maxMemory())
+    ).toDF("metric", "value")
+  }
+
+  /** system.one — the reference's 1-row dummy table. */
+  def one(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(0L).toDF("dummy")
+  }
+
+  def frame(spark: SparkSession, catalog: Catalog, name: String): DataFrame =
+    name match {
+      case "tables" => tables(spark, catalog)
+      case "columns" => columns(spark, catalog)
+      case "databases" => databases(spark, catalog)
+      case "functions" => functions(spark)
+      case "metrics" => metrics(spark)
+      case "one" => one(spark)
+      case other => sys.error(s"no such system table: $other")
+    }
+
+  /** Register every system table as a `system_<name>` temp view (called
+    * alongside Catalog.registerViews so `/search` SQL can reference
+    * them). */
+  def registerViews(spark: SparkSession, catalog: Catalog): Unit =
+    names.foreach(n =>
+      frame(spark, catalog, n).createOrReplaceTempView(s"system_$n"))
+}

@@ -170,6 +170,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("PQ ANN: reconstruction search overlaps the brute-force top-k") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val got = Ann.pqTopK(emb, "vec_id", "embedding", q, 10,
+      m = 8, ksub = 16, iters = 1).collect()
+    assert(got.length == 10)
+    // m=8 × 16-centroid codebooks: coarse codes, but the ranking must
+    // still be similarity-driven, not arbitrary.
+    val recall = brute.intersect(got.map(_.getAs[Long]("id")).toSet).size / 10.0
+    assert(recall >= 0.3, s"recall=$recall")
+    // cosine column is a genuine similarity: descending and within [-1,1]
+    val cs = got.map(_.getAs[Double]("cosine"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    assert(cs.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
+  }
+
   test("LSH near-dup pairs: true near-dups recalled, matches exact rerank") {
     // deterministic corpus with two planted near-dup pairs: (0,1) and
     // (2,3) differ by a tiny perturbation in one dimension; the rest are

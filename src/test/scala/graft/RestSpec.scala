@@ -110,6 +110,26 @@ class RestSpec extends AnyFunSuite {
     assert(cc == 200 && cb.contains("default_parallelism"), cb)
   }
 
+  test("system tables: REST endpoint and system_* views over /search") {
+    // endpoint — the logs table created above must be introspectable
+    val (tc, tb) = get("/system/tables")
+    assert(tc == 200 && tb.contains("\"logs\""), tb)
+    val (cc, cb) = get("/system/columns")
+    assert(cc == 200 && cb.contains("\"latency\"") && cb.contains("DOUBLE"), cb)
+    val (fc, fb) = get("/system/functions")
+    assert(fc == 200 && fb.contains("siphash64"), fb)
+    val (mc, mb) = get("/system/metrics")
+    assert(mc == 200 && mb.contains("default_parallelism"), mb)
+    val (nc, _) = get("/system/nope")
+    assert(nc == 404)
+    // the same frames as SQL views through /search
+    val (sc, sb) = post("/search",
+      """{"query":"SELECT `table`, count(*) AS n FROM system_columns GROUP BY 1 ORDER BY 1"}""")
+    assert(sc == 200 && sb.contains("logs"), sb)
+    val (oc, ob) = post("/search", """{"query":"SELECT dummy FROM system_one"}""")
+    assert(oc == 200 && ob.contains("0"), ob)
+  }
+
   test("column DDL: add column reads NULL for old rows, drop projects it away") {
     val (ac, ab) = post("/ddl/logs/columns", """{"name":"region","type":"string"}""")
     assert(ac == 200, ab)
