@@ -78,6 +78,68 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n_events"))
 
+  /** A signed ingest row for the streaming collapsing engine. */
+  case class SignedRow(user_id: Long, seq: Long, sign: Int, value: Double)
+
+  /** Incrementally-collapsed per-key state (CollapsingMergeTree over a
+    * stream): the same quantities CollapsingSortedAlgorithm tracks per
+    * key — sign counts, last sign, last positive row, first negative
+    * row — plus the survivor count the FINAL emit rules produce. */
+  case class CollapseState(user_id: Long, cnt_pos: Long, cnt_neg: Long,
+                           last_sign: Int, last_seq: Long,
+                           last_pos_seq: Option[Long],
+                           last_pos_value: Option[Double],
+                           first_neg_seq: Option[Long],
+                           first_neg_value: Option[Double],
+                           survivors: Int)
+
+  /** CollapsingMergeTree maintained continuously (the reference collapses
+    * incrementally during background merges —
+    * `CollapsingSortedAlgorithm.cpp:69-106`; on a stream the same
+    * quantities fold associatively per key, so state is O(1) per key and
+    * each batch emits the key's new collapsed state only when it
+    * changed). `survivors` follows the FINAL emit rules: 2 when the key
+    * is balanced and ends on a state row, 0 when balanced ending on a
+    * cancel, else 1. */
+  def collapsingState(ds: Dataset[SignedRow]): Dataset[CollapseState] = {
+    import ds.sparkSession.implicits._
+    def fold(key: Long, rows: Iterator[SignedRow],
+             prev: Option[CollapseState]): CollapseState = {
+      var cp = prev.map(_.cnt_pos).getOrElse(0L)
+      var cn = prev.map(_.cnt_neg).getOrElse(0L)
+      var lastSign = prev.map(_.last_sign).getOrElse(0)
+      var lastSeq = prev.map(_.last_seq).getOrElse(Long.MinValue)
+      var lpSeq = prev.flatMap(_.last_pos_seq)
+      var lpVal = prev.flatMap(_.last_pos_value)
+      var fnSeq = prev.flatMap(_.first_neg_seq)
+      var fnVal = prev.flatMap(_.first_neg_value)
+      rows.foreach { r =>
+        if (r.sign == 1) {
+          cp += 1
+          if (lpSeq.forall(_ < r.seq)) { lpSeq = Some(r.seq); lpVal = Some(r.value) }
+        } else if (r.sign == -1) {
+          cn += 1
+          if (fnSeq.forall(_ > r.seq)) { fnSeq = Some(r.seq); fnVal = Some(r.value) }
+        }
+        if (r.seq > lastSeq) { lastSeq = r.seq; lastSign = r.sign }
+      }
+      val emitAny = lastSign == 1 || cp != cn
+      val survivors =
+        (if (emitAny && cp <= cn && fnSeq.isDefined) 1 else 0) +
+        (if (emitAny && cp >= cn && lpSeq.isDefined) 1 else 0)
+      CollapseState(key, cp, cn, lastSign, lastSeq,
+        lpSeq, lpVal, fnSeq, fnVal, survivors)
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CollapseState, CollapseState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[SignedRow], state: GroupState[CollapseState]) =>
+          val next = fold(key, rows, state.getOption)
+          if (state.getOption.contains(next)) Iterator.empty
+          else { state.update(next); Iterator.single(next) }
+      }
+  }
+
   /** ReplacingMergeTree latest-row: stateful per-key newest version
     * (daisy MergeTreeData.h:104-105 Replacing mode). State per key is one
     * row; flatMapGroupsWithState emits the new latest on every update.

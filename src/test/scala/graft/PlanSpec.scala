@@ -143,6 +143,35 @@ class PlanSpec extends AnyFunSuite {
     assert(paged.count() == 10)
   }
 
+  test("collapsing FINAL is one hash-aggregate pass: a single shuffle, no window, no join") {
+    val df = SparkEntry.queries("q_engine_collapsing")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), s"collapse must stay aggregate-only:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+    assert(exchanges <= 1, s"collapse needs one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("versioned collapsing plans one exchange shared by both window frames") {
+    val df = SparkEntry.queries("q_engine_vercollapse")(spark, sf)
+    val plan = physical(df)
+    // net-sum and per-sign running count partition identically → Catalyst
+    // reuses one hashpartitioning exchange for the Window stack.
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+    assert(exchanges <= 1, s"expected a single shared shuffle, got $exchanges:\n$plan")
+  }
+
+  test("quantized ANN search (SQ8) is scan + partial top-k: no shuffle, no join") {
+    val df = SparkEntry.queries("q_ann_sq8_topk")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"no partial top-k:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+    assert(exchanges == 0, s"SQ8 search must not shuffle the corpus:\n$plan")
+  }
+
   test("SkipPartialAgg fires from NDV stats for near-unique keys only") {
     import graft.plans.{SkipPartialAgg, TableStats}
     val df = spark.range(20000)

@@ -172,6 +172,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CollapsingMergeTree streaming state matches the batch FINAL emit rules across batches") {
+    implicit val sql = spark.sqlContext
+    import StreamOps.SignedRow
+    val src = MemoryStream[SignedRow]
+    val q = StreamOps.collapsingState(src.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("collapse_out").start()
+    try {
+      // batch 1: key 1 gets a state row; key 2 a state row
+      src.addData(SignedRow(1L, 1L, 1, 10.0), SignedRow(2L, 2L, 1, 7.0))
+      q.processAllAvailable()
+      // batch 2: key 1 cancelled (balanced, ends on cancel → 0 survivors);
+      // key 2 cancelled then re-stated (net +1 → 1 survivor, newest state)
+      src.addData(SignedRow(1L, 3L, -1, 10.0),
+        SignedRow(2L, 4L, -1, 7.0), SignedRow(2L, 5L, 1, 8.0))
+      q.processAllAvailable()
+      val last = spark.table("collapse_out").collect()
+        .map(r => (r.getLong(0), r)).groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._2).maxBy(_.getLong(4)) } // last_seq
+      assert(last(1L).getInt(9) == 0, s"key 1 must fully cancel: ${last(1L)}")
+      assert(last(2L).getInt(9) == 1 &&
+        last(2L).getAs[Long]("last_pos_seq") == 5L &&
+        last(2L).getAs[Double]("last_pos_value") == 8.0,
+        s"key 2 must survive with the newest state row: ${last(2L)}")
+      // cross-check against the batch operator on the same rows
+      val batchRows = Seq((1L, 1L, 1, 10.0), (2L, 2L, 1, 7.0),
+        (1L, 3L, -1, 10.0), (2L, 4L, -1, 7.0), (2L, 5L, 1, 8.0))
+        .toDF("user_id", "seq", "sign", "value")
+      val fin = graft.operators.MergeEngines
+        .collapseFinal(batchRows, Seq("user_id"), "sign", "seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(fin.toSet == Set((2L, 5L)), fin.mkString(","))
+    } finally q.stop()
+  }
+
   test("materialized view via foreachBatch with periodic trigger") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[IngestRow]
