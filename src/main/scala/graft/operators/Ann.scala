@@ -172,35 +172,33 @@ object Ann {
       col(embCol).cast("array<double>").as("emb"))
     var centers: Array[Array[Double]] = e.orderBy(col("id")).limit(nlist)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(centers.length >= nlist,
+      s"ivfIndexDeterministic: corpus has ${centers.length} rows < nlist=$nlist")
     val dim = centers.head.length
 
-    // nearest centroid by (euclidean distance, cell) — the distance is
-    // sqrt(sum of squared diffs) in exactly the oracle's formula
-    def assigned: DataFrame = {
-      val cands = centers.zipWithIndex.map { case (c, i) =>
-        val cl = array(c.map(lit).toIndexedSeq: _*)
-        struct(
-          sqrt(aggregate(zip_with(col("emb"), cl, (x, y) => (x - y) * (x - y)),
-            lit(0.0), _ + _)).as("d"),
-          lit(i).as("c"))
-      }
-      e.withColumn("cell", array_min(array(cands.toIndexedSeq: _*)).getField("c"))
-    }
+    def assigned: DataFrame =
+      e.withColumn("cell", nearestCell(col("emb"), centers))
 
     for (_ <- 0 until iters) {
-      val a = assigned
-      // element-wise mean per cell (the Lloyd update), one narrow agg
-      val means = a.select(col("cell"), posexplode(col("emb")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("mv"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
-        .select(col("cell"), transform(col("ms"), s => s.getField("mv")).as("cent"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val means = cellMeans(assigned, "emb")
       centers = Array.tabulate(centers.length)(i => means.getOrElse(i, centers(i)))
       assert(means.forall(_._2.length == dim))
     }
     (assigned.select(col("id"), col("cell"), col("emb")), centers)
   }
+
+  /** Element-wise mean per cell (the Lloyd update) of `vecCol`, as one
+    * narrow aggregate — shared by the IVF and PQ deterministic builds
+    * (cells absent from the result keep their previous centroid at the
+    * caller). */
+  private def cellMeans(assigned: DataFrame,
+                        vecCol: String): Map[Int, Array[Double]] =
+    assigned.select(col("cell"), posexplode(col(vecCol)))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("mv"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
+      .select(col("cell"), transform(col("ms"), s => s.getField("mv")).as("cent"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
 
   /** Search an [[ivfIndex]]: probe the `nprobe` cells whose centroids are
     * closest to the query (computed on the driver over nlist values),
@@ -305,6 +303,8 @@ object Ann {
       col(embCol).cast("array<double>").as("emb"))
     val seeds = e.orderBy(col("id")).limit(ksub)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length >= ksub,
+      s"pqTrainDeterministic: corpus has ${seeds.length} rows < ksub=$ksub")
     Array.tabulate(m) { s =>
       val lo = s * dsub
       var cents: Array[Array[Double]] =
@@ -312,15 +312,8 @@ object Ann {
       val sub = e.select(col("id"),
         slice(col("emb"), lo + 1, dsub).as("se"))
       for (_ <- 0 until iters) {
-        val assigned = sub.withColumn("cell",
-          nearestCell(col("se"), cents))
-        val means = assigned.select(col("cell"), posexplode(col("se")))
-          .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("mv"))
-          .groupBy(col("cell"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
-          .select(col("cell"),
-            transform(col("ms"), st => st.getField("mv")).as("cent"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        val assigned = sub.withColumn("cell", nearestCell(col("se"), cents))
+        val means = cellMeans(assigned, "se")
         cents = Array.tabulate(ksub)(i => means.getOrElse(i, cents(i)))
       }
       cents

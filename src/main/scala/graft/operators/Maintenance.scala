@@ -78,6 +78,9 @@ object Maintenance {
                    assignments: Seq[(String, String)],
                    predicateSql: String): Long = {
     val df = spark.read.parquet(path)
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "mutateUpdate: duplicate assignment to one column (the reference's " +
+        "MutationsInterpreter rejects these rather than last-write-wins)")
     val asg = assignments.toMap
     require(asg.keySet.subsetOf(df.columns.toSet),
       s"mutateUpdate: unknown columns ${asg.keySet -- df.columns}")

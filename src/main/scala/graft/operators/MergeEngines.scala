@@ -79,7 +79,11 @@ object MergeEngines {
                              signCol: String, seqCol: String): DataFrame = {
     val part = (keys :+ versionCol).map(col)
     val p = Window.partitionBy(part: _*)
+    // ROWS frame, not the default RANGE: duplicate seq values must count
+    // one at a time (RANGE would include all peers of the current seq,
+    // inflating the running count and dropping rows that should survive).
     val ord = p.orderBy(col(seqCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sign = col(signCol)
     val net = sum(sign).over(p)
     val runPos = sum(when(sign === 1, 1L).otherwise(0L)).over(ord)
@@ -118,8 +122,10 @@ object MergeEngines {
 
   /** One rollup rule: paths matching `regex` aggregate their value with
     * `fn` ("avg" | "sum" | "min" | "max") under the retention schedule.
-    * First matching pattern wins, as in the reference's config
-    * (Graphite.h:25-57). */
+    * First matching pattern wins, and the LAST pattern doubles as the
+    * fallback for paths matching no regex — the reference's mandatory
+    * `<default>` section (Graphite.h:55-95), which callers express here
+    * as a final catch-all pattern. */
   final case class GraphitePattern(regex: String, fn: String,
                                    retentions: Seq[GraphiteRetention])
 
@@ -144,10 +150,15 @@ object MergeEngines {
     val age = nowSec - col(timeCol)
 
     def precisionFor(p: GraphitePattern): Column = {
-      // Coarsest band whose age threshold is reached; bands assumed sorted
-      // ascending by ageSec (the reference validates the same ordering).
+      // Coarsest band whose age threshold is reached; a row younger than
+      // every band keeps its exact timestamp (precision 1 — the
+      // reference's selectPrecision returns 1 when no retention matches,
+      // GraphiteRollupSortedAlgorithm.cpp:107-119).
       val sorted = p.retentions.sortBy(_.ageSec)
-      sorted.tail.foldLeft(lit(sorted.head.precisionSec)) { (acc, r) =>
+      val reached = if (sorted.head.ageSec <= 0) sorted.tail else sorted
+      val init: Column =
+        if (sorted.head.ageSec <= 0) lit(sorted.head.precisionSec) else lit(1L)
+      reached.foldLeft(init) { (acc, r) =>
         when(age >= r.ageSec, lit(r.precisionSec)).otherwise(acc)
       }
     }

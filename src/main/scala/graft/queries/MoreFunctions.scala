@@ -32,6 +32,31 @@ object MoreFunctions extends QueryModule {
         size(array_distinct(col("arr"))).cast("long").as("arr_ndistinct"))
     }),
 
+    // arrayAUC (src/Functions/array/arrayAUC.cpp): classifier AUC from a
+    // scores array and a 0/1 labels array — the pair-counting
+    // formulation (P[score_pos > score_neg] + ½·P[equal]), which is
+    // exactly the trapezoidal ROC area the reference computes. Arrays
+    // built per user from events; pure HOF arithmetic, order-independent,
+    // so collect_list needs no sort.
+    "q_func_array_auc" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("user_id") % 5 === 0)
+        .groupBy(col("user_id"))
+        .agg(
+          collect_list(when(col("event_type") === "purchase",
+            round(col("value"), 2))).as("pos"),
+          collect_list(when(col("event_type") =!= "purchase",
+            round(col("value"), 2))).as("neg"))
+        .filter(size(col("pos")) > 0 && size(col("neg")) > 0)
+      e.select(
+        col("user_id"),
+        round(
+          aggregate(col("pos"), lit(0.0), (acc, p) =>
+            acc + size(filter(col("neg"), n => n < p)) +
+              lit(0.5) * size(filter(col("neg"), n => n === p))) /
+            (size(col("pos")) * size(col("neg"))), 6).as("auc"))
+    }),
+
     // roundToExp2 / roundDuration / roundAge (daisy when-chain semantics).
     "q_func_rounding" -> ((s, dir) => {
       val q = col("l_quantity")
@@ -209,6 +234,19 @@ object MoreFunctions extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_func_array_auc" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    list(round(value, 2)) FILTER (WHERE event_type = 'purchase') AS pos,
+        |    list(round(value, 2)) FILTER (WHERE event_type <> 'purchase') AS neg
+        |  FROM events WHERE user_id % 5 = 0 GROUP BY user_id)
+        |SELECT user_id,
+        |  round(list_sum(list_transform(pos, p ->
+        |      len(list_filter(neg, n -> n < p))
+        |      + 0.5 * len(list_filter(neg, n -> n = p))))
+        |    / (len(pos) * len(neg)), 6) AS auc
+        |FROM e WHERE len(pos) > 0 AND len(neg) > 0""".stripMargin,
+
     "q_func_array_numeric" ->
       """WITH base AS (
         | SELECT l_orderkey, list_sort(list(l_quantity::INT)) AS arr

@@ -240,7 +240,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     try {
       val b = body(ex)
       catalog.registerViews()
-      SystemTables.registerViews(spark, catalog)
+      SystemTables.registerCatalogViews(spark, catalog)
       def opt(field: String): Option[JsonNode] =
         Option(b.get(field)).filter(!_.isNull)
       val sql = b.get("query").asText()
@@ -344,9 +344,15 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
   server.createContext("/dae/v1/sqlanalyzer", (ex: HttpExchange) => handle(ex) {
     val b = body(ex)
     catalog.registerViews()
+    SystemTables.registerCatalogViews(spark, catalog)
     val plan = Search.analyze(spark, b.get("query").asText())
     (200, s"""{"plan":${Catalog.toJsonString(plan)}}""")
   })
+
+  // Full system-view registration once up front (functions/metrics/one
+  // are session-static); the SQL entry points refresh only the
+  // catalog-dependent frames per request.
+  SystemTables.registerViews(spark, catalog)
 
   def start(): Unit = {
     // Small fixed pool: concurrent requests don't serialize behind one

@@ -95,10 +95,21 @@ object SystemTables {
       case other => sys.error(s"no such system table: $other")
     }
 
-  /** Register every system table as a `system_<name>` temp view (called
-    * alongside Catalog.registerViews so `/search` SQL can reference
-    * them). */
+  /** The frames whose content tracks the catalog and must be re-derived
+    * per request; functions/metrics/one are session-static (metrics is a
+    * point-in-time snapshot — the REST endpoint rebuilds it live). */
+  private val catalogDependent = Seq("tables", "columns", "databases")
+
+  /** Register every system table as a `system_<name>` temp view. Called
+    * once at server construction; the SQL entry points then refresh only
+    * the catalog-dependent frames via [[registerCatalogViews]]. */
   def registerViews(spark: SparkSession, catalog: Catalog): Unit =
     names.foreach(n =>
+      frame(spark, catalog, n).createOrReplaceTempView(s"system_$n"))
+
+  /** Refresh only the catalog-derived views (cheap; no function-registry
+    * scan, no metric snapshot) — the per-request path. */
+  def registerCatalogViews(spark: SparkSession, catalog: Catalog): Unit =
+    catalogDependent.foreach(n =>
       frame(spark, catalog, n).createOrReplaceTempView(s"system_$n"))
 }

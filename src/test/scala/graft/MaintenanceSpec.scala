@@ -61,6 +61,15 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(out.sameElements(Array((1, 100L, 10L), (2, 20L, 200L))))
   }
 
+  test("ALTER UPDATE rejects duplicate assignments to one column") {
+    val dir = "/root/repo/target/mutupd_dup_test"
+    Seq((1, 10L)).toDF("id", "a").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.mutateUpdate(spark, dir, Seq("a" -> "1", "a" -> "2"), "true")
+    }
+    assert(e.getMessage.contains("duplicate assignment"))
+  }
+
   test("analyzer endpoint returns plans without executing") {
     Tables.load(spark, sf, "orders").createOrReplaceTempView("orders_an")
     val out = Search.analyze(spark,

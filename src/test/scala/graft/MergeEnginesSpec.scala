@@ -105,6 +105,29 @@ class MergeEnginesSpec extends AnyFunSuite {
       ("other", youngBucket, 5.0, 5L)))  // avg(4, 6)
   }
 
+  test("versioned collapsing counts duplicate seq values one at a time (ROWS frame)") {
+    // (+, seq=5), (+, seq=5), (-, seq=9): net = +1 → exactly one survivor.
+    // A RANGE frame would count both seq=5 peers at once and emit none.
+    val df = Seq((1, 10L, 5L, 1), (1, 10L, 5L, 1), (1, 10L, 9L, -1))
+      .toDF("k", "v", "seq", "sign")
+    val out = MergeEngines.versionedCollapseFinal(df, Seq("k"), "v", "sign", "seq")
+    assert(out.count() == 1 && out.head.getInt(3) == 1)
+  }
+
+  test("graphite rollup keeps exact timestamps for rows younger than the first retention band") {
+    val now = 1000L
+    val df = Seq(("m", now - 5L, 1.0, 1L), ("m", now - 6L, 2.0, 2L),
+                 ("m", now - 200L, 4.0, 3L))
+      .toDF("path", "t", "value", "ver")
+    // first band only starts at age 100 → the two young rows stay raw
+    val patterns = Seq(MergeEngines.GraphitePattern("^.*$", "sum",
+      Seq(MergeEngines.GraphiteRetention(100L, 100L))))
+    val out = MergeEngines.graphiteRollup(df, "path", "t", "value", "ver",
+        patterns, lit(now))
+      .select("t", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((now - 5L, 1.0), (now - 6L, 2.0), (800L, 4.0)), out)
+  }
+
   test("engine queries match hand-rolled equivalents on sf0.001 events") {
     val dir = "/root/testdata/sf0.001"
     val collapsed = SparkEntry.queries("q_engine_collapsing")(spark, dir)

@@ -128,6 +128,10 @@ class RestSpec extends AnyFunSuite {
     assert(sc == 200 && sb.contains("logs"), sb)
     val (oc, ob) = post("/search", """{"query":"SELECT dummy FROM system_one"}""")
     assert(oc == 200 && ob.contains("0"), ob)
+    // the analyzer entry point sees the same table universe
+    val (ac, ab) = post("/sqlanalyzer",
+      """{"query":"SELECT `table` FROM system_columns"}""")
+    assert(ac == 200 && ab.contains("Physical"), ab)
   }
 
   test("column DDL: add column reads NULL for old rows, drop projects it away") {
