@@ -305,19 +305,34 @@ object Ann {
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
     require(seeds.length >= ksub,
       s"pqTrainDeterministic: corpus has ${seeds.length} rows < ksub=$ksub")
-    Array.tabulate(m) { s =>
-      val lo = s * dsub
-      var cents: Array[Array[Double]] =
-        seeds.map(v => v.slice(lo, lo + dsub))
-      val sub = e.select(col("id"),
-        slice(col("emb"), lo + 1, dsub).as("se"))
-      for (_ <- 0 until iters) {
-        val assigned = sub.withColumn("cell", nearestCell(col("se"), cents))
-        val means = cellMeans(assigned, "se")
-        cents = Array.tabulate(ksub)(i => means.getOrElse(i, cents(i)))
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      seeds.map(v => v.slice(s * dsub, s * dsub + dsub)))
+    // All m subspaces train in ONE job per Lloyd step (explode each row
+    // into its m (subspace, cell, subvector) assignments, then a single
+    // per-(subspace, cell, dim) mean) — per-subspace passes would pay m×
+    // the scan and 2m× the job-scheduling floor for identical arithmetic.
+    for (_ <- 0 until iters) {
+      val parts = (0 until m).map { s =>
+        val se = slice(col("emb"), s * dsub + 1, dsub)
+        struct(lit(s).as("s"), nearestCell(se, books(s)).as("cell"),
+          se.as("se"))
       }
-      cents
+      val assignedAll = e.select(posexplode(array(parts.toIndexedSeq: _*)))
+        .select(col("col.s").as("s"), col("col.cell").as("cell"),
+          col("col.se").as("se"))
+      val means = assignedAll.select(col("s"), col("cell"), posexplode(col("se")))
+        .groupBy(col("s"), col("cell"), col("pos")).agg(avg(col("col")).as("mv"))
+        .groupBy(col("s"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
+        .select(col("s"), col("cell"),
+          transform(col("ms"), st => st.getField("mv")).as("cent"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = Array.tabulate(m)(s => Array.tabulate(ksub)(i =>
+        means.getOrElse((s, i), books(s)(i))))
     }
+    books
   }
 
   /** Nearest-centroid cell by (euclidean distance, cell index) — the

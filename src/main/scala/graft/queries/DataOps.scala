@@ -116,6 +116,17 @@ object DataOps extends QueryModule {
         round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("c2"))
     }),
 
+    // Deterministic stratified sampling (training-corpus mixture
+    // weighting): per-language keep rates selected by a hash predicate
+    // on doc_id — the oracle replays the identical integer arithmetic.
+    "q_sample_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratified(t(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 30, "de" -> 10, "fr" -> 50), defaultPct = 5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    }),
+
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => {
       // tokens materialized ONCE as a bound attribute, then each language's
@@ -456,6 +467,18 @@ object DataOps extends QueryModule {
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
 
     "q_ann_pq_topk" -> pqOracle(m = 8, dsub = 8, ksub = 16),
+
+    // mirrors Sampling.stratified: bucket = ((doc_id % 100000007) *
+    // 2654435761) % 100, per-lang rate chain, default 5 %.
+    "q_sample_stratified" ->
+      """WITH d AS (
+        |  SELECT *, ((doc_id % 100000007) * 2654435761) % 100 AS bucket,
+        |    CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10 WHEN 'fr' THEN 50
+        |         ELSE 5 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_kept,
+        |       sum(n_chars)::BIGINT AS chars_kept
+        |FROM d WHERE bucket < rate GROUP BY lang""".stripMargin,
 
     // mirrors Ann.sq8TopK: per-dim [min,max] train, 8-bit encode
     // floor((x-min)/scale + 0.5) clamped to [0,255], reconstruct

@@ -170,6 +170,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("stratified sampling is deterministic, rate-proportional, and respects 0/100 bounds") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf, "documents")
+    val total = docs.filter($"lang" === "en").count()
+    val kept = Sampling.stratified(docs, "doc_id", "lang",
+      Map("en" -> 30), defaultPct = 0)
+    val keptEn = kept.filter($"lang" === "en").count()
+    assert(kept.count() == keptEn, "default 0% must drop all other strata")
+    // hash uniformity: observed rate within a wide band of the target
+    assert(keptEn >= total * 15 / 100 && keptEn <= total * 45 / 100,
+      s"kept $keptEn of $total")
+    // deterministic: identical result on re-evaluation
+    val again = Sampling.stratified(docs, "doc_id", "lang",
+      Map("en" -> 30), defaultPct = 0)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(again.sameElements(
+      kept.select($"doc_id").as[Long].collect().sorted))
+    assert(Sampling.stratified(docs, "doc_id", "lang",
+      Map("en" -> 100), defaultPct = 100).count() == docs.count())
+  }
+
   test("PQ ANN: reconstruction search overlaps the brute-force top-k") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
