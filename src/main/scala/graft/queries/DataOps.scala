@@ -197,11 +197,14 @@ object DataOps extends QueryModule {
   private val M64 = "18446744073709551616" // 2^64
 
   /** Oracle for q_ann_pq_topk — replays Ann.pqTrainDeterministic /
-    * pqReconstruct per subspace: seed codebook = the ksub lowest-id
-    * subvectors, one Lloyd step (assign by (euclidean, cell), per-cell
-    * element-wise mean, empty cells keep their seed), final assignment,
-    * reconstruction = concatenated chosen centroids, cosine vs the raw
-    * query. Generated per subspace so m/dsub/ksub stay in one place. */
+    * pqReconstruct per subspace: training reads the capped sample
+    * (vec_id < 500, the operator's trainCap — a no-op at the sf0.01
+    * gate), seed codebook = the ksub lowest-id subvectors, one Lloyd
+    * step (assign by (euclidean, cell), per-cell element-wise mean,
+    * empty cells keep their seed), final assignment over the FULL
+    * corpus, reconstruction = concatenated chosen centroids, cosine vs
+    * the raw query. Generated per subspace so m/dsub/ksub stay in one
+    * place. */
   private def pqOracle(m: Int, dsub: Int, ksub: Int): String = {
     def dist(se: String, cent: String) =
       s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
@@ -213,12 +216,12 @@ object DataOps extends QueryModule {
       val se = s"e.emb[$lo:$hi]"
       s"""c0_$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |    emb[$lo:$hi] AS cent
-         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $ksub)),
+         |  FROM (SELECT * FROM et ORDER BY vec_id LIMIT $ksub)),
          |a0_$s AS (SELECT vec_id, se, cell FROM (
          |  SELECT e.vec_id, $se AS se, c.cell, row_number() OVER (
          |      PARTITION BY e.vec_id
          |      ORDER BY ${dist(se, "c.cent")}, c.cell) AS rn
-         |  FROM e, c0_$s c) WHERE rn = 1),
+         |  FROM et e, c0_$s c) WHERE rn = 1),
          |m_$s AS (SELECT cell, list(mval ORDER BY pos) AS cent FROM (
          |  SELECT cell, pos, avg(val) AS mval FROM (
          |    SELECT cell, generate_subscripts(se, 1) AS pos, unnest(se) AS val
@@ -237,6 +240,7 @@ object DataOps extends QueryModule {
     val joins = (1 until m).map(s => s"JOIN r_$s USING (vec_id)").mkString(" ")
     val cat = (0 until m).map(s => s"r_$s.cent").mkString(" || ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |et AS (SELECT * FROM e WHERE vec_id < 500),
        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
        |${subs.mkString(",\n")},
        |rec AS (SELECT r_0.vec_id, $cat AS rec FROM r_0 $joins)
