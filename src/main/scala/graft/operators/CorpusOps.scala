@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftScalar
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * after dedup: semantic dedup over embeddings (SemDeDup — Abbas et al.,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", 2023), Gopher/C4-style document quality filters (Rae
+  * et al., "Scaling Language Models: ... Gopher", 2021 §A1.1; Raffel et
+  * al., C4, JMLR 2020 §2.2), PII redaction, greedy sequence packing
+  * (concat-and-chunk) and TF-IDF keyword extraction.
+  *
+  * Scale rules shared by every member: pure `functions._` column
+  * arithmetic (codegen, no UDF) for the per-document work, joins only on
+  * bucket keys (cluster id), and window functions partitioned by a
+  * bounded key (language) — never a single global ordering.
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------- SemDeDup
+
+  /** Intra-cluster near-duplicate pairs over a deterministic IVF
+    * clustering ([[Ann.ivfIndexDeterministic]] — fixed seeding + Lloyd
+    * steps, the oracle-able build). A pair is reported iff both vectors
+    * land in the same cell and their cosine clears `threshold` — the
+    * SemDeDup trick: k-means cells bound the candidate set (Σ cell², not
+    * n²), exactly like the LSH band buckets in [[Dedup.minhashLshPairs]].
+    * At 100 TB the cell id doubles as the partition key, so each cell's
+    * self-join is co-located. */
+  def semDedupPairs(df: DataFrame, idCol: String, embCol: String,
+                    nlist: Int, iters: Int = 1,
+                    threshold: Double = 0.3): DataFrame = {
+    val (assigned, _) = Ann.ivfIndexDeterministic(df, idCol, embCol, nlist, iters)
+    val withNorm = assigned.select(col("id"), col("cell"), col("emb"),
+      sqrt(GraftScalar.dotArr(col("emb"), col("emb"))).as("nrm"))
+    val a = withNorm.select(col("cell"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("cell"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(GraftScalar.dotArr(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup keep/remove decision, resolved per cluster: a document is
+    * REMOVED iff some lower-id document in its cell is within `threshold`
+    * cosine — the deterministic one-representative-per-εneighborhood rule
+    * (the paper keeps a random representative; lowest-id is the
+    * reproducible choice). Returns per-cell (n_docs, n_removed). */
+  def semDedupStats(df: DataFrame, idCol: String, embCol: String,
+                    nlist: Int, iters: Int = 1,
+                    threshold: Double = 0.3): DataFrame = {
+    val (assigned, _) = Ann.ivfIndexDeterministic(df, idCol, embCol, nlist, iters)
+    val removed = semDedupPairs(df, idCol, embCol, nlist, iters, threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("removed", lit(1L))
+    assigned.join(removed, Seq("id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("removed"), lit(0L))).as("n_removed"))
+  }
+
+  // ---------------------------------------------- Gopher/C4 quality filters
+
+  /** Word n-grams WITH multiplicity (unlike [[Dedup.shinglesFromToks]],
+    * which distincts) — repetition metrics need the duplicates. */
+  def ngrams(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n, array_join(slice(toks, i + 1, lit(n)), " "))),
+      x => x.isNotNull)
+
+  /** Count of n-gram occurrences beyond each gram's first — the numerator
+    * of Gopher's duplicate-n-gram fraction. */
+  def dupNgramCount(toks: Column, n: Int): Column = {
+    val gs = ngrams(toks, n)
+    (size(gs) - size(array_distinct(gs))).cast("long")
+  }
+
+  /** Gopher-style accept decision from integer-only per-doc metrics (the
+    * thresholds are the shape; a production run tunes them):
+    * word count in [minTok, maxTok], >= 2 stopword hits, and duplicate
+    * 2-gram fraction <= maxDupPermille/1000 (compared in integer
+    * arithmetic so the decision is bit-stable for the oracle). */
+  def gopherPass(toks: Column, minTok: Int = 5, maxTok: Int = 100000,
+                 maxDupPermille: Int = 600): Column = {
+    val n2 = (size(toks) - 1).cast("long")
+    val dup = dupNgramCount(toks, 2)
+    size(toks).between(minTok, maxTok) &&
+      TextAnalysis.markerHits(toks, TextAnalysis.langMarkers("en")) >= 2 &&
+      dup * 1000 <= lit(maxDupPermille.toLong) * n2
+  }
+
+  // ----------------------------------------------------------- PII scrubbing
+
+  /** Conservative patterns valid in both Java regex and RE2-family
+    * engines (no \d, no lookaround): email, dotted-quad IPv4, and bare
+    * digit runs >= 9 (account/card-number shaped). Order matters: emails
+    * first (their local parts may contain digits), then IPs (octets are
+    * <= 3 digits so the NUM rule cannot eat them), then digit runs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val LongNumRe = "[0-9]{9,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)).cast("long"),
+      regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(Ipv4Re)).cast("long"),
+      regexp_count(
+        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+        lit(LongNumRe)).cast("long"))
+
+  // ------------------------------------------------------- sequence packing
+
+  /** Concat-and-chunk packing stats (the GPT-style pretraining packer:
+    * concatenate all documents of a stream in a deterministic order, cut
+    * every `budget` tokens). Per document: its first and last chunk index
+    * and whether it straddles a boundary. The stream key is `streamCol`
+    * (language here) so the running sum is windowed per stream — the
+    * scale-safe shape; a single global cumsum would serialize 100 TB
+    * through one task. `budget` should be a power of two: the /budget
+    * division is then exact in double arithmetic, keeping floor()
+    * bit-stable for the oracle. */
+  def packChunks(df: DataFrame, idCol: String, tokCol: Column,
+                 streamCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(streamCol), tokCol.cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("first_chunk", floor((col("cum") - col("n_tok")) / budget))
+      .withColumn("last_chunk", floor((col("cum") - 1) / budget))
+  }
+
+  // ------------------------------------------------------------------ TF-IDF
+
+  /** Per-stream TF-IDF keyword scores: for each (stream, term), total
+    * occurrences * ln(docs-in-stream / docs-containing-term). One explode
+    * + two aggregations, all shuffles on (stream, term). Scores are
+    * rounded BEFORE ranking so the top-k cut is stable across engines. */
+  def tfidfTerms(df: DataFrame, idCol: String, toksCol: Column,
+                 streamCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("_doc"), col(streamCol).as("stream"),
+      explode(toksCol).as("term"))
+    val perTerm = exploded.groupBy(col("stream"), col("term"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("_doc")).as("dfreq"))
+    val perStream = exploded.groupBy(col("stream"))
+      .agg(countDistinct(col("_doc")).as("n_docs"))
+    perTerm.join(perStream, Seq("stream"))
+      .withColumn("tfidf",
+        round(col("cnt") * log(col("n_docs").cast("double") / col("dfreq")), 4))
+  }
+}
