@@ -62,7 +62,13 @@ object Bench {
       * bench wall time while still de-noising the (fast) majority. */
     def bestOf(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t1 = timeOnce(fn)
-      val extra = if (t1 < 5.0) 2 else if (t1 < 30.0) 1 else 0
+      // ALWAYS at least one retry: no registered query legitimately runs
+      // 30s+ at sf0.1, so a first pass that slow is a full-GC storm
+      // landing on an unlucky query (observed: 0.3s q_dedup_exact
+      // measured at 39s late in the 178-query suite) — nudge the
+      // collector, then measure again. min() discards the storm.
+      val extra = if (t1 < 5.0) 2 else 1
+      if (t1 >= 30.0) System.gc()
       (t1 +: Seq.fill(extra)(timeOnce(fn))).min
     }
 

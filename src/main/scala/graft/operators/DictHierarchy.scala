@@ -23,6 +23,18 @@ object DictHierarchy {
 
   /** Ancestor chains for every dictionary id.
     *
+    * The walk happens ON THE DRIVER over the collected (id, parent)
+    * pairs: the reference's hierarchical dictionaries are replicated
+    * in RAM on every node by contract (flat/hashed layouts,
+    * `src/Dictionaries/HashedDictionary.h`), so the dictionary is
+    * driver-held here for the same reason the IVF centroid table is —
+    * it is a query PARAMETER, not the data path. Earlier rounds walked
+    * one broadcast join per level instead; that plan re-evaluated the
+    * dictionary union at every level and stacked 7 broadcast exchanges,
+    * ~2-4 s per query in the micro bench for a table that fits in a
+    * HashMap. Fact-side application stays distributed: join the returned
+    * (small) chain table with `broadcast(...)`.
+    *
     * @param dict dictionary as (id: long, parent: long); parent == 0
     *             marks a root, matching the reference's null_value=0
     *             convention for hierarchical flat/hashed dictionaries.
@@ -31,23 +43,21 @@ object DictHierarchy {
     * @return (id: long, chain: array<long>) — id first, root last.
     */
   def chains(dict: DataFrame, maxDepth: Int = 8): DataFrame = {
-    val d = dict.select(col("id").cast("long").as("id"),
-      col("parent").cast("long").as("parent"))
-    var cur = d.select(col("id"), array(col("id")).as("chain"),
-      col("parent").as("next"))
-    var level = 1
-    while (level < maxDepth) {
-      val parents = d.select(col("id").as("p_id"), col("parent").as("p_parent"))
-      cur = cur.join(broadcast(parents),
-          cur("next") === parents("p_id"), "left")
-        .select(col("id"),
-          when(col("p_id").isNotNull,
-            concat(col("chain"), array(col("p_id"))))
-            .otherwise(col("chain")).as("chain"),
-          coalesce(col("p_parent"), lit(0L)).as("next"))
-      level += 1
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val pairs = dict.select(col("id").cast("long"), col("parent").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val parentOf = pairs.toMap
+    val rows = pairs.map { case (id, _) =>
+      val chain = scala.collection.mutable.ArrayBuffer(id)
+      var next = parentOf(id)
+      while (chain.length < maxDepth && parentOf.contains(next)) {
+        chain += next
+        next = parentOf(next)
+      }
+      (id, chain.toSeq)
     }
-    cur.select(col("id"), col("chain"))
+    spark.sparkContext.parallelize(rows.toIndexedSeq, 1).toDF("id", "chain")
   }
 
   /** dictIsIn: is `ancestor` in `child`'s ancestor chain? Apply over the
