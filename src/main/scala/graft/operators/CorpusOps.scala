@@ -143,6 +143,25 @@ object CorpusOps {
       .withColumn("last_chunk", floor((col("cum") - 1) / budget))
   }
 
+  // ------------------------------------------------- eval decontamination
+
+  /** Test-set decontamination: corpus documents sharing any word n-gram
+    * with the benchmark/eval set (the GPT-3 appendix-C / PaLM 13-gram
+    * overlap rule; n is caller-chosen per corpus statistics). The eval
+    * side is small by nature — its distinct-gram set is broadcast, so
+    * the corpus side is one scan + semi-join with NO shuffle of document
+    * text; only the matched ids are shuffled for the final distinct. */
+  def contaminatedIds(corpus: DataFrame, evalDf: DataFrame,
+                      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("toks", Dedup.tokenize(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(Dedup.shinglesFromToks(col("toks"), n)).as("gram"))
+    val evalGrams = grams(evalDf).select(col("gram")).distinct()
+    grams(corpus).join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("id")).distinct()
+  }
+
   // ------------------------------------------------------------------ TF-IDF
 
   /** Per-stream TF-IDF keyword scores: for each (stream, term), total

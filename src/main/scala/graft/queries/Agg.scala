@@ -85,6 +85,19 @@ object Agg extends QueryModule {
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     }),
 
+    // GROUPING SETS (reference: src/Interpreters/InterpreterSelectQuery
+    // grouping-sets planning; superset of ROLLUP/CUBE): caller-chosen
+    // grouping combinations in one pass.
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // -If combinator family: countIf/sumIf/avgIf (reference:
     // src/AggregateFunctions/Combinators -If; Spark idiom = agg over
     // `when(cond, x)` which codegens to a conditional accumulate).
@@ -197,6 +210,12 @@ object Agg extends QueryModule {
     "q_with_totals" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag)""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        | (o_orderstatus), ())""".stripMargin,
 
     "q_agg_if" ->
       """SELECT count(CASE WHEN o_orderstatus='F' THEN 1 END) AS count_if_f,

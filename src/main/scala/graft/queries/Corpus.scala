@@ -81,6 +81,22 @@ object Corpus extends QueryModule {
             .otherwise(0L)).as("n_split"))
     }),
 
+    // Test-set decontamination: every 50th doc is the "benchmark"; a
+    // corpus doc is contaminated if it shares any 4-gram with it (4
+    // chosen so the synthetic vocab yields a partial hit set — real
+    // corpora use 8-13).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val flagged = CorpusOps.contaminatedIds(corpus, evalSet, "doc_id", "text", 4)
+        .withColumnRenamed("id", "doc_id").withColumn("hit", lit(1L))
+      corpus.join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+    }),
+
     // TF-IDF top-3 terms per language (scores rounded to 4 before the
     // rank cut so the top-k boundary is engine-stable).
     "q_tfidf_top" -> ((s, dir) => {
@@ -194,6 +210,25 @@ object Corpus extends QueryModule {
         |  (floor((max(cum) - 1) / 128.0) + 1)::BIGINT AS n_chunks,
         |  sum(CASE WHEN first_chunk <> last_chunk THEN 1 ELSE 0 END)::BIGINT AS n_split
         |FROM f GROUP BY lang""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, lang, unnest(list_distinct(list_filter(
+        |    list_transform(toks, (x, i) -> CASE WHEN i <= len(toks) - 3
+        |      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] END),
+        |    s -> s IS NOT NULL))) AS g
+        |  FROM tk),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (g)
+        |  WHERE doc_id % 50 <> 0)
+        |SELECT d.lang, count(*) AS n_corpus,
+        |  sum(CASE WHEN hit.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_contaminated
+        |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |GROUP BY d.lang""".stripMargin,
 
     "q_tfidf_top" ->
       """WITH tk AS (SELECT doc_id, lang,

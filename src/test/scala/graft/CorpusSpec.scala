@@ -77,6 +77,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 2L)))
   }
 
+  test("contaminatedIds flags only corpus docs sharing an n-gram with eval") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y alpha beta gamma delta z"), // shares the 4-gram
+      (2L, "alpha beta gamma zeta eta"),    // longest shared run is 3
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val ids = CorpusOps.contaminatedIds(corpus, eval, "doc_id", "text", 4)
+      .as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
   test("tfidf ranks stream-specific terms above ubiquitous ones") {
     val d = Seq(
       (1L, "s", "common rare common"),
