@@ -237,6 +237,10 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     */
   server.createContext("/dae/v1/search", (ex: HttpExchange) => {
     var headersSent = false
+    // query_log bookkeeping (reference QueryLog.cpp): sql is captured as
+    // soon as it parses; every exit path below records one entry.
+    val logT0 = System.nanoTime()
+    var logSql: String = null
     try {
       val b = body(ex)
       catalog.registerViews()
@@ -244,6 +248,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
       def opt(field: String): Option[JsonNode] =
         Option(b.get(field)).filter(!_.isNull)
       val sql = b.get("query").asText()
+      logSql = sql
       val limit = opt("limit").map(_.asInt()).getOrElse(100)
       val effLimit = if (limit <= 0) RestServer.MaxResultRows else limit
       val offset = opt("offset").map(_.asInt()).getOrElse(0)
@@ -292,6 +297,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
                 current = buildDf()
               }
             }
+            SystemTables.QueryLog.record(sql, logT0, -1L, "ok")
           } finally os.close()
 
         // Display formats (reference presentation family, FORMAT Pretty/
@@ -312,6 +318,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
           headersSent = true
           val os = ex.getResponseBody
           try os.write(bytes) finally os.close()
+          SystemTables.QueryLog.record(sql, logT0, -1L, "ok")
         case Some(other) if other != "json" =>
           respond(ex, 400, s"""{"error":${Catalog.toJsonString(
             s"unknown format: $other (json, pretty, vertical, markdown, xml)")}}""")
@@ -325,19 +332,27 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
           try {
             os.write("""{"rows":[""".getBytes(UTF_8))
             var first = true
+            var nRows = 0L
             while (it.hasNext) {
               if (!first) os.write(','.toInt)
               os.write(it.next().getBytes(UTF_8))
               first = false
+              nRows += 1
             }
             os.write("]}".getBytes(UTF_8))
+            SystemTables.QueryLog.record(sql, logT0, nRows, "ok")
           } finally os.close()
         }
       }
     } catch {
       case e: Throwable if !headersSent =>
+        if (logSql != null)
+          SystemTables.QueryLog.record(logSql, logT0, -1L, "error")
         respond(ex, 400, s"""{"error":${Catalog.toJsonString(e.getMessage)}}""")
-      case _: Throwable => ex.close() // body already streaming: truncate
+      case _: Throwable =>
+        if (logSql != null)
+          SystemTables.QueryLog.record(logSql, logT0, -1L, "error")
+        ex.close() // body already streaming: truncate
     }
   })
 

@@ -19,7 +19,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SystemTables {
 
   val names: Seq[String] =
-    Seq("tables", "columns", "databases", "functions", "metrics", "one")
+    Seq("tables", "columns", "databases", "functions", "metrics", "one",
+      "query_log")
+
+  /** system.query_log (reference `src/Interpreters/QueryLog.cpp`): a
+    * bounded in-memory ring of recent /search executions. The reference
+    * persists its log through an internal MergeTree table; here the
+    * introspection surface is the contract — entries are session-local
+    * and capped, like the metrics snapshot. */
+  object QueryLog {
+    final case class Entry(eventMs: Long, query: String, durationMs: Long,
+                           resultRows: Long, status: String)
+    private val cap = 1000
+    private val buf = new java.util.concurrent.ConcurrentLinkedDeque[Entry]
+    def record(query: String, startNs: Long, rows: Long, status: String): Unit = {
+      buf.addLast(Entry(System.currentTimeMillis(), query,
+        (System.nanoTime() - startNs) / 1000000L, rows, status))
+      while (buf.size > cap) buf.pollFirst()
+    }
+    def entries(): Seq[Entry] = {
+      val it = buf.iterator(); val b = Seq.newBuilder[Entry]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    def clear(): Unit = buf.clear()
+  }
+
+  /** system.query_log as a frame (newest last). */
+  def queryLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    QueryLog.entries()
+      .map(e => (e.eventMs, e.query, e.durationMs, e.resultRows, e.status))
+      .toDF("event_ms", "query", "duration_ms", "result_rows", "status")
+  }
 
   /** system.tables — one row per catalog table. */
   def tables(spark: SparkSession, catalog: Catalog): DataFrame = {
@@ -92,13 +124,16 @@ object SystemTables {
       case "functions" => functions(spark)
       case "metrics" => metrics(spark)
       case "one" => one(spark)
+      case "query_log" => queryLog(spark)
       case other => sys.error(s"no such system table: $other")
     }
 
-  /** The frames whose content tracks the catalog and must be re-derived
-    * per request; functions/metrics/one are session-static (metrics is a
-    * point-in-time snapshot — the REST endpoint rebuilds it live). */
-  private val catalogDependent = Seq("tables", "columns", "databases")
+  /** The frames whose content tracks the catalog (or the request stream,
+    * for query_log) and must be re-derived per request; functions/
+    * metrics/one are session-static (metrics is a point-in-time snapshot
+    * — the REST endpoint rebuilds it live). */
+  private val catalogDependent = Seq("tables", "columns", "databases",
+    "query_log")
 
   /** Register every system table as a `system_<name>` temp view. Called
     * once at server construction; the SQL entry points then refresh only

@@ -224,6 +224,29 @@ class RestSpec extends AnyFunSuite {
     reader.close()
   }
 
+  test("query_log records search executions and is itself searchable") {
+    graft.rest.SystemTables.QueryLog.clear()
+    val (c1, b1) = post("/search", """{"query":"SELECT 41+1 AS answer"}""")
+    assert(c1 == 200 && b1.contains("\"answer\":42"), b1)
+    post("/search", """{"query":"SELECT dummy FROM system_one"}""")
+    // REST surface
+    val (gc, gb) = get("/system/query_log")
+    assert(gc == 200 && gb.contains("SELECT 41+1 AS answer"), gb)
+    assert(gb.contains("\"status\":\"ok\""), gb)
+    // SQL surface: the log joins the system_* views
+    val (c2, b2) = post("/search",
+      """{"query":"SELECT count(*) AS n FROM system_query_log WHERE status = 'ok' AND result_rows >= 1"}""")
+    assert(c2 == 200, b2)
+    val n = """"n":(\d+)""".r.findFirstMatchIn(b2).get.group(1).toLong
+    assert(n >= 2, s"expected both searches logged, got $n: $b2")
+    // a failing query lands with status=error
+    post("/search", """{"query":"SELECT FROM nowhere"}""")
+    val (c3, b3) = post("/search",
+      """{"query":"SELECT count(*) AS n FROM system_query_log WHERE status = 'error'"}""")
+    assert(c3 == 200, b3)
+    assert(""""n":(\d+)""".r.findFirstMatchIn(b3).get.group(1).toLong >= 1, b3)
+  }
+
   test("analyzer returns a physical plan without executing") {
     val (code, body) = post("/sqlanalyzer",
       """{"query":"SELECT sourcetype, avg(latency) FROM logs GROUP BY sourcetype"}""")
