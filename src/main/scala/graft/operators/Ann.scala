@@ -379,6 +379,46 @@ object Ann {
       .limit(k)
   }
 
+  /** IVFPQ (Jégou et al., TPAMI 2011 §V; the FAISS IVFPQ structure and
+    * the standard memory-bound billion-scale tier): coarse IVF cells
+    * bound WHICH vectors are scanned (`nprobe` of `nlist` cells),
+    * product-quantized codes bound WHAT is read per vector (m bytes).
+    * This composition keeps both deterministic builds —
+    * [[ivfIndexDeterministic]] for the cells, [[pqTrainDeterministic]]
+    * for the codebooks — so the complete train→assign→probe→ADC chain
+    * stays oracle-able. Codes here quantize the raw vector (not the
+    * cell residual — the residual refinement is a production accuracy
+    * option the oracle story doesn't need). At 100 TB: cell = partition
+    * key, so a probe reads nprobe/nlist of the files; the ADC scan reads
+    * m-byte codes, not floats; no shuffle anywhere. */
+  def ivfPqTopK(df: DataFrame, idCol: String, embCol: String,
+                query: Seq[Float], k: Int, nlist: Int, nprobe: Int,
+                m: Int, ksub: Int, iters: Int = 1): DataFrame = {
+    import graft.functions.GraftScalar.dotArr
+    val dim = query.length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
+    val (assigned, centers) = ivfIndexDeterministic(df, idCol, embCol, nlist, iters)
+    val books = pqTrainDeterministic(df, idCol, embCol, m, dim / m, ksub, iters)
+    val q = query.map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+      s
+    }
+    val probed = centers.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }
+      .take(nprobe).map(_._2)
+    val qArr = array(q.map(lit).toIndexedSeq: _*)
+    val qNorm = math.sqrt(q.map(v => v * v).sum)
+    val rec = pqReconstruct(col("emb"), books)
+    assigned.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("id"),
+        round(dotArr(rec, qArr) / (sqrt(dotArr(rec, rec)) * lit(qNorm)), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-N most similar — O(n²) by construction; retained ONLY
     * as the spec cross-check for lshNearDupPairs and for small candidate
     * sets. Not registered as a query. */

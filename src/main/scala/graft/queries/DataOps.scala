@@ -109,6 +109,15 @@ object DataOps extends QueryModule {
         queryVector(s, dir), k = 10, m = 8, ksub = 16, iters = 1)
     }),
 
+    // IVFPQ: coarse cells bound which vectors are scanned, PQ codes
+    // bound what is read per vector — the standard billion-scale tier;
+    // probe + ADC chain fully replayed by the oracle.
+    "q_ann_ivfpq_topk" -> ((s, dir) => {
+      Ann.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVector(s, dir), k = 10, nlist = 8, nprobe = 3, m = 8,
+        ksub = 16, iters = 1)
+    }),
+
     "q_embedding_centroids" -> ((s, dir) => {
       t(s, dir, "embeddings").groupBy(col("label")).agg(
         count(lit(1)).as("n"),
@@ -196,6 +205,38 @@ object DataOps extends QueryModule {
 
   private val M64 = "18446744073709551616" // 2^64
 
+  /** Deterministic-IVF CTEs (expects `e`, `q` in scope; mirrors
+    * Ann.ivfIndexDeterministic(nlist=8, iters=1) + the 3-cell probe):
+    * fixed seeding by the 8 lowest vec_ids, one Lloyd step (assign by
+    * (euclidean, cell), element-wise mean), yielding `a1(vec_id, emb,
+    * cell)` and `probe(cell)` — shared by the IVF and IVFPQ oracles. */
+  private val ivfCtes: String =
+    """c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cent
+      |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      |a0 AS (SELECT vec_id, emb, cell FROM (
+      |  SELECT e.vec_id, e.emb, c0.cell, row_number() OVER (
+      |      PARTITION BY e.vec_id ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, len(e.emb)+1),
+      |          di -> (e.emb[di]-c0.cent[di])*(e.emb[di]-c0.cent[di]))),
+      |        (ax, ay) -> ax + ay)), c0.cell) AS rn
+      |  FROM e, c0) WHERE rn = 1),
+      |mv AS (SELECT cell, pos, avg(val) AS m FROM (
+      |  SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val FROM a0)
+      |  GROUP BY cell, pos),
+      |c1 AS (SELECT cell, list(m ORDER BY pos) AS cent FROM mv GROUP BY cell),
+      |a1 AS (SELECT vec_id, emb, cell FROM (
+      |  SELECT e.vec_id, e.emb, c1.cell, row_number() OVER (
+      |      PARTITION BY e.vec_id ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(range(1, len(e.emb)+1),
+      |          di -> (e.emb[di]-c1.cent[di])*(e.emb[di]-c1.cent[di]))),
+      |        (ax, ay) -> ax + ay)), c1.cell) AS rn
+      |  FROM e, c1) WHERE rn = 1),
+      |probe AS (SELECT c1.cell FROM c1, q
+      |  ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, len(q.qe)+1),
+      |        di -> (q.qe[di]-c1.cent[di])*(q.qe[di]-c1.cent[di]))),
+      |      (ax, ay) -> ax + ay)), c1.cell LIMIT 3)""".stripMargin
+
   /** Oracle for q_ann_pq_topk — replays Ann.pqTrainDeterministic /
     * pqReconstruct per subspace: training reads the capped sample
     * (vec_id < 500, the operator's trainCap — a no-op at the sf0.01
@@ -205,7 +246,10 @@ object DataOps extends QueryModule {
     * corpus, reconstruction = concatenated chosen centroids, cosine vs
     * the raw query. Generated per subspace so m/dsub/ksub stay in one
     * place. */
-  private def pqOracle(m: Int, dsub: Int, ksub: Int): String = {
+  /** The per-subspace PQ train/encode CTEs (expects `e`, `et`, `q` CTEs
+    * in scope); yields `rec(vec_id, rec)` — shared by the PQ and IVFPQ
+    * oracles. */
+  private def pqCtes(m: Int, dsub: Int, ksub: Int): String = {
     def dist(se: String, cent: String) =
       s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
          |      list_transform(range(1, $dsub + 1),
@@ -239,16 +283,19 @@ object DataOps extends QueryModule {
     }
     val joins = (1 until m).map(s => s"JOIN r_$s USING (vec_id)").mkString(" ")
     val cat = (0 until m).map(s => s"r_$s.cent").mkString(" || ")
+    s"""${subs.mkString(",\n")},
+       |rec AS (SELECT r_0.vec_id, $cat AS rec FROM r_0 $joins)""".stripMargin
+  }
+
+  private def pqOracle(m: Int, dsub: Int, ksub: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |et AS (SELECT * FROM e WHERE vec_id < 500),
        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
-       |${subs.mkString(",\n")},
-       |rec AS (SELECT r_0.vec_id, $cat AS rec FROM r_0 $joins)
+       |${pqCtes(m, dsub, ksub)}
        |SELECT rec.vec_id AS id,
        | round(list_cosine_similarity(rec.rec, q.qe), 6) AS cosine
        |FROM rec, q
        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin
-  }
 
   /** FNV-1a 64 over the UTF-8 bytes of `s` (mirrors [[graft.functions.SimHash64.fnv1a64]];
     * the test corpus is ASCII so ord() == byte). */
@@ -375,36 +422,27 @@ object DataOps extends QueryModule {
     // nearest cells, exact cosine top-10. The distance is the same
     // left-fold sum of squared diffs as the Spark side's aggregate().
     "q_ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cent
-        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-        |a0 AS (SELECT vec_id, emb, cell FROM (
-        |  SELECT e.vec_id, e.emb, c0.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |        list_transform(range(1, len(e.emb)+1),
-        |          di -> (e.emb[di]-c0.cent[di])*(e.emb[di]-c0.cent[di]))),
-        |        (ax, ay) -> ax + ay)), c0.cell) AS rn
-        |  FROM e, c0) WHERE rn = 1),
-        |mv AS (SELECT cell, pos, avg(val) AS m FROM (
-        |  SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val FROM a0)
-        |  GROUP BY cell, pos),
-        |c1 AS (SELECT cell, list(m ORDER BY pos) AS cent FROM mv GROUP BY cell),
-        |a1 AS (SELECT vec_id, emb, cell FROM (
-        |  SELECT e.vec_id, e.emb, c1.cell, row_number() OVER (
-        |      PARTITION BY e.vec_id ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |        list_transform(range(1, len(e.emb)+1),
-        |          di -> (e.emb[di]-c1.cent[di])*(e.emb[di]-c1.cent[di]))),
-        |        (ax, ay) -> ax + ay)), c1.cell) AS rn
-        |  FROM e, c1) WHERE rn = 1),
-        |probe AS (SELECT c1.cell FROM c1, q
-        |  ORDER BY sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      list_transform(range(1, len(q.qe)+1),
-        |        di -> (q.qe[di]-c1.cent[di])*(q.qe[di]-c1.cent[di]))),
-        |      (ax, ay) -> ax + ay)), c1.cell LIMIT 3)
-        |SELECT a1.vec_id AS id, round(list_cosine_similarity(a1.emb, q.qe), 6) AS cosine
-        |FROM a1, q WHERE a1.cell IN (SELECT cell FROM probe)
-        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |$ivfCtes
+         |SELECT a1.vec_id AS id, round(list_cosine_similarity(a1.emb, q.qe), 6) AS cosine
+         |FROM a1, q WHERE a1.cell IN (SELECT cell FROM probe)
+         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    // IVFPQ: the coarse-cell probe of q_ann_ivf_topk restricting the
+    // PQ-reconstruction scoring of q_ann_pq_topk (Ann.ivfPqTopK:
+    // nlist=8/nprobe=3 cells, m=8/ksub=16 codes).
+    "q_ann_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |et AS (SELECT * FROM e WHERE vec_id < 500),
+         |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |$ivfCtes,
+         |${pqCtes(m = 8, dsub = 8, ksub = 16)}
+         |SELECT rec.vec_id AS id,
+         | round(list_cosine_similarity(rec.rec, q.qe), 6) AS cosine
+         |FROM rec JOIN a1 ON rec.vec_id = a1.vec_id CROSS JOIN q
+         |WHERE a1.cell IN (SELECT cell FROM probe)
+         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
 
     "q_dedup_components" ->
       """WITH RECURSIVE e AS (

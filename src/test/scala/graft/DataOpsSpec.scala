@@ -170,6 +170,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("IVFPQ ANN: probed-cell PQ search overlaps the IVF result") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val got = Ann.ivfPqTopK(emb, "vec_id", "embedding", q, 10,
+      nlist = 8, nprobe = 3, m = 8, ksub = 16).collect()
+    assert(got.length == 10)
+    // the probe always includes the query's own cell; PQ codes are coarse
+    // but the query's reconstruction stays its own nearest code word
+    assert(got.head.getAs[Long]("id") == 0L)
+    // results must be a subset of what an unrestricted PQ scan returns
+    // scored identically — i.e. the probe filters, never rescores
+    val pqAll = Ann.pqTopK(emb, "vec_id", "embedding", q, 500,
+      m = 8, ksub = 16).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("cosine")).toMap
+    got.foreach { r =>
+      assert(pqAll(r.getAs[Long]("id")) == r.getAs[Double]("cosine"))
+    }
+  }
+
   test("stratified sampling is deterministic, rate-proportional, and respects 0/100 bounds") {
     import graft.operators.Sampling
     val docs = Tables.load(spark, sf, "documents")
