@@ -34,6 +34,14 @@ object CorpusOps {
                     nlist: Int, iters: Int = 1,
                     threshold: Double = 0.3): DataFrame = {
     val (assigned, _) = Ann.ivfIndexDeterministic(df, idCol, embCol, nlist, iters)
+    pairsFromAssigned(assigned, threshold)
+  }
+
+  /** The intra-cell pair rule over an already-built assignment —
+    * [[semDedupStats]] shares one IVF build between the pair mining and
+    * the per-cell counts instead of training twice. */
+  private def pairsFromAssigned(assigned: DataFrame,
+                                threshold: Double): DataFrame = {
     val withNorm = assigned.select(col("id"), col("cell"), col("emb"),
       sqrt(GraftScalar.dotArr(col("emb"), col("emb"))).as("nrm"))
     val a = withNorm.select(col("cell"), col("id").as("id_a"),
@@ -57,7 +65,7 @@ object CorpusOps {
                     nlist: Int, iters: Int = 1,
                     threshold: Double = 0.3): DataFrame = {
     val (assigned, _) = Ann.ivfIndexDeterministic(df, idCol, embCol, nlist, iters)
-    val removed = semDedupPairs(df, idCol, embCol, nlist, iters, threshold)
+    val removed = pairsFromAssigned(assigned, threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("removed", lit(1L))
     assigned.join(removed, Seq("id"), "left")
