@@ -50,6 +50,21 @@ object StreamOps {
     df.withWatermark(timeCol, watermark)
       .dropDuplicates(idemCol, timeCol)
 
+  /** Stream-side dimension enrichment — the reference's materialized
+    * views may SELECT the consumed stream JOINed against a dictionary/
+    * dimension table (`StorageKafka.streamToViews` pushes each consumed
+    * block through the MV's full SELECT). Structured Streaming's
+    * stream-static join is the native analogue: the static side is
+    * broadcast when small — no stream-side shuffle, identical to the
+    * reference's in-RAM dictionary lookup. The static side is a
+    * POINT-IN-TIME snapshot (its file listing binds at stream start);
+    * for the reference's periodic dictionary-reload behavior, join
+    * inside a foreachBatch MV where each batch re-reads the dimension —
+    * the spec demonstrates both. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+             dimKey: String, joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), joinType)
+
   /** Tumbling event-time aggregation — the streaming
     * `toStartOfInterval(_time, k) GROUP BY` (daisy materialized-view
     * pattern), with a real watermark. */

@@ -129,6 +129,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join sees dimension updates per batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dimPath = "/root/repo/target/enrich_dim_" + System.nanoTime()
+    Seq((1L, "gold"), (2L, "basic")).toDF("dim_id", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    val src = MemoryStream[IngestRow]
+    val enriched = StreamOps.enrich(src.toDF(),
+        spark.read.parquet(dimPath), "user_id", "dim_id")
+      .select($"_idem", $"user_id", $"tier")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      src.addData(IngestRow("a", ts(0), 1L, "view", 1.0),
+        IngestRow("b", ts(1), 3L, "view", 2.0)) // 3 has no dim row yet
+      q.processAllAvailable()
+      val r1 = spark.table("enrich_out").collect()
+        .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+      assert(r1 == Map("a" -> Some("gold"), "b" -> None))
+    } finally q.stop()
+
+    // Periodic dictionary reload (the reference's dictGet MV pattern):
+    // join inside foreachBatch with a fresh dimension read per batch —
+    // a mid-stream dimension rewrite IS visible to later batches.
+    val src2 = MemoryStream[IngestRow]
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val q2 = src2.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.enrich(batch, spark.read.parquet(dimPath),
+            "user_id", "dim_id")
+          .select($"_idem", $"tier").collect()
+          .foreach(r => seen.put(r.getString(0),
+            Option(r.getString(1)).getOrElse("null")))
+    }.start()
+    try {
+      src2.addData(IngestRow("a", ts(0), 3L, "view", 1.0))
+      q2.processAllAvailable()
+      assert(seen.get("a") == "null")
+      Seq((1L, "gold"), (2L, "basic"), (3L, "silver")).toDF("dim_id", "tier")
+        .write.mode("overwrite").parquet(dimPath)
+      src2.addData(IngestRow("b", ts(2), 3L, "view", 2.0))
+      q2.processAllAvailable()
+      assert(seen.get("b") == "silver", seen.toString)
+    } finally q2.stop()
+  }
+
   test("session windows close on gap") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[IngestRow]
