@@ -172,6 +172,39 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 0, s"SQ8 search must not shuffle the corpus:\n$plan")
   }
 
+  test("decontamination semi-joins the corpus against a BROADCAST gram set") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf)
+    val plan = physical(df)
+    // the eval grams must arrive by broadcast: the corpus-side shingle
+    // stream is never shuffled for the membership test
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval grams not broadcast-semi-joined:\n$plan")
+  }
+
+  test("sequence packing is one window pass per stream: a single exchange") {
+    import graft.operators.{CorpusOps, TextAnalysis}
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val df = CorpusOps.packChunks(docs, "doc_id", size(col("toks")), "lang", 128)
+    val plan = physical(df)
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+    assert(exchanges == 1, s"packing must shuffle once (by stream key):\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("IVFPQ search is probe-filter + scan + partial top-k: no shuffle, no join") {
+    val df = SparkEntry.queries("q_ann_ivfpq_topk")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"no partial top-k:\n$plan")
+    // the cell column is collapsed into the scan-side Filter (the probe
+    // predicate evaluates inline — no materialized assignment pass)
+    assert(plan.contains("Filter"), s"probe filter missing from plan:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
+    assert(exchanges == 0, s"IVFPQ search must not shuffle the corpus:\n$plan")
+  }
+
   test("SkipPartialAgg fires from NDV stats for near-unique keys only") {
     import graft.plans.{SkipPartialAgg, TableStats}
     val df = spark.range(20000)
