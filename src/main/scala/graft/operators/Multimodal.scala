@@ -83,6 +83,56 @@ object Multimodal {
     }
   }
 
+  /** Parsed header metadata (None = the payload carries no parseable
+    * container header of that family). */
+  case class MediaHeaderMeta(id: Long, kind: String,
+                             width: Option[Int], height: Option[Int],
+                             sample_rate: Option[Int], channels: Option[Int],
+                             duration_ms: Option[Long])
+
+  /** Media table whose payloads carry REAL container headers
+    * ([[MediaHeaders]]): images get a spec-correct PNG signature+IHDR
+    * (dims derived from the id), audio a fully valid PCM WAV wrapping
+    * the text bytes, video stays headerless raw bytes (must classify as
+    * unparseable). This is the fixture for header-level metadata
+    * extraction — the step that IS real; pixel/PCM decode remains the
+    * declared stub. */
+  def mediaWithHeaders(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        (id % 3) match {
+          case 0 =>
+            val w = (100 + id % 64).toInt; val h = (50 + id % 32).toInt
+            MediaRow(id, "image", w, h, MediaHeaders.pngBytes(w, h, body))
+          case 1 =>
+            val rate = 8000 + (id % 8).toInt * 1000
+            MediaRow(id, "audio", 0, 0, MediaHeaders.wavBytes(rate, 1, 16, body))
+          case _ =>
+            MediaRow(id, "video", 0, 0, body)
+        }
+    }
+  }
+
+  /** Header-level metadata extraction over partition batches — the same
+    * mapInPandas-shaped hot path as [[extractFeatures]], but the parsing
+    * is [[MediaHeaders]]' real byte-format walk, not a stub. */
+  def extractHeaderMeta(media: Dataset[MediaRow]): Dataset[MediaHeaderMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val png = MediaHeaders.parsePng(r.payload)
+        val jpg = if (png.isEmpty) MediaHeaders.parseJpegDims(r.payload) else None
+        val wav = MediaHeaders.parseWav(r.payload)
+        MediaHeaderMeta(r.id, r.kind,
+          png.map(_.width).orElse(jpg.map(_._1)),
+          png.map(_.height).orElse(jpg.map(_._2)),
+          wav.map(_.sampleRate), wav.map(_.channels), wav.map(_.durationMs))
+      }
+    }
+  }
+
   /** Build a media table from the documents corpus (text bytes stand in
     * for payloads; kind round-robins over modalities). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -195,6 +195,21 @@ object DataOps extends QueryModule {
     "q_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
+    }),
+
+    // REAL header-level metadata extraction: payloads carry spec-correct
+    // PNG IHDR / PCM WAV headers built from id-derived parameters, so
+    // the oracle replays the builder arithmetic and the byte-walk
+    // parsers are verified as its inverse; headerless video rows must
+    // come back all-NULL.
+    "q_multimodal_headers" -> ((s, dir) => {
+      val media = Multimodal.mediaWithHeaders(s, t(s, dir, "documents"))
+      Multimodal.extractHeaderMeta(media).toDF()
+        .select(col("id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms").as("duration_ms"))
     }))
 
   // ---- DuckDB mirrors of the hash/banding arithmetic ----
@@ -543,6 +558,22 @@ object DataOps extends QueryModule {
         | round(list_cosine_similarity(r.rec, qr.qrec), 6) AS cosine
         |FROM r, qr
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    // mirrors Multimodal.mediaWithHeaders: PNG dims 100+id%64 × 50+id%32
+    // for id%3=0, WAV rate 8000+(id%8)*1000 (mono, 16-bit → byteRate =
+    // 2*rate) wrapping the n_chars text bytes for id%3=1, raw bytes (all
+    // NULL metadata) for id%3=2.
+    "q_multimodal_headers" ->
+      """SELECT doc_id AS id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   ELSE 'video' END AS kind,
+        | CASE WHEN doc_id % 3 = 0 THEN 100 + doc_id % 64 END AS width,
+        | CASE WHEN doc_id % 3 = 0 THEN 50 + doc_id % 32 END AS height,
+        | CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate,
+        | CASE WHEN doc_id % 3 = 1
+        |   THEN (n_chars * 1000) // ((8000 + (doc_id % 8) * 1000) * 2)
+        | END AS duration_ms
+        |FROM documents""".stripMargin,
 
     "q_embedding_centroids" ->
       """SELECT label, count(*) AS n,
