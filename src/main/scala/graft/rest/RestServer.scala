@@ -360,8 +360,12 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     val b = body(ex)
     catalog.registerViews()
     SystemTables.registerCatalogViews(spark, catalog)
-    val plan = Search.analyze(spark, b.get("query").asText())
-    (200, s"""{"plan":${Catalog.toJsonString(plan)}}""")
+    // optional "mode": the reference's EXPLAIN levels (ast|syntax|plan|
+    // pipeline|codegen) mapped onto the Catalyst stages.
+    val mode = Option(b.get("mode")).filter(!_.isNull)
+      .map(_.asText()).getOrElse("default")
+    val plan = Search.explain(spark, b.get("query").asText(), mode)
+    (200, s"""{"mode":${Catalog.toJsonString(mode)},"plan":${Catalog.toJsonString(plan)}}""")
   })
 
   // Full system-view registration once up front (functions/metrics/one

@@ -82,6 +82,27 @@ object Search {
     s"== Optimized ==\n${qe.optimizedPlan}\n== Physical ==\n${qe.executedPlan}"
   }
 
+  /** EXPLAIN levels, mapping the reference's modes (EXPLAIN AST / SYNTAX
+    * / PLAN / PIPELINE, `src/Interpreters/InterpreterExplainQuery.cpp`)
+    * onto the Catalyst stages: ast→parsed, syntax→analyzed,
+    * plan→optimized, pipeline→physical (the executed plan IS the
+    * pipeline here), codegen→generated code. Default = [[analyze]]'s
+    * optimized+physical pair. */
+  def explain(spark: SparkSession, sql: String, mode: String): String = {
+    val qe = spark.sql(sql).queryExecution
+    mode.toLowerCase match {
+      case "ast" | "parsed" => qe.logical.toString
+      case "syntax" | "analyzed" => qe.analyzed.toString
+      case "plan" | "optimized" => qe.optimizedPlan.toString
+      case "pipeline" | "physical" => qe.executedPlan.toString
+      case "codegen" =>
+        org.apache.spark.sql.execution.debug.codegenString(qe.executedPlan)
+      case "" | "default" => analyze(spark, sql)
+      case other => sys.error(
+        s"unknown explain mode: $other (ast, syntax, plan, pipeline, codegen)")
+    }
+  }
+
   /** Split on top-level commas (not inside parens). */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -253,6 +253,27 @@ class RestSpec extends AnyFunSuite {
     assert(code == 200 && body.contains("Physical"), body)
   }
 
+  test("analyzer explain modes expose each Catalyst stage") {
+    def plan(mode: String): String = {
+      val (code, body) = post("/sqlanalyzer",
+        s"""{"query":"SELECT sourcetype, count(*) FROM logs GROUP BY sourcetype","mode":"$mode"}""")
+      assert(code == 200, body)
+      body
+    }
+    assert(plan("ast").contains("'UnresolvedRelation") ||
+      plan("ast").contains("'Aggregate"))
+    assert(plan("syntax").contains("Aggregate"))
+    assert(plan("plan").contains("Aggregate"))
+    assert(plan("pipeline").contains("HashAggregate"))
+    // under AQE the codegen subtrees may not exist until execution — the
+    // mode must answer either way, never error
+    assert(plan("codegen").contains("WholeStageCodegen"),
+      plan("codegen").take(300))
+    val (bad, bb) = post("/sqlanalyzer",
+      """{"query":"SELECT 1","mode":"nope"}""")
+    assert(bad == 400 && bb.contains("unknown explain mode"), bb)
+  }
+
   test("drop removes table and data") {
     val (code, _) = delete("/ddl/tables/logs")
     assert(code == 200)
