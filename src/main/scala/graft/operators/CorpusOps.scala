@@ -151,6 +151,27 @@ object CorpusOps {
       .withColumn("last_chunk", floor((col("cum") - 1) / budget))
   }
 
+  // ------------------------------------------------------- document chunking
+
+  /** Overlapping character-window chunks (the RAG/embedding-prep
+    * splitter): windows of `size` chars every `size - overlap` chars,
+    * n = ceil(len/stride) so the tail is covered without empty windows.
+    * One generate-and-explode per document — no shuffle, no UDF; at
+    * 100 TB chunking is a flatMap-shaped scan, exactly this plan. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"chunkDocs: need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = ceil(length(col(textCol)) / lit(stride.toDouble)).cast("int")
+    df.select(col(idCol),
+        explode(transform(sequence(lit(0), greatest(n, lit(1)) - 1),
+          i => struct(i.as("chunk_idx"),
+            col(textCol).substr(i * stride + 1, lit(size)).as("chunk"))))
+          .as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk"))
+  }
+
   // ------------------------------------------------- eval decontamination
 
   /** Test-set decontamination: corpus documents sharing any word n-gram

@@ -81,6 +81,16 @@ object Corpus extends QueryModule {
             .otherwise(0L)).as("n_split"))
     }),
 
+    // RAG-style chunking: 100-char windows, 20-char overlap; per-chunk
+    // md5 makes the gate content-exact, not just count-exact.
+    "q_doc_chunks" -> ((s, dir) => {
+      CorpusOps.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+          size = 100, overlap = 20)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_chars"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+    }),
+
     // Test-set decontamination: every 50th doc is the "benchmark"; a
     // corpus doc is contaminated if it shares any 4-gram with it (4
     // chosen so the synthetic vocab yields a partial hit set — real
@@ -210,6 +220,14 @@ object Corpus extends QueryModule {
         |  (floor((max(cum) - 1) / 128.0) + 1)::BIGINT AS n_chunks,
         |  sum(CASE WHEN first_chunk <> last_chunk THEN 1 ELSE 0 END)::BIGINT AS n_split
         |FROM f GROUP BY lang""".stripMargin,
+
+    "q_doc_chunks" ->
+      """SELECT doc_id, i AS chunk_idx,
+        | length(substr(text, (i * 80 + 1)::INT, 100)) AS chunk_chars,
+        | md5(substr(text, (i * 80 + 1)::INT, 100)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |   unnest(range((length(text) + 79) // 80)) AS i
+        | FROM documents)""".stripMargin,
 
     "q_decontaminate" ->
       """WITH tk AS (SELECT doc_id, lang,

@@ -77,6 +77,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 2L)))
   }
 
+  test("chunkDocs covers the text with overlapping windows, tail included") {
+    val d = Seq((1L, "a" * 250), (2L, "b" * 80), (3L, "c" * 10))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocs(d, "doc_id", "text", size = 100, overlap = 20)
+      .select($"doc_id", $"chunk_idx", length($"chunk").as("len"))
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    // 250 chars, stride 80: starts 0/80/160/240 -> lengths 100/100/90/10
+    assert(out(1L).sortBy(_._2).map(_._3).toSeq == Seq(100, 100, 90, 10))
+    assert(out(2L).map(_._3).toSeq == Seq(80)) // exactly one stride: 1 chunk
+    assert(out(3L).map(_._3).toSeq == Seq(10)) // shorter than one window
+  }
+
   test("contaminatedIds flags only corpus docs sharing an n-gram with eval") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
