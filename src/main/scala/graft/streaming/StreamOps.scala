@@ -155,6 +155,43 @@ object StreamOps {
       }
   }
 
+  /** One content row on the ingest stream (digest precomputed by the
+    * caller — [[graft.operators.Dedup.normalized]]+md5, so batch and
+    * stream dedup share one digest definition). */
+  case class ContentRow(doc_id: Long, digest: String)
+
+  /** Streaming dedup decision: canonical = the FIRST doc_id ever seen
+    * with this digest (across all batches, not a watermark horizon). */
+  case class DedupDecision(doc_id: Long, digest: String, canonical_id: Long,
+                           is_duplicate: Boolean)
+
+  /** Streaming exact dedup with canonicalization — the continuous form
+    * of [[graft.operators.Dedup.exact]]: state per digest is ONE long
+    * (the first doc_id), every arriving row is emitted with its
+    * canonical id and duplicate flag. Unlike
+    * `dropDuplicates(digest)` this keeps duplicates flowing (tagged), so
+    * downstream can count/route them, and the state contract is explicit:
+    * one entry per distinct digest forever, like the reference's
+    * engine-level dedup — cardinality-bounded only, so the RocksDB state
+    * store applies at corpus scale (see [[latestPerKey]]'s provider
+    * flip, which this shares via the same session conf). */
+  def streamingExactDedup(ds: Dataset[ContentRow]): Dataset[DedupDecision] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.digest)
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (digest: String, rows: Iterator[ContentRow], state: GroupState[Long]) =>
+          // batch-internal order: lowest doc_id wins, matching the
+          // batch operator's min(doc_id) canonical choice
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          val canonical = state.getOption.getOrElse {
+            val c = sorted.head.doc_id; state.update(c); c
+          }
+          sorted.iterator.map(r =>
+            DedupDecision(r.doc_id, digest, canonical, r.doc_id != canonical))
+      }
+  }
+
   /** ReplacingMergeTree latest-row: stateful per-key newest version
     * (daisy MergeTreeData.h:104-105 Replacing mode). State per key is one
     * row; flatMapGroupsWithState emits the new latest on every update.

@@ -252,6 +252,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup canonicalizes across batches, lowest id wins") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.{ContentRow, DedupDecision}
+    val src = MemoryStream[ContentRow]
+    val q = StreamOps.streamingExactDedup(src.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: two copies of A (higher id first — min must win), one B
+      src.addData(ContentRow(7L, "A"), ContentRow(3L, "A"), ContentRow(5L, "B"))
+      q.processAllAvailable()
+      // batch 2: A returns much later — still canonicalized to 3
+      src.addData(ContentRow(9L, "A"), ContentRow(6L, "C"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[DedupDecision].collect()
+        .map(d => d.doc_id -> ((d.canonical_id, d.is_duplicate))).toMap
+      assert(out == Map(
+        7L -> ((3L, true)), 3L -> ((3L, false)), 5L -> ((5L, false)),
+        9L -> ((3L, true)), 6L -> ((6L, false))))
+    } finally q.stop()
+  }
+
   test("materialized view via foreachBatch with periodic trigger") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[IngestRow]
