@@ -184,6 +184,17 @@ object GraftScalar {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),
         litInt(exprs, 4, "geohashes_in_box precision")), "built-in")
+    // Spark ships BloomFilterMightContain for its own runtime join
+    // filters but does not SQL-register it; exposed here so bloom-built
+    // membership prefilters (decontamination) are plain function calls.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -191,6 +191,32 @@ object CorpusOps {
       .select(col("id")).distinct()
   }
 
+  /** Bloom-accelerated [[contaminatedIds]] — byte-identical results, the
+    * 100 TB plan: a bloom filter over the eval grams (built with Spark's
+    * own BloomFilterAggregate, held as a query parameter like a centroid
+    * table) prefilters the corpus gram stream INSIDE the scan
+    * (`might_contain` is a codegen'd predicate — the overwhelmingly
+    * non-matching grams never reach the join), and the exact broadcast
+    * semi-join then removes the bloom's false positives. `fpp`-sized at
+    * ~1 % with 8 bits/item. */
+  def contaminatedIdsBloom(corpus: DataFrame, evalDf: DataFrame,
+                           idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("toks", Dedup.tokenize(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(Dedup.shinglesFromToks(col("toks"), n)).as("gram"))
+    val evalGrams = grams(evalDf).select(col("gram")).distinct()
+    val nItems = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams
+      .agg(call_function("bloom_filter_agg", xxhash64(col("gram")),
+        lit(nItems), lit(nItems * 8)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    grams(corpus)
+      .filter(call_function("might_contain", lit(bloom), xxhash64(col("gram"))))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("id")).distinct()
+  }
+
   // ------------------------------------------------------------------ TF-IDF
 
   /** Per-stream TF-IDF keyword scores: for each (stream, term), total

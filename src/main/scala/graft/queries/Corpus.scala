@@ -99,7 +99,10 @@ object Corpus extends QueryModule {
       val docs = t(s, dir, "documents")
       val evalSet = docs.filter(col("doc_id") % 50 === 0)
       val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-      val flagged = CorpusOps.contaminatedIds(corpus, evalSet, "doc_id", "text", 4)
+      // bloom-prefiltered variant: byte-identical to contaminatedIds
+      // (the exact semi-join removes bloom false positives) but the
+      // corpus gram stream is cut inside the scan — the 100 TB plan
+      val flagged = CorpusOps.contaminatedIdsBloom(corpus, evalSet, "doc_id", "text", 4)
         .withColumnRenamed("id", "doc_id").withColumn("hit", lit(1L))
       corpus.join(flagged, Seq("doc_id"), "left")
         .groupBy(col("lang"))

@@ -101,6 +101,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  test("bloom-prefiltered decontamination matches the exact operator") {
+    val docs = Tables.load(spark, sf, "documents")
+    val eval = docs.filter($"doc_id" % 50 === 0)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val exact = CorpusOps.contaminatedIds(corpus, eval, "doc_id", "text", 4)
+      .as[Long].collect().toSet
+    val bloom = CorpusOps.contaminatedIdsBloom(corpus, eval, "doc_id", "text", 4)
+      .as[Long].collect().toSet
+    assert(bloom == exact, s"bloom=${bloom.size} exact=${exact.size}")
+    assert(exact.nonEmpty) // non-degenerate on the spec corpus
+  }
+
   test("tfidf ranks stream-specific terms above ubiquitous ones") {
     val d = Seq(
       (1L, "s", "common rare common"),
