@@ -151,6 +151,26 @@ object CorpusOps {
       .withColumn("last_chunk", floor((col("cum") - 1) / budget))
   }
 
+  // --------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): hash every word k-gram IN ORDER, slide
+    * a window of `w` hashes, keep each window's minimum — guaranteed to
+    * share fingerprints with any document that shares a run of ≥ w+k-1
+    * words, with ~2/(w+1) of the grams kept. All array HOFs over the
+    * token column: no shuffle, no UDF. Hashes are FNV-1a (the oracle
+    * replays the polynomial); fewer than w grams → one window over all. */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column = {
+    val hs = transform(ngrams(toks, k), g => GraftScalar.fnv1a64(g))
+    val m = size(hs)
+    val nWin = greatest(m - w + 1, lit(1))
+    filter(
+      array_distinct(transform(sequence(lit(1), nWin),
+        i => array_min(slice(hs, i, lit(w))))),
+      x => x.isNotNull)
+  }
+
   // ------------------------------------------------------- document chunking
 
   /** Overlapping character-window chunks (the RAG/embedding-prep

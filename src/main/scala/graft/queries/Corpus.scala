@@ -81,6 +81,21 @@ object Corpus extends QueryModule {
             .otherwise(0L)).as("n_split"))
     }),
 
+    // Winnowing fingerprints (k=3-word grams, window w=4): per-doc
+    // fingerprint count + a mod-prime checksum over the selected hashes
+    // — the oracle replays FNV-1a, the signed-min window walk and the
+    // checksum, so the whole selection arithmetic is hash-checked.
+    "q_fingerprint_winnow" -> ((s, dir) => {
+      val fps = col("fps")
+      t(s, dir, "documents")
+        .withColumn("toks", split(Dedup.normalized(col("text")), " "))
+        .withColumn("fps", CorpusOps.winnowFingerprints(col("toks"), k = 3, w = 4))
+        .select(col("doc_id"),
+          size(fps).cast("long").as("n_fp"),
+          aggregate(fps, lit(0L), (acc, x) => acc + (x % 1000000007L))
+            .as("fp_csum"))
+    }),
+
     // RAG-style chunking: 100-char windows, 20-char overlap; per-chunk
     // md5 makes the gate content-exact, not just count-exact.
     "q_doc_chunks" -> ((s, dir) => {
@@ -223,6 +238,36 @@ object Corpus extends QueryModule {
         |  (floor((max(cum) - 1) / 128.0) + 1)::BIGINT AS n_chunks,
         |  sum(CASE WHEN first_chunk <> last_chunk THEN 1 ELSE 0 END)::BIGINT AS n_split
         |FROM f GROUP BY lang""".stripMargin,
+
+    "q_fingerprint_winnow" -> {
+      // mirrors CorpusOps.winnowFingerprints(k=3, w=4): FNV-1a per gram
+      // reduced to SIGNED 64-bit (Spark longs compare signed, so the
+      // window minimum must too), windows of 4, distinct mins, checksum
+      // = sum of (v % 1000000007) with dividend-sign % on both engines.
+      val fnv = DataOps.fnvSql("g2")
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, list_filter(list_transform(toks, (x, i) ->
+         |    CASE WHEN i <= len(toks) - 2
+         |      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+         |    s -> s IS NOT NULL) AS grams
+         |  FROM tk),
+         |h AS (SELECT doc_id, list_transform(grams, g2 ->
+         |    CASE WHEN ($fnv) >= 9223372036854775808
+         |      THEN (($fnv) - ${DataOps.M64})::BIGINT
+         |      ELSE ($fnv)::BIGINT END) AS hs
+         |  FROM g),
+         |win AS (SELECT doc_id, list_filter(list_distinct(
+         |    list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+         |      i -> list_min(hs[i:i+3]))), v -> v IS NOT NULL) AS fps
+         |  FROM h)
+         |SELECT doc_id, len(fps)::BIGINT AS n_fp,
+         |  COALESCE(list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(fps, v -> v % 1000000007)), (a, b) -> a + b), 0)::BIGINT
+         |    AS fp_csum
+         |FROM win""".stripMargin
+    },
 
     "q_doc_chunks" ->
       """SELECT doc_id, i AS chunk_idx,

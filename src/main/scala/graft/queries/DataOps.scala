@@ -218,7 +218,7 @@ object DataOps extends QueryModule {
   // Lloyd quantizer assignment — so a drift in any banding constant or
   // hash step fails the gate (rows-only checks could not see that).
 
-  private val M64 = "18446744073709551616" // 2^64
+  private[queries] val M64 = "18446744073709551616" // 2^64
 
   /** Deterministic-IVF CTEs (expects `e`, `q` in scope; mirrors
     * Ann.ivfIndexDeterministic(nlist=8, iters=1) + the 3-cell probe):
@@ -314,7 +314,7 @@ object DataOps extends QueryModule {
 
   /** FNV-1a 64 over the UTF-8 bytes of `s` (mirrors [[graft.functions.SimHash64.fnv1a64]];
     * the test corpus is ASCII so ord() == byte). */
-  private def fnvSql(s: String): String =
+  private[queries] def fnvSql(s: String): String =
     s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
        |    list_transform(range(1, strlen($s)+1), fi -> ord(substr($s, fi, 1))::HUGEINT)),
        |   (fh, fb) -> (xor(fh::UBIGINT, fb::UBIGINT)::HUGEINT * 1099511628211) % $M64)""".stripMargin

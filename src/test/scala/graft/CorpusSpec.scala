@@ -101,6 +101,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  test("winnowing: docs sharing a long-enough run share a fingerprint") {
+    // k=3, w=4: any shared run of >= w+k-1 = 6 words guarantees a shared
+    // window minimum (the winnowing paper's correctness property)
+    val shared = "one two three four five six"
+    val d = Seq(
+      (1L, s"aa bb $shared cc dd"),
+      (2L, s"xx yy zz $shared qq"),
+      (3L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"),
+        CorpusOps.winnowFingerprints(col("toks"), 3, 4).as("fps"))
+    val fps = d.as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    // density: ~2/(w+1) of grams survive; never more than the gram count
+    assert(fps(1L).nonEmpty && fps(1L).size <= 8)
+  }
+
   test("bloom-prefiltered decontamination matches the exact operator") {
     val docs = Tables.load(spark, sf, "documents")
     val eval = docs.filter($"doc_id" % 50 === 0)
