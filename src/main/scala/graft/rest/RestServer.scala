@@ -191,6 +191,24 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
     * JSON row arrays: GET /dae/v1/system/{tables|columns|databases|
     * functions|metrics|one}. The same frames are reachable from /search
     * SQL as `system_<name>` views. */
+  // Prometheus text exposition of the live metric snapshot (reference
+  // `src/Server/PrometheusRequestHandler.cpp` + PrometheusMetricsWriter:
+  // one gauge per CurrentMetrics entry, prefixed).
+  server.createContext("/metrics", (ex: HttpExchange) =>
+    try {
+      val rows = SystemTables.metrics(spark).collect()
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val name = "graft_" + r.getString(0)
+        sb.append(s"# TYPE $name gauge\n$name ${r.getLong(1)}\n")
+      }
+      val bytes = sb.toString.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    } catch { case _: Throwable => ex.close() })
+
   server.createContext("/dae/v1/system", (ex: HttpExchange) => handle(ex) {
     val name = ex.getRequestURI.getPath.stripPrefix("/dae/v1/system")
       .stripPrefix("/")
@@ -304,15 +322,21 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
         // Vertical/Markdown/XML): rendered server-side as text. These are
         // row-capped terminal/report formats, not the streaming data path.
         case None => opt("format").map(_.asText()) match {
-        case Some(fmt @ ("pretty" | "vertical" | "markdown" | "xml")) =>
+        case Some(fmt @ ("pretty" | "vertical" | "markdown" | "xml" | "csv" | "tsv")) =>
           val rendered = fmt match {
             case "pretty" => graft.sources.TextRender.pretty(df)
             case "vertical" => graft.sources.TextRender.vertical(df)
             case "markdown" => graft.sources.TextRender.markdown(df)
+            case "csv" => graft.sources.TextRender.csv(df)
+            case "tsv" => graft.sources.TextRender.tsv(df)
             case _ => graft.sources.TextRender.xml(df)
           }
-          ex.getResponseHeaders.set("Content-Type",
-            if (fmt == "xml") "application/xml" else "text/plain; charset=utf-8")
+          ex.getResponseHeaders.set("Content-Type", fmt match {
+            case "xml" => "application/xml"
+            case "csv" => "text/csv; charset=utf-8"
+            case "tsv" => "text/tab-separated-values; charset=utf-8"
+            case _ => "text/plain; charset=utf-8"
+          })
           val bytes = rendered.getBytes(UTF_8)
           ex.sendResponseHeaders(200, bytes.length.toLong)
           headersSent = true
@@ -321,7 +345,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
           SystemTables.QueryLog.record(sql, logT0, -1L, "ok")
         case Some(other) if other != "json" =>
           respond(ex, 400, s"""{"error":${Catalog.toJsonString(
-            s"unknown format: $other (json, pretty, vertical, markdown, xml)")}}""")
+            s"unknown format: $other (json, pretty, vertical, markdown, xml, csv, tsv)")}}""")
           headersSent = true
         case _ =>
           val it = df.toJSON.toLocalIterator()

@@ -143,4 +143,41 @@ object TextRender {
     sb.append(s"\t</data>\n\t<rows>${rows.length}</rows>\n</result>\n")
     sb.toString
   }
+
+  /** CSVWithNames (reference `CSVRowOutputFormat` rules: RFC-style
+    * double-quote escaping, a field is quoted iff it contains a quote,
+    * comma, CR or LF; NULL renders as \N like the reference's CSV). */
+  def csv(df: DataFrame, maxRows: Int = MaxRows): String = {
+    val rows = take(df, maxRows)
+    val fields = df.schema.fields
+    def f(s: String): String =
+      if (s.exists(c => c == '"' || c == ',' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val sb = new StringBuilder
+    sb.append(fields.map(x => f(x.name)).mkString(",")).append('\n')
+    rows.foreach { r =>
+      sb.append(fields.indices.map(i =>
+        if (r.isNullAt(i)) "\\N" else f(r.get(i).toString)).mkString(","))
+        .append('\n')
+    }
+    sb.toString
+  }
+
+  /** TabSeparatedWithNames (reference `TabSeparatedRowOutputFormat`:
+    * backslash-escaped \t, \n, \r, \\; NULL as \N). */
+  def tsv(df: DataFrame, maxRows: Int = MaxRows): String = {
+    val rows = take(df, maxRows)
+    val fields = df.schema.fields
+    def f(s: String): String = s.replace("\\", "\\\\")
+      .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+    val sb = new StringBuilder
+    sb.append(fields.map(x => f(x.name)).mkString("\t")).append('\n')
+    rows.foreach { r =>
+      sb.append(fields.indices.map(i =>
+        if (r.isNullAt(i)) "\\N" else f(r.get(i).toString)).mkString("\t"))
+        .append('\n')
+    }
+    sb.toString
+  }
 }

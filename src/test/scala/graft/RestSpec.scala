@@ -224,6 +224,24 @@ class RestSpec extends AnyFunSuite {
     reader.close()
   }
 
+  test("csv/tsv formats and the prometheus metrics endpoint") {
+    val (cc, cb) = post("/search",
+      """{"query":"SELECT 'a,b' AS s, 1 AS n UNION ALL SELECT NULL, 2 ORDER BY n","format":"csv"}""")
+    assert(cc == 200, cb)
+    assert(cb == "s,n\n\"a,b\",1\n\\N,2\n", cb)
+    val (tc, tb) = post("/search",
+      """{"query":"SELECT 'x\ty' AS s, 1 AS n","format":"tsv"}""")
+    assert(tc == 200 && tb == "s\tn\nx\\ty\t1\n", tb)
+    // /metrics sits at the server root (prometheus convention), not /dae/v1
+    val r = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}/metrics")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("# TYPE graft_jvm_heap_used_bytes gauge"), r.body())
+    assert(r.body().linesIterator.exists(_.matches("graft_default_parallelism \\d+")),
+      r.body())
+  }
+
   test("query_log records search executions and is itself searchable") {
     graft.rest.SystemTables.QueryLog.clear()
     val (c1, b1) = post("/search", """{"query":"SELECT 41+1 AS answer"}""")
