@@ -45,6 +45,9 @@ class Catalog(spark: SparkSession, root: String) {
   import Catalog._
 
   private val catalogDir = new java.io.File(root, "_catalog")
+
+  /** Data root (system.parts walks it for partition/file metadata). */
+  def rootDir: String = root
   catalogDir.mkdirs()
 
   def list(): Seq[String] =

@@ -20,7 +20,7 @@ object SystemTables {
 
   val names: Seq[String] =
     Seq("tables", "columns", "databases", "functions", "metrics", "one",
-      "query_log")
+      "query_log", "parts")
 
   /** system.query_log (reference `src/Interpreters/QueryLog.cpp`): a
     * bounded in-memory ring of recent /search executions. The reference
@@ -110,6 +110,30 @@ object SystemTables {
     ).toDF("metric", "value")
   }
 
+  /** system.parts (reference `StorageSystemParts.cpp`): one row per
+    * (table, time-bucket partition) with file/byte counts — our "part"
+    * is a partition directory's parquet file set. Pure metadata walk of
+    * the catalog root; never reads data. */
+  def parts(spark: SparkSession, catalog: Catalog): DataFrame = {
+    import spark.implicits._
+    val rows = catalog.list().flatMap { t =>
+      val dir = new java.io.File(catalog.rootDir, t)
+      val partDirs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.contains("="))
+      val units = if (partDirs.isEmpty) Array(dir).filter(_.isDirectory)
+                  else partDirs
+      units.flatMap { p =>
+        val files = Option(p.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (files.isEmpty) None
+        else Some((t,
+          if (p == dir) "all" else p.getName,
+          files.length.toLong, files.map(_.length).sum))
+      }
+    }
+    rows.toDF("table", "partition", "n_files", "bytes")
+  }
+
   /** system.one — the reference's 1-row dummy table. */
   def one(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -125,6 +149,7 @@ object SystemTables {
       case "metrics" => metrics(spark)
       case "one" => one(spark)
       case "query_log" => queryLog(spark)
+      case "parts" => parts(spark, catalog)
       case other => sys.error(s"no such system table: $other")
     }
 
@@ -133,7 +158,7 @@ object SystemTables {
     * metrics/one are session-static (metrics is a point-in-time snapshot
     * — the REST endpoint rebuilds it live). */
   private val catalogDependent = Seq("tables", "columns", "databases",
-    "query_log")
+    "query_log", "parts")
 
   /** Register every system table as a `system_<name>` temp view. Called
     * once at server construction; the SQL entry points then refresh only

@@ -224,6 +224,16 @@ class RestSpec extends AnyFunSuite {
     reader.close()
   }
 
+  test("system.parts lists partition file sets after ingest") {
+    val (gc, gb) = get("/system/parts")
+    assert(gc == 200, gb)
+    assert(gb.contains("\"table\":\"logs\""), gb)
+    val (sc2, sb2) = post("/search",
+      """{"query":"SELECT table, count(*) AS n_parts, sum(n_files) AS files FROM system_parts WHERE table = 'logs' GROUP BY table"}""")
+    assert(sc2 == 200, sb2)
+    assert(""""files":(\d+)""".r.findFirstMatchIn(sb2).get.group(1).toLong >= 1, sb2)
+  }
+
   test("csv/tsv formats and the prometheus metrics endpoint") {
     val (cc, cb) = post("/search",
       """{"query":"SELECT 'a,b' AS s, 1 AS n UNION ALL SELECT NULL, 2 ORDER BY n","format":"csv"}""")
