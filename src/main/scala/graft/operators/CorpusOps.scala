@@ -161,10 +161,21 @@ object CorpusOps {
     * words, with ~2/(w+1) of the grams kept. All array HOFs over the
     * token column: no shuffle, no UDF. Hashes are FNV-1a (the oracle
     * replays the polynomial); fewer than w grams → one window over all. */
-  def winnowFingerprints(toks: Column, k: Int, w: Int): Column = {
-    val hs = transform(ngrams(toks, k), g => GraftScalar.fnv1a64(g))
-    val m = size(hs)
-    val nWin = greatest(m - w + 1, lit(1))
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    winnowFromHashes(gramHashes(toks, k), w)
+
+  /** Ordered FNV-1a hashes of the word k-grams. BIND THIS to a column
+    * (`withColumn("hs", gramHashes(...))`) before winnowing a corpus:
+    * interpreted HOF lambdas have no common-subexpression elimination,
+    * so an inline hash array referenced inside the window transform
+    * re-hashes every gram once PER WINDOW — O(m²) hashing observed as
+    * a 40× slowdown (same trap as [[Dedup.shinglesFromToks]]). */
+  def gramHashes(toks: Column, k: Int): Column =
+    transform(ngrams(toks, k), g => GraftScalar.fnv1a64(g))
+
+  /** Window-minima selection over a PRE-MATERIALIZED hash array. */
+  def winnowFromHashes(hs: Column, w: Int): Column = {
+    val nWin = greatest(size(hs) - w + 1, lit(1))
     filter(
       array_distinct(transform(sequence(lit(1), nWin),
         i => array_min(slice(hs, i, lit(w))))),

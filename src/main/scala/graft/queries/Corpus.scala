@@ -89,7 +89,10 @@ object Corpus extends QueryModule {
       val fps = col("fps")
       t(s, dir, "documents")
         .withColumn("toks", split(Dedup.normalized(col("text")), " "))
-        .withColumn("fps", CorpusOps.winnowFingerprints(col("toks"), k = 3, w = 4))
+        // hashes bound ONCE; inlining them into the window transform
+        // re-hashes every gram per window (no CSE in interpreted HOFs)
+        .withColumn("hs", CorpusOps.gramHashes(col("toks"), k = 3))
+        .withColumn("fps", CorpusOps.winnowFromHashes(col("hs"), w = 4))
         .select(col("doc_id"),
           size(fps).cast("long").as("n_fp"),
           aggregate(fps, lit(0L), (acc, x) => acc + (x % 1000000007L))
