@@ -81,6 +81,27 @@ object Corpus extends QueryModule {
             .otherwise(0L)).as("n_split"))
     }),
 
+    // The composed pipeline — quality gate → exact-dup removal →
+    // stratified mixture sampling → per-lang stats — as ONE declarative
+    // plan (each stage is a codegen filter/window over the same scan;
+    // Catalyst fuses them, which is the point of expressing corpus prep
+    // relationally). Oracle replays every stage's integer arithmetic.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("toks", split(Dedup.normalized(col("text")), " "))
+        .filter(CorpusOps.gopherPass(col("toks")))
+        .withColumn("digest", md5(Dedup.normalized(col("text")).cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .filter( // stratified keep: en 50%, rest 20% (Sampling's hash)
+          ((col("doc_id") % 100000007L) * 2654435761L % 100) <
+            when(col("lang") === "en", 50).otherwise(20))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("total_toks"))
+    }),
+
     // Winnowing fingerprints (k=3-word grams, window w=4): per-doc
     // fingerprint count + a mod-prime checksum over the selected hashes
     // — the oracle replays FNV-1a, the signed-min window walk and the
@@ -241,6 +262,29 @@ object Corpus extends QueryModule {
         |  (floor((max(cum) - 1) / 128.0) + 1)::BIGINT AS n_chunks,
         |  sum(CASE WHEN first_chunk <> last_chunk THEN 1 ELSE 0 END)::BIGINT AS n_split
         |FROM f GROUP BY lang""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang, norm, string_split(norm, ' ') AS toks FROM d),
+        |q AS (SELECT doc_id, lang, norm, len(toks) AS n_tok FROM tk
+        |  WHERE len(toks) BETWEEN 5 AND 100000
+        |    AND len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) >= 2
+        |    AND (len(list_filter(list_transform(toks, (x, i) ->
+        |          CASE WHEN i <= len(toks) - 1 THEN toks[i] || ' ' || toks[i+1] END),
+        |          s2 -> s2 IS NOT NULL))
+        |         - len(list_distinct(list_filter(list_transform(toks, (x, i) ->
+        |          CASE WHEN i <= len(toks) - 1 THEN toks[i] || ' ' || toks[i+1] END),
+        |          s2 -> s2 IS NOT NULL)))) * 1000
+        |        <= 600 * (len(toks) - 1)),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(norm)
+        |    ORDER BY doc_id) AS rn FROM q),
+        |kept AS (SELECT * FROM dd WHERE rn = 1
+        |  AND ((doc_id % 100000007) * 2654435761) % 100 <
+        |      CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+        |SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_toks
+        |FROM kept GROUP BY lang""".stripMargin,
 
     "q_fingerprint_winnow" -> {
       // mirrors CorpusOps.winnowFingerprints(k=3, w=4): FNV-1a per gram
