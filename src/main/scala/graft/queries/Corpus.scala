@@ -88,13 +88,25 @@ object Corpus extends QueryModule {
     // relationally). Oracle replays every stage's integer arithmetic.
     "q_corpus_pipeline" -> ((s, dir) => {
       val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      // Stage order: dedup FIRST (cheap digest), then quality + mixture
+      // sampling on the survivors. The Window is also the plan's
+      // materialization barrier: its child projection computes norm/
+      // toks/g2 ONCE per row, and the quality predicate above reads the
+      // bound attributes — without the barrier, projection collapse
+      // inlines the tokenizer into every predicate reference (~6
+      // re-tokenizations/row, measured 6.8s → 1.3s at sf0.1).
       t(s, dir, "documents")
-        .withColumn("toks", split(Dedup.normalized(col("text")), " "))
-        .filter(CorpusOps.gopherPass(col("toks")))
-        .withColumn("digest", md5(Dedup.normalized(col("text")).cast("binary")))
+        .withColumn("norm", Dedup.normalized(col("text")))
+        .withColumn("toks", split(col("norm"), " "))
+        .withColumn("g2", CorpusOps.ngrams(col("toks"), 2))
+        .withColumn("digest", md5(col("norm").cast("binary")))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .filter( // stratified keep: en 50%, rest 20% (Sampling's hash)
+        .filter(col("rn") === 1 &&
+          size(col("toks")).between(5, 100000) &&
+          TextAnalysis.markerHits(col("toks"),
+            TextAnalysis.langMarkers("en")) >= 2 &&
+          (size(col("g2")) - size(array_distinct(col("g2")))).cast("long") * 1000 <=
+            lit(600L) * (size(col("toks")) - 1) &&
           ((col("doc_id") % 100000007L) * 2654435761L % 100) <
             when(col("lang") === "en", 50).otherwise(20))
         .groupBy(col("lang"))
@@ -268,22 +280,20 @@ object Corpus extends QueryModule {
         |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
         |  FROM documents),
         |tk AS (SELECT doc_id, lang, norm, string_split(norm, ' ') AS toks FROM d),
-        |q AS (SELECT doc_id, lang, norm, len(toks) AS n_tok FROM tk
-        |  WHERE len(toks) BETWEEN 5 AND 100000
-        |    AND len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) >= 2
-        |    AND (len(list_filter(list_transform(toks, (x, i) ->
-        |          CASE WHEN i <= len(toks) - 1 THEN toks[i] || ' ' || toks[i+1] END),
-        |          s2 -> s2 IS NOT NULL))
-        |         - len(list_distinct(list_filter(list_transform(toks, (x, i) ->
-        |          CASE WHEN i <= len(toks) - 1 THEN toks[i] || ' ' || toks[i+1] END),
-        |          s2 -> s2 IS NOT NULL)))) * 1000
-        |        <= 600 * (len(toks) - 1)),
+        |g AS (SELECT doc_id, lang, norm, toks,
+        |    list_filter(list_transform(toks, (x, i) ->
+        |      CASE WHEN i <= len(toks) - 1 THEN toks[i] || ' ' || toks[i+1] END),
+        |      s2 -> s2 IS NOT NULL) AS g2
+        |  FROM tk),
         |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(norm)
-        |    ORDER BY doc_id) AS rn FROM q),
+        |    ORDER BY doc_id) AS rn FROM g),
         |kept AS (SELECT * FROM dd WHERE rn = 1
+        |  AND len(toks) BETWEEN 5 AND 100000
+        |  AND len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) >= 2
+        |  AND (len(g2) - len(list_distinct(g2))) * 1000 <= 600 * (len(toks) - 1)
         |  AND ((doc_id % 100000007) * 2654435761) % 100 <
         |      CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
-        |SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_toks
+        |SELECT lang, count(*) AS n_docs, sum(len(toks))::BIGINT AS total_toks
         |FROM kept GROUP BY lang""".stripMargin,
 
     "q_fingerprint_winnow" -> {
