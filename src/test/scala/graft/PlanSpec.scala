@@ -205,6 +205,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 0, s"IVFPQ search must not shuffle the corpus:\n$plan")
   }
 
+  test("corpus pipeline: dedup window is the only pre-agg exchange; tokenizer not inlined into the filter") {
+    val df = SparkEntry.queries("q_corpus_pipeline")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("Window"), plan)
+    // quality/sampling predicates sit ABOVE the window reading bound
+    // attributes — a collapse regression would re-inline the tokenizer
+    // (split/regexp_replace) into the Filter node
+    val filterLines = plan.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq
+    assert(filterLines.exists(l => !l.contains("regexp_replace")),
+      s"tokenizer inlined into the post-window filter:\n$plan")
+  }
+
   test("SkipPartialAgg fires from NDV stats for near-unique keys only") {
     import graft.plans.{SkipPartialAgg, TableStats}
     val df = spark.range(20000)
