@@ -32,6 +32,27 @@ object Windows extends QueryModule {
                 col("rnk").cast("long").as("rnk"), col("drnk").cast("long").as("drnk"))
     }),
 
+    // runningConcurrency (reference src/Functions/runningConcurrency.cpp):
+    // per interval, how many intervals are open at its begin — the
+    // sweep-line form: +1 at begin, -1 at end, ends sort before begins
+    // at the same instant ([b,e) semantics), running sum, keep the +1
+    // rows. One union + one window shuffle on the group key.
+    "q_running_concurrency" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderdate").between("1995-01-01", "1995-01-31"))
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          col("o_orderdate").as("b"),
+          date_add(col("o_orderdate"), (col("o_orderkey") % 30 + 1).cast("int")).as("e"))
+      val ev = iv.select(col("grp"), col("o_orderkey"), col("b").as("t"), lit(1).as("d"))
+        .unionAll(iv.select(col("grp"), col("o_orderkey"), col("e").as("t"), lit(-1).as("d")))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("t"), col("d"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("conc", sum(col("d")).over(w))
+        .filter(col("d") === 1)
+        .select(col("grp"), col("o_orderkey"), col("conc").cast("long").as("conc"))
+    }),
+
     // running aggregate + lag/lead (runningAccumulate / neighbor).
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -95,6 +116,20 @@ object Windows extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_running_concurrency" ->
+      """WITH iv AS (SELECT o_orderkey, o_orderpriority AS grp,
+        |    o_orderdate AS b,
+        |    o_orderdate + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS e
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-01-31'),
+        |ev AS (SELECT grp, o_orderkey, b AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT grp, o_orderkey, e AS t, -1 AS d FROM iv),
+        |sw AS (SELECT grp, o_orderkey, d, sum(d) OVER (
+        |    PARTITION BY grp ORDER BY t, d, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM ev)
+        |SELECT grp, o_orderkey, conc::BIGINT AS conc FROM sw WHERE d = 1""".stripMargin,
+
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rn::BIGINT AS rn, rnk::BIGINT AS rnk,
         | drnk::BIGINT AS drnk FROM (
