@@ -195,8 +195,12 @@ object CorpusOps {
       s"chunkDocs: need size > overlap >= 0, got size=$size overlap=$overlap")
     val stride = size - overlap
     val n = ceil(length(col(textCol)) / lit(stride.toDouble)).cast("int")
-    df.select(col(idCol),
-        explode(transform(sequence(lit(0), greatest(n, lit(1)) - 1),
+    // Zero-length (or null) documents yield no chunks — an empty chunk row
+    // is useless downstream and the n>=1 floor it required diverged from
+    // the ceil(len/stride) contract the oracle mirrors.
+    df.where(length(col(textCol)) > 0)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), n - 1),
           i => struct(i.as("chunk_idx"),
             col(textCol).substr(i * stride + 1, lit(size)).as("chunk"))))
           .as("c"))

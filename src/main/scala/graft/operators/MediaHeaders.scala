@@ -162,8 +162,12 @@ object MediaHeaders {
       } else if (tag(i, "data")) {
         dataLen = len
       }
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
-      if (len < 0) return None
+      // Advance in Long: le32 yields an unsigned 0..2^32-1 value, and a
+      // crafted length near 2^32 truncated to Int would stall (next == i)
+      // or step backwards — corrupt bytes must classify, never wedge.
+      val next = i.toLong + 8L + len + (len & 1L) // chunks are word-aligned
+      if (next <= i || len > b.length) return None
+      if (next > b.length) i = b.length else i = next.toInt
     }
     if (rate <= 0 || ch <= 0 || bits <= 0 || byteRate <= 0 || dataLen < 0)
       return None

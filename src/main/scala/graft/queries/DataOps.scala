@@ -37,13 +37,16 @@ object DataOps extends QueryModule {
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     }),
 
-    // MinHash+LSH near-dup pairs (rows-only: sketch-dependent).
+    // MinHash+LSH near-dup pairs (oracled: the FNV-1a shingle/band
+    // arithmetic is mirrored in the DuckDB oracle, so bucketing is
+    // hash-checked end to end).
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5)
     }),
 
-    // SimHash fingerprint near-dup pairs (rows-only; custom expression).
+    // SimHash fingerprint near-dup pairs (oracled: the 64-bit
+    // fingerprint + 16-bit blocking is mirrored in the DuckDB oracle).
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     }),
@@ -75,7 +78,8 @@ object DataOps extends QueryModule {
         queryVector(s, dir), k = 10)
     }),
 
-    // LSH-bucketed ANN (rows-only; recall asserted in DataOpsSpec).
+    // LSH-bucketed ANN (oracled: sign-bit banding mirrored in DuckDB;
+    // recall additionally asserted in DataOpsSpec).
     "q_ann_lsh_topk" -> ((s, dir) => {
       Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVector(s, dir), k = 10, bands = 2, rowsPerBand = 4)

@@ -45,6 +45,22 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.parseWav("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("WAV chunk walk rejects huge unsigned chunk lengths without hanging") {
+    // a chunk length of 0xFFFFFFF8 would make the Int-truncated step 0
+    // (infinite loop) and other large values would step backwards — the
+    // Long-arithmetic walk must classify these as unparseable
+    def chunk(tag: String, lenLE: Long): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ Array.tabulate(4)(i => ((lenLE >> (8 * i)) & 0xff).toByte)
+    val header = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes
+    for (bad <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x80000000L, 0x7FFFFFF0L)) {
+      val b = header ++ chunk("LIST", bad) ++ new Array[Byte](64)
+      assert(MediaHeaders.parseWav(b).isEmpty, f"len=0x$bad%x must reject")
+    }
+    // a truncated final chunk (declared length past the end) still rejects
+    val trunc = header ++ chunk("fmt ", 16) ++ new Array[Byte](16) ++ chunk("data", 1 << 20)
+    assert(MediaHeaders.parseWav(trunc).isEmpty)
+  }
+
   test("media table: header extraction recovers builder parameters per kind") {
     import TestSpark._
     import graft.operators.Multimodal

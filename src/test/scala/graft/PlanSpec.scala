@@ -213,8 +213,9 @@ class PlanSpec extends AnyFunSuite {
     // attributes — a collapse regression would re-inline the tokenizer
     // (split/regexp_replace) into the Filter node
     val filterLines = plan.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq
-    assert(filterLines.exists(l => !l.contains("regexp_replace")),
-      s"tokenizer inlined into the post-window filter:\n$plan")
+    assert(filterLines.nonEmpty &&
+        filterLines.forall(l => !l.contains("regexp_replace")),
+      s"tokenizer inlined into a filter:\n$plan")
   }
 
   test("SkipPartialAgg fires from NDV stats for near-unique keys only") {
