@@ -48,6 +48,58 @@ object Maintenance {
     n
   }
 
+  /** TTL rollup-on-expiry — the reference's `TTL expr GROUP BY k…
+    * SET col = agg(col), …` mode (daisy:
+    * `src/DataStreams/TTLAggregationAlgorithm.cpp:41-121`,
+    * `src/Storages/TTLDescription.cpp:202-288`): instead of deleting,
+    * expired rows collapse to one row per group key; each SET column
+    * takes its aggregate (cast back to the column type, per the
+    * interpreter's addTypeConversionToAST), and every other non-key
+    * column is wrapped in `any()` — the first value in part order.
+    *
+    * Spark shape: split the table on the TTL predicate, hash-aggregate
+    * only the expired slice (one shuffle over that slice; survivors
+    * stream through untouched), union, temp+swap rewrite. `any` is
+    * pinned deterministically to the row minimizing `anyOrderCol`
+    * within the group (the reference reads parts in PK order, so its
+    * "first" is the PK-minimal row — pass the PK tail here to match).
+    * Rows with NULL `timeCol` never expire. Returns
+    * (survivors, expired, rollupRows). */
+  def expireGroupBy(spark: SparkSession, path: String,
+                    timeCol: String, cutoffIso: String,
+                    groupKeys: Seq[String],
+                    setExprs: Seq[(String, String)],
+                    anyOrderCol: String): (Long, Long, Long) = {
+    val df = spark.read.parquet(path)
+    val cols = df.columns.toSeq
+    require(groupKeys.forall(cols.contains), s"expireGroupBy: unknown group keys ${groupKeys.filterNot(cols.contains)}")
+    val setMap = setExprs.toMap
+    require(setExprs.size == setMap.size,
+      "expireGroupBy: multiple aggregations set for one column (the reference rejects these)")
+    require(setMap.keySet.subsetOf(cols.toSet -- groupKeys),
+      "expireGroupBy: SET columns must be non-key table columns")
+    val expiredPred = col(timeCol) < lit(cutoffIso).cast("timestamp")
+    val kept = df.filter(!coalesce(expiredPred, lit(false)))
+    val expired = df.filter(coalesce(expiredPred, lit(false)))
+    val aggs = cols.filterNot(groupKeys.contains).map { c =>
+      setMap.get(c) match {
+        case Some(e) => expr(e).cast(df.schema(c).dataType).as(c)
+        case None    => min_by(col(c), col(anyOrderCol)).as(c)
+      }
+    }
+    val rollup = expired.groupBy(groupKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(cols.map(col): _*)
+    val tmp = path + ".ttlagg_tmp"
+    kept.select(cols.map(col): _*).unionAll(rollup)
+      .write.mode("overwrite").parquet(tmp)
+    val expiredCount = expired.count()
+    val total = df.count()
+    swap(spark, tmp, path)
+    val after = spark.read.parquet(path).count()
+    (total - expiredCount, expiredCount, after - (total - expiredCount))
+  }
+
   /** ALTER TABLE … DELETE WHERE — the reference's mutation subsystem
     * (`src/Interpreters/MutationsInterpreter.cpp`: a mutation re-reads
     * the affected parts, drops matching rows, writes replacement parts).

@@ -74,6 +74,38 @@ object Coverage extends QueryModule {
           lit(dropped).as("dropped_rows"))
     }),
 
+    // TTL rollup-on-expiry as a checked batch job (reference:
+    // `TTL … GROUP BY … SET col = agg(col)`,
+    // TTLAggregationAlgorithm.cpp). Copies `orders` to scratch, expires
+    // pre-1996 rows into one row per customer (o_totalprice summed,
+    // every other column taking the PK-minimal row's value — the
+    // reference's `any()` in part order), then checksums the surviving
+    // table so the gate sees the union content, not just counts.
+    "q_ttl_aggregate" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_ttlagg/orders").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "orders").write.parquet(scratch)
+      val (survivors, expired, rollups) =
+        graft.operators.Maintenance.expireGroupBy(s, scratch,
+          "o_orderdate", "1996-01-01",
+          groupKeys = Seq("o_custkey"),
+          setExprs = Seq("o_totalprice" -> "sum(o_totalprice)"),
+          anyOrderCol = "o_orderkey")
+      s.read.parquet(scratch).agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_orderdate")).cast("date").as("min_date"),
+          count(when(col("o_orderstatus") === "F", 1)).as("status_f_rows"))
+        .select(col("n_rows"), col("sum_price"), col("key_sum"),
+          col("min_date"), col("status_f_rows"),
+          lit(survivors).as("survivor_rows"), lit(expired).as("expired_rows"),
+          lit(rollups).as("rollup_rows"))
+    }),
+
     // system.* introspection over a scratch catalog (reference:
     // src/Storages/System/StorageSystemTables.cpp / StorageSystemColumns
     // .cpp): creates two fixed tables, then reads system_columns joined
@@ -442,6 +474,36 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM orders
         |        WHERE o_orderdate < '1996-01-01')::BIGINT AS dropped_rows
         |FROM orders WHERE o_orderdate >= '1996-01-01'""".stripMargin,
+
+    "q_ttl_aggregate" ->
+      """WITH expired AS (
+        |  SELECT * FROM orders WHERE o_orderdate < '1996-01-01'),
+        |survivors AS (
+        |  SELECT * FROM orders WHERE o_orderdate >= '1996-01-01'),
+        |rollup AS (
+        |  SELECT arg_min(o_orderkey, o_orderkey) AS o_orderkey,
+        |         o_custkey,
+        |         arg_min(o_orderstatus, o_orderkey) AS o_orderstatus,
+        |         CAST(sum(o_totalprice) AS DOUBLE) AS o_totalprice,
+        |         arg_min(o_orderdate, o_orderkey) AS o_orderdate,
+        |         arg_min(o_orderpriority, o_orderkey) AS o_orderpriority
+        |  FROM expired GROUP BY o_custkey),
+        |final AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority FROM survivors
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority FROM rollup)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       sum(o_orderkey)::BIGINT AS key_sum,
+        |       min(o_orderdate)::DATE AS min_date,
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT
+        |         AS status_f_rows,
+        |       (SELECT count(*) FROM survivors)::BIGINT AS survivor_rows,
+        |       (SELECT count(*) FROM expired)::BIGINT AS expired_rows,
+        |       (SELECT count(*) FROM rollup)::BIGINT AS rollup_rows
+        |FROM final""".stripMargin,
 
     "q_system_catalog" ->
       """SELECT * FROM (VALUES

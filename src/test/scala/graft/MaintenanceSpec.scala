@@ -24,6 +24,52 @@ class MaintenanceSpec extends AnyFunSuite {
       .filter($"_time" < "2024-01-15 00:00:00").count() == 0)
   }
 
+  test("TTL GROUP BY SET rolls expired rows up; any() takes the order-minimal row; NULL time survives") {
+    val dir = "/root/repo/target/ttlagg_test"
+    // (id, key, v, tag, t): key 1 has two expired rows + one survivor;
+    // key 2 has one expired row; id 6 has NULL time (must never expire)
+    Seq(
+      (1L, 1L, 10.0, "a", Some("2020-01-01 00:00:00")),
+      (2L, 1L, 20.0, "b", Some("2020-06-01 00:00:00")),
+      (3L, 1L, 40.0, "c", Some("2024-01-01 00:00:00")),
+      (4L, 2L, 5.0,  "d", Some("2019-01-01 00:00:00")),
+      (5L, 3L, 7.0,  "e", Some("2024-06-01 00:00:00")),
+      (6L, 2L, 9.0,  "f", None: Option[String]))
+      .toDF("id", "key", "v", "tag", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+    val (survivors, expired, rollups) = Maintenance.expireGroupBy(
+      spark, dir, "ts", "2023-01-01 00:00:00",
+      groupKeys = Seq("key"), setExprs = Seq("v" -> "sum(v)"),
+      anyOrderCol = "id")
+    assert(survivors == 3 && expired == 3 && rollups == 2)
+    val out = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(t => (t._2, t._1)).toSeq
+    // key 1 rollup: sum(10+20)=30, any-columns from id=1 (minimal id);
+    // key 2 rollup: the single expired row with v=5
+    assert(out == Seq(
+      (1L, 1L, 30.0, "a"),   // rollup of ids 1,2
+      (3L, 1L, 40.0, "c"),   // survivor
+      (4L, 2L, 5.0,  "d"),   // rollup of id 4 alone
+      (6L, 2L, 9.0,  "f"),   // NULL ts — kept verbatim
+      (5L, 3L, 7.0,  "e")))  // survivor
+  }
+
+  test("TTL GROUP BY SET casts the aggregate back to the column type") {
+    val dir = "/root/repo/target/ttlagg_cast_test"
+    Seq((1L, 1L, 3L, "2020-01-01"), (2L, 1L, 4L, "2020-01-02"))
+      .toDF("id", "key", "n", "d")
+      .withColumn("ts", $"d".cast("timestamp")).drop("d")
+      .write.mode("overwrite").parquet(dir)
+    // avg() is DOUBLE; the column is LONG — the reference wraps SET
+    // expressions in CAST(col type), so 3.5 lands as 3L
+    Maintenance.expireGroupBy(spark, dir, "ts", "2023-01-01",
+      Seq("key"), Seq("n" -> "avg(n)"), anyOrderCol = "id")
+    val r = spark.read.parquet(dir).select($"n").as[Long].collect()
+    assert(r.sameElements(Array(3L)))
+  }
+
   test("OPTIMIZE compacts many small files into the target count, preserving rows") {
     val dir = "/root/repo/target/compact_test"
     Tables.load(spark, sf, "lineitem")
