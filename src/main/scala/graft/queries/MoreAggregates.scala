@@ -173,18 +173,28 @@ object MoreAggregates extends QueryModule {
 
     // stochasticLinearRegression (daisy AggregateFunctionMLMethod.cpp):
     // online SGD over (price ~ quantity), scaled for step stability.
-    // SGD results depend on row order/partitioning (same as the
-    // reference across threads) — rows-only check; convergence exactness
-    // lives in AggregatorSpec on controlled data.
+    // SGD is order-dependent, so the harness query pins the order —
+    // one partition, sorted by the PK — which makes every mini-batch
+    // update a deterministic linear map of the per-batch moment sums
+    // (squared loss: Σ(wx+b−y)x = w·Sxx + b·Sx − Sxy), replayed exactly
+    // by the oracle's recursive CTE. The operator itself stays
+    // distributed (model averaging on merge); distributed convergence
+    // exactness lives in AggregatorSpec on controlled data. Rounded to
+    // 6 dp: the engine accumulates gradients row-wise, the oracle from
+    // batch moments — algebraically equal, FP-rounding differs ~1e-13.
     "q_agg_stochastic" -> ((s, dir) => {
       import graft.functions.GraftFunctions.stochastic_linear_regression
       t(s, dir, "lineitem")
-        .select((col("l_extendedprice") / 10000).as("y"),
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") / 10000).as("y"),
           array(col("l_quantity") / 10).as("xs"))
+        .repartition(1)
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
         .agg(stochastic_linear_regression(0.01, 0.0, 256, 1)(col("y"), col("xs"))
           .as("model"))
         .select(posexplode(col("model")))
-        .select(col("pos").cast("long").as("idx"), col("col").as("coef"))
+        .select(col("pos").cast("long").as("idx"),
+          round(col("col"), 6).as("coef"))
     }),
 
     // mannWhitneyUTest (daisy AggregateFunctionMannWhitney.h): U statistic
@@ -263,6 +273,36 @@ object MoreAggregates extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // Exact replay of the pinned-order minibatch SGD: each 256-row batch
+    // (PK order) contributes moment sums, and the squared-loss update is
+    // linear in them — w' = w − lr((w·Sxx + b·Sx − Sxy)/n + l2·w),
+    // b' = b − lr(w·Sx + b·n − Sy)/n — so a recursive CTE over batch
+    // index reproduces the engine's weights bit-near-exactly (6 dp).
+    "q_agg_stochastic" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+        |           AS rn,
+        |         l_extendedprice / 10000 AS y, l_quantity / 10 AS x
+        |  FROM lineitem),
+        |batches AS (
+        |  SELECT rn // 256 AS b, count(*)::DOUBLE AS n, sum(x) AS sx,
+        |         sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+        |  FROM src GROUP BY 1),
+        |iter AS (
+        |  SELECT -1::BIGINT AS b, 0.0::DOUBLE AS w, 0.0::DOUBLE AS bias
+        |  UNION ALL
+        |  SELECT bt.b,
+        |         it.w - 0.01 * ((it.w * bt.sxx + it.bias * bt.sx - bt.sxy)
+        |                        / bt.n + 0.0 * it.w),
+        |         it.bias - 0.01 * (it.w * bt.sx + it.bias * bt.n - bt.sy)
+        |                        / bt.n
+        |  FROM iter it JOIN batches bt ON bt.b = it.b + 1),
+        |final AS (
+        |  SELECT w, bias FROM iter ORDER BY b DESC LIMIT 1)
+        |SELECT 0::BIGINT AS idx, round(w, 6) AS coef FROM final
+        |UNION ALL
+        |SELECT 1::BIGINT, round(bias, 6) FROM final""".stripMargin,
+
     "q_any_heavy" ->
       """SELECT l_returnflag,
         |  mode(CASE WHEN l_quantity <= 40 THEN 'common'
