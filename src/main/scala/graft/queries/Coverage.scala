@@ -74,6 +74,45 @@ object Coverage extends QueryModule {
           lit(dropped).as("dropped_rows"))
     }),
 
+    // Wide-integer parity (reference: src/Core/Types.h:31-38 — UInt64
+    // modular arithmetic, truncating casts). Spark has no unsigned
+    // 64-bit type, so UInt64 semantics are explicit mod-2^64 decimal
+    // arithmetic (functions.WideInt); the oracle replays the identical
+    // wraps in HUGEINT. Covers: a sum that wraps 2^64 many times, its
+    // signed-Int64 reinterpretation, a per-row product wrap, and the
+    // reference's low-32-bits truncating cast (which Spark's own ANSI
+    // CAST refuses — the documented divergence, SURVEY §1.2).
+    "q_type_wide_uint64" -> ((s, dir) => {
+      import graft.functions.WideInt._
+      val k = col("l_orderkey").cast("decimal(38,0)")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), k.as("k"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          uint64Wrap(sum(col("k") * lit(1000000000000000L))).as("sum_u64"),
+          int64Reinterpret(uint64Wrap(sum(col("k") * lit(1000000000000000L))))
+            .as("sum_i64"),
+          max(uint64Wrap(col("k") * lit(2654435761L) * lit(1000003L)))
+            .as("mul_wrap_max"),
+          sum(int32Wrap(col("k") * lit(98765L)).cast("long")).as("i32_wrap_sum"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Int128-scale exact decimals: DECIMAL(38,0) carries 21-digit values
+    // through grouped sum/min/max bit-exactly (the Int128 working range
+    // minus the top digit — full ±1.7e38 does not fit 38 digits, the
+    // one documented capacity divergence).
+    "q_type_wide_decimal" -> ((s, dir) => {
+      val v = col("l_partkey").cast("decimal(38,0)") *
+        lit("1000000000000000000").cast("decimal(38,0)") +
+        col("l_orderkey").cast("decimal(38,0)")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), v.as("v"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("v")).as("sum_v"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), count(lit(1)).as("n"))
+    }),
+
     // TTL rollup-on-expiry as a checked batch job (reference:
     // `TTL … GROUP BY … SET col = agg(col)`,
     // TTLAggregationAlgorithm.cpp). Copies `orders` to scratch, expires
@@ -474,6 +513,37 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM orders
         |        WHERE o_orderdate < '1996-01-01')::BIGINT AS dropped_rows
         |FROM orders WHERE o_orderdate >= '1996-01-01'""".stripMargin,
+
+    "q_type_wide_uint64" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_orderkey::HUGEINT AS k FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag,
+        |    sum(k * 1000000000000000) % 18446744073709551616 AS su,
+        |    max((k * 2654435761 * 1000003) % 18446744073709551616)
+        |      AS mul_wrap_max,
+        |    sum(CASE WHEN (k * 98765) % 4294967296 >= 2147483648
+        |             THEN (k * 98765) % 4294967296 - 4294967296
+        |             ELSE (k * 98765) % 4294967296 END) AS i32_wrap_sum,
+        |    count(*)::BIGINT AS n
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, su AS sum_u64,
+        |  (CASE WHEN su >= 9223372036854775808
+        |        THEN su - 18446744073709551616 ELSE su END)::BIGINT
+        |    AS sum_i64,
+        |  mul_wrap_max, i32_wrap_sum::BIGINT AS i32_wrap_sum, n
+        |FROM g""".stripMargin,
+
+    "q_type_wide_decimal" ->
+      """SELECT l_returnflag,
+        |  sum(l_partkey::HUGEINT * 1000000000000000000 + l_orderkey)
+        |    AS sum_v,
+        |  min(l_partkey::HUGEINT * 1000000000000000000 + l_orderkey)
+        |    AS min_v,
+        |  max(l_partkey::HUGEINT * 1000000000000000000 + l_orderkey)
+        |    AS max_v,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_ttl_aggregate" ->
       """WITH expired AS (
