@@ -15,7 +15,8 @@ object SparkEntry {
   /** All implemented operator families. Order irrelevant (names unique). */
   val modules: Seq[QueryModule] = Seq(Agg, Joins, Windows, SortSet,
     EventAnalytics, Sketches, Operators, Scalars, DataOps, CoreModel,
-    MoreFunctions, Extras, Coverage, MoreAggregates, Formats, Engines, Corpus)
+    MoreFunctions, Extras, Coverage, MoreAggregates, Formats, Engines, Corpus,
+    StreamingGate)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join + aggregate + top-k: scan, broadcast join, partial agg,

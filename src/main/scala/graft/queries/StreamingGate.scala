@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{ContentRow, IngestRow, SignedRow}
+
+/** Oracled gates for the stateful streaming operators (SURVEY §2.10).
+  *
+  * Each gate drives the REAL streaming operator — MemoryStream source,
+  * two batches, memory sink — against deterministic input derived from
+  * the test tables, then reduces the sink to the final per-key state.
+  * The operators fold with order-independent (commutative/associative)
+  * updates, so the final state is a pure function of the input SET plus
+  * the batch split, which the DuckDB oracle replays exactly. This flips
+  * the streaming rows from spec-only to hash-checked: the batch split at
+  * a fixed predicate exercises cross-batch state resume, late-arrival
+  * suppression, and first-seen-wins canonicalization for real.
+  *
+  * Driver-side input staging (`collect` into MemoryStream.addData) is
+  * the gate harness, not the operator: production ingest is the
+  * checkpointed file/WAL source (StreamingSpec drives that path); state
+  * and emission logic under test here are identical.
+  */
+object StreamingGate extends QueryModule {
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def sinkName(prefix: String): String =
+    s"${prefix}_${seq.incrementAndGet()}"
+
+  def queries: Map[String, Q] = Map(
+
+    // Streaming CollapsingMergeTree (StreamOps.collapsingState): orders
+    // become signed rows (F = cancel), split into two batches by key
+    // parity; the sink's last update per key must equal the batch
+    // collapse of all rows — which the oracle computes directly.
+    "q_stream_collapse" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "orders")
+        .select((col("o_custkey") % 100).as("user_id"),
+          col("o_orderkey").as("seq"),
+          when(col("o_orderstatus") === "F", -1).otherwise(1).as("sign"),
+          col("o_totalprice").as("value"))
+        .as[SignedRow].collect()
+      val (b1, b2) = rows.partition(_.seq % 2 == 0)
+      val src = MemoryStream[SignedRow]
+      val name = sinkName("stream_collapse")
+      val q = StreamOps.collapsingState(src.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try {
+        src.addData(b1.toIndexedSeq); q.processAllAvailable()
+        src.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      // final state per key = the update with the most rows folded
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy((col("cnt_pos") + col("cnt_neg")).desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+
+    // Streaming exact dedup (StreamOps.streamingExactDedup): canonical =
+    // FIRST doc_id ever seen per digest. Even doc_ids arrive in batch 1,
+    // so an odd id smaller than a digest's even minimum must still lose —
+    // first-seen-wins beats global-min, which is exactly what the oracle
+    // encodes (and what distinguishes this from the batch operator).
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(graft.operators.Dedup.normalized(col("text")).cast("binary"))
+            .as("digest"))
+        .as[ContentRow].collect()
+      val (b1, b2) = rows.partition(_.doc_id % 2 == 0)
+      val src = MemoryStream[ContentRow]
+      val name = sinkName("stream_dedup")
+      val q = StreamOps.streamingExactDedup(src.toDS())
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try {
+        src.addData(b1.toIndexedSeq); q.processAllAvailable()
+        src.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+    }),
+
+    // Streaming ReplacingMergeTree (StreamOps.latestPerKey): synthetic
+    // ingest rows with ts = o_orderkey seconds (unique per row), split
+    // into two batches by key parity so batch 2 delivers strictly-older
+    // rows for some keys — which must NOT re-emit. Final state per key =
+    // the row with the key's max orderkey.
+    "q_stream_latest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), (col("o_custkey") % 200).as("u"),
+          col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+        .collect()
+        .map(r => IngestRow(r.getLong(0).toString,
+          new java.sql.Timestamp(r.getLong(0) * 1000L),
+          r.getLong(1), r.getString(2), r.getDouble(3)))
+      // split by ORDERKEY parity: every key sees both batches, and
+      // batch 2's odd keys are older than batch 1's max for ~half the
+      // users — those must be suppressed, not re-emitted
+      val (b1, b2) = rows.partition(_._idem.toLong % 2 == 0)
+      val src = MemoryStream[IngestRow]
+      val name = sinkName("stream_latest")
+      val q = StreamOps.latestPerKey(src.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try {
+        src.addData(b1.toIndexedSeq); q.processAllAvailable()
+        src.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_collapse" ->
+      """WITH src AS (
+        |  SELECT o_custkey % 100 AS user_id, o_orderkey AS seq,
+        |         CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END AS sign,
+        |         o_totalprice AS value
+        |  FROM orders),
+        |g AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN sign = 1 THEN 1 END)::BIGINT AS cnt_pos,
+        |    count(CASE WHEN sign = -1 THEN 1 END)::BIGINT AS cnt_neg,
+        |    arg_max(sign, seq)::INT AS last_sign,
+        |    max(seq) AS last_seq,
+        |    max(CASE WHEN sign = 1 THEN seq END) AS last_pos_seq,
+        |    arg_max(value, CASE WHEN sign = 1 THEN seq END)
+        |      AS last_pos_value,
+        |    min(CASE WHEN sign = -1 THEN seq END) AS first_neg_seq,
+        |    arg_min(value, CASE WHEN sign = -1 THEN seq END)
+        |      AS first_neg_value
+        |  FROM src GROUP BY user_id)
+        |SELECT user_id, cnt_pos, cnt_neg, last_sign, last_seq,
+        |  last_pos_seq, last_pos_value, first_neg_seq, first_neg_value,
+        |  ((CASE WHEN (last_sign = 1 OR cnt_pos <> cnt_neg)
+        |         AND cnt_pos <= cnt_neg AND first_neg_seq IS NOT NULL
+        |         THEN 1 ELSE 0 END)
+        | + (CASE WHEN (last_sign = 1 OR cnt_pos <> cnt_neg)
+        |         AND cnt_pos >= cnt_neg AND last_pos_seq IS NOT NULL
+        |         THEN 1 ELSE 0 END))::INT AS survivors
+        |FROM g""".stripMargin,
+
+    "q_stream_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |           AS digest
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, digest,
+        |    coalesce(
+        |      min(CASE WHEN doc_id % 2 = 0 THEN doc_id END)
+        |        OVER (PARTITION BY digest),
+        |      min(doc_id) OVER (PARTITION BY digest)) AS canonical_id
+        |  FROM d)
+        |SELECT doc_id, digest, canonical_id,
+        |       doc_id <> canonical_id AS is_duplicate
+        |FROM c""".stripMargin,
+
+    "q_stream_latest" ->
+      """SELECT o_custkey % 200 AS user_id,
+        |  max(o_orderkey) * 1000000 AS ts_us,
+        |  arg_max(o_orderstatus, o_orderkey) AS event_type,
+        |  arg_max(o_totalprice, o_orderkey) AS value
+        |FROM orders GROUP BY 1""".stripMargin)
+}
