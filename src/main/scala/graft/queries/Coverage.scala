@@ -74,6 +74,34 @@ object Coverage extends QueryModule {
           lit(dropped).as("dropped_rows"))
     }),
 
+    // N-gram bloom LIKE pruning as a checked end-to-end job (reference:
+    // ngrambf_v1 skip index, MergeTreeIndexFullText.cpp). Clusters a
+    // scratch copy of documents by source (hash — deterministic), plants
+    // a per-source marker token in the text, builds the sidecar, and
+    // runs an index-pruned LIKE scan for one source's marker: the bloom
+    // must prove most files token-free (pruned = read < total) while
+    // the scanned content hash-matches the full-scan oracle exactly —
+    // no false negatives by construction. Exact file counts are
+    // asserted in TokenBloomSpec (the oracle can't see files).
+    "q_like_bloom_scan" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_likebloom/docs").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "documents")
+        .withColumn("text",
+          concat_ws(" ", col("text"), concat(lit("origin"), col("source"))))
+        .repartition(8, col("source"))
+        .write.parquet(scratch)
+      graft.plans.TokenBloomIndex.build(s, scratch, Seq("text"), n = 4)
+      val (df, read, total) = graft.plans.TokenBloomIndex.scanLike(
+        s, scratch, "text", "%originsrc7%")
+      df.agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+        .select(col("n_rows"), col("id_sum"),
+          lit(read < total).as("pruned"))
+    }),
+
     // Wide-integer parity (reference: src/Core/Types.h:31-38 — UInt64
     // modular arithmetic, truncating casts). Spark has no unsigned
     // 64-bit type, so UInt64 semantics are explicit mod-2^64 decimal
@@ -513,6 +541,13 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM orders
         |        WHERE o_orderdate < '1996-01-01')::BIGINT AS dropped_rows
         |FROM orders WHERE o_orderdate >= '1996-01-01'""".stripMargin,
+
+    "q_like_bloom_scan" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       sum(doc_id)::BIGINT AS id_sum,
+        |       TRUE AS pruned
+        |FROM documents
+        |WHERE (text || ' origin' || source) LIKE '%originsrc7%'""".stripMargin,
 
     "q_type_wide_uint64" ->
       """WITH t AS (

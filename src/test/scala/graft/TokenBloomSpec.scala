@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TokenBloomIndex
+
+/** File-pruning contracts of the n-gram bloom side index: exact prune
+  * counts on a controlled layout, byte-identical results vs the full
+  * scan, and the pattern→gram extraction rules (wildcard resets,
+  * escapes, too-short runs). */
+class TokenBloomSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val dir = "/root/repo/target/tokenbloom_test"
+
+  private def fixture(): Unit = {
+    // 4 hash-partitioned files, each with a partition-unique marker
+    // token inside otherwise-shared text
+    (0 until 400).map { i =>
+      val part = i % 4
+      (i.toLong, part, s"common words everywhere markerp$part tail")
+    }.toDF("id", "part", "body")
+      .repartition(4, $"part")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    TokenBloomIndex.build(spark, dir, Seq("body"), n = 4)
+  }
+
+  test("literal runs and required grams follow the ngram nextLike walk") {
+    assert(TokenBloomIndex.literalRuns("%metrika%") == Seq("metrika"))
+    assert(TokenBloomIndex.literalRuns("a%b_c") == Seq("a", "b", "c"))
+    assert(TokenBloomIndex.literalRuns("""pre\%fix%end""") == Seq("pre%fix", "end"))
+    assert(TokenBloomIndex.literalRuns("""esc\\aped""") == Seq("""esc\aped"""))
+    assert(TokenBloomIndex.requiredGrams("%metrika%", 4) ==
+      Seq("metr", "etri", "trik", "rika"))
+    // runs shorter than n cannot prune
+    assert(TokenBloomIndex.requiredGrams("%ab%cd%", 3).isEmpty)
+  }
+
+  test("prune reads only the files that can match; results equal the full scan") {
+    fixture()
+    val (files, total) = TokenBloomIndex.prunedFiles(
+      spark, dir, "body", "%markerp2%")
+    assert(total == 4, s"expected 4 data files, sidecar saw $total")
+    assert(files.size == 1, s"markerp2 lives in exactly one file, got ${files.size}")
+    val (pruned, read, tot) = TokenBloomIndex.scanLike(
+      spark, dir, "body", "%markerp2%")
+    assert(read == 1 && tot == 4)
+    val full = spark.read.parquet(dir).filter($"body".like("%markerp2%"))
+    assert(pruned.select($"id").as[Long].collect().sorted
+      .sameElements(full.select($"id").as[Long].collect().sorted))
+    assert(pruned.count() == 100)
+  }
+
+  test("a token present nowhere prunes every file and returns empty") {
+    fixture()
+    val (df, read, total) = TokenBloomIndex.scanLike(
+      spark, dir, "body", "%markerp9%")
+    assert(read == 0 && total == 4)
+    assert(df.count() == 0)
+    assert(df.schema == spark.read.parquet(dir).schema)
+  }
+
+  test("patterns with only sub-n runs cannot prune: all files read, exact residual applies") {
+    fixture()
+    val (df, read, total) = TokenBloomIndex.scanLike(
+      spark, dir, "body", "%_p3%")
+    assert(read == total, "a 3-char run cannot prune a 4-gram index")
+    assert(df.count() == 100) // the LIKE residual still filters exactly
+  }
+
+  test("shared tokens keep all files (no false pruning)") {
+    fixture()
+    val (_, read, total) = TokenBloomIndex.scanLike(
+      spark, dir, "body", "%everywhere%")
+    assert(read == total)
+  }
+}
