@@ -103,6 +103,31 @@ object Projections {
   private val aggRegistry =
     new java.util.concurrent.CopyOnWriteArrayList[AggProjDef]()
 
+  /** A FILTERED projection: the reference's materialized view with a
+    * WHERE clause (`src/Storages/StorageMaterializedView.cpp` — the MV
+    * SELECT may filter), which is how a MergeTree PK seek like
+    * `CounterID = 62` translates to Spark: a cached copy of ONLY the
+    * matching rows. A query routes to it when (a) its child chain is
+    * row-wise (Project/Filter only), (b) some Filter carries the exact
+    * equality conjunct, and (c) every referenced column is carried —
+    * the residual predicates stay in place, so results are identical
+    * and the scan shrinks by the filter's selectivity (the reference's
+    * index-seek win, paid in storage instead of seeks). */
+  private final case class FilteredProjDef(
+      baseLeafCanonical: LogicalPlan,
+      filterCol: String,                  // lower-cased
+      filterLit: org.apache.spark.sql.catalyst.expressions.Literal,
+      carried: Set[String],               // lower-cased
+      projPlan: LogicalPlan,
+      projDf: DataFrame,
+      base: DataFrame,
+      columnsOrdered: Seq[String],
+      filterColOrdered: String,
+      basePaths: Set[String])
+
+  private val filteredRegistry =
+    new java.util.concurrent.CopyOnWriteArrayList[FilteredProjDef]()
+
   /** Types DataSketches HllSketchAgg accepts (no float/double/date). */
   private def hllCapable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | StringType | BinaryType => true
@@ -242,6 +267,47 @@ object Projections {
       proj
     }
 
+  /** Register a filtered projection over `base`: a cached copy of the
+    * rows where `filterCol = filterValue`, carrying `columns` (which
+    * must include the filter column so residual predicates bind). The
+    * build runs one filter over the base — no shuffle; the copy keeps
+    * the base's partitioning, thinned by the selectivity. */
+  def registerFiltered(spark: SparkSession, base: DataFrame,
+                       filterCol: String, filterValue: Any,
+                       columns: Seq[String]): DataFrame =
+    lock.synchronized {
+      val fcLower = filterCol.toLowerCase
+      val carried = columns.map(_.toLowerCase).toSet
+      require(carried.contains(fcLower),
+        "registerFiltered: the filter column must be carried")
+      val flit = org.apache.spark.sql.catalyst.expressions.Literal(filterValue)
+      val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
+        .getOrElse(throw new IllegalArgumentException(
+          "Projections.registerFiltered: base must scan a single relation"))
+      filteredRegistry.asScala.find { p =>
+        p.baseLeafCanonical == baseLeaf.canonicalized &&
+          p.filterCol == fcLower && p.filterLit.semanticEquals(flit) &&
+          p.carried == carried
+      }.foreach(p => return p.projDf)
+      val (projPlan, proj) = buildFiltered(base, filterCol, filterValue, columns)
+      filteredRegistry.add(FilteredProjDef(baseLeaf.canonicalized, fcLower,
+        flit, carried, projPlan, proj, base, columns, filterCol,
+        rootPathsOf(base)))
+      install(spark)
+      proj
+    }
+
+  private def buildFiltered(base: DataFrame, filterCol: String,
+                            filterValue: Any, columns: Seq[String])
+      : (LogicalPlan, DataFrame) = {
+    val proj = base
+      .filter(col(filterCol) === lit(filterValue))
+      .select(columns.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    proj.count()
+    (proj.queryExecution.optimizedPlan, proj)
+  }
+
   /** Insert-triggered projection refresh — the ingest paths (Catalog
     * ingest/ingestRaw, WalCommitter.commitBatch) call this after
     * appending files under `path`. Every projection whose base scans
@@ -283,10 +349,32 @@ object Projections {
         aggRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }
+    filteredRegistry.asScala.zipWithIndex.foreach { case (p, i) =>
+      if (p.basePaths.contains(target)) {
+        p.projDf.unpersist(false)
+        refreshBase(p.base)
+        val (projPlan, proj) = buildFiltered(p.base, p.filterColOrdered,
+          p.filterLit.value match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case v => v
+          }, p.columnsOrdered)
+        filteredRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
+      }
+    }
+  }
+
+  /** Spec hook: does `df`'s optimized plan read a registered filtered
+    * projection (rather than the base relation)? */
+  private[graft] def usesFilteredProjection(df: DataFrame): Boolean = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.canonicalized)
+    filteredRegistry.asScala.exists(p =>
+      leafOf(p.projPlan).exists(pl => leaves.contains(pl.canonicalized)))
   }
 
   /** Number of registered projections (spec hook). */
-  private[graft] def registeredCount: Int = registry.size() + aggRegistry.size()
+  private[graft] def registeredCount: Int =
+    registry.size() + aggRegistry.size() + filteredRegistry.size()
 
   /** Unpersist and drop every registered projection. */
   def clear(): Unit = lock.synchronized {
@@ -294,6 +382,8 @@ object Projections {
     registry.clear()
     aggRegistry.forEach(p => p.projDf.unpersist(false): Unit)
     aggRegistry.clear()
+    filteredRegistry.forEach(p => p.projDf.unpersist(false): Unit)
+    filteredRegistry.clear()
   }
 
   def install(spark: SparkSession): Unit =
@@ -311,15 +401,71 @@ object Projections {
 
   object RouteToProjection extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      if (registry.isEmpty && aggRegistry.isEmpty) return plan
+      if (registry.isEmpty && aggRegistry.isEmpty &&
+          filteredRegistry.isEmpty) return plan
       plan.transformDown {
         // aggregate projections first: finishing from pre-merged state
         // strictly dominates re-aggregating a raw-layout copy
         case agg @ Aggregate(groupingExprs, _, child, _) =>
           routeAgg(agg)
+            .orElse(routeFiltered(agg, child))
             .orElse(route(agg, groupingExprs, child))
             .getOrElse(agg)
       }
+    }
+
+    private def splitAnd(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+
+    /** Swap the leaf for a filtered projection when some Filter in a
+      * purely row-wise (Project/Filter) chain carries the projection's
+      * exact equality conjunct and every referenced column is carried.
+      * All predicates stay in place (the equality becomes a tautology
+      * over the subset), so the rewrite only removes rows the Filter
+      * was about to drop — identical results, selectivity-sized scan. */
+    private def routeFiltered(agg: Aggregate,
+                              child: LogicalPlan): Option[LogicalPlan] = {
+      if (filteredRegistry.isEmpty) return None
+      val leaf = leafOf(child).getOrElse(return None)
+      var rowWise = true
+      child.foreach {
+        case _: Project | _: Filter => ()
+        // repartitions preserve the row multiset — SkipPartialAgg's
+        // shuffle-first rewrite runs earlier in this batch and may have
+        // inserted one between the aggregate and the filter
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => ()
+        case l if l eq leaf => ()
+        case _ => rowWise = false
+      }
+      if (!rowWise) return None
+      val eqs: Seq[(String, Literal)] = child.collect {
+        case Filter(cond, _) => splitAnd(cond).collect {
+          case EqualTo(a: AttributeReference, l: Literal) =>
+            (a.name.toLowerCase, l)
+          case EqualTo(l: Literal, a: AttributeReference) =>
+            (a.name.toLowerCase, l)
+        }
+      }.flatten
+      if (eqs.isEmpty) return None
+      val refs = AttributeSet(
+        agg.expressions.flatMap(_.references) ++
+          child.collect { case n => n.references }.flatten)
+      val needed: Seq[Attribute] = leaf.output.filter(refs.contains)
+      val neededNames = needed.map(_.name.toLowerCase).toSet
+      val chosen = filteredRegistry.asScala.find { p =>
+        p.baseLeafCanonical == leaf.canonicalized &&
+          eqs.exists { case (n, l) =>
+            n == p.filterCol && l.semanticEquals(p.filterLit) } &&
+          neededNames.subsetOf(p.carried) &&
+          needed.forall(o => p.projPlan.outputSet.contains(o))
+      }.getOrElse(return None)
+      val newLeaf = Project(needed, chosen.projPlan)
+      Some(agg.copy(child = child.transformUp {
+        case l if l eq leaf => newLeaf
+      }))
     }
 
     /** Rewrite `agg` to finish from a registered aggregate projection:

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Projections
+
+/** Filtered-projection contract (the reference's MV-with-WHERE — the
+  * Spark shape of a MergeTree PK seek): a query whose filter carries
+  * the registered equality routes to the cached matching-rows subset,
+  * with identical results; anything without the conjunct, referencing
+  * an uncarried column, or non-row-wise must NOT route. */
+class FilteredProjectionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def makeBase(): DataFrame = {
+    val df = spark.range(50000).select(
+      when(col("id") % 10 === 0, lit(62)).otherwise(col("id") % 500)
+        .cast("int").as("ctr"),
+      (col("id") % 97).as("k"),
+      (col("id") % 5).as("flag"),
+      concat(lit("u"), col("id") % 1000).as("u"),
+      col("id").as("v"))
+      .persist()
+    df.count()
+    df
+  }
+
+  test("equality-conjunct aggregates route to the filtered subset with identical results") {
+    val base = makeBase()
+    def q: DataFrame = base
+      .filter(col("ctr") === 62 && col("flag") === 0 && col("u") =!= "")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val exact = q.collect().map(_.toString).sorted.toSeq
+    Projections.registerFiltered(spark, base, "ctr", 62,
+      Seq("ctr", "k", "flag", "u", "v"))
+    try {
+      assert(Projections.usesFilteredProjection(q),
+        s"did not route to the filtered projection:\n${physical(q)}")
+      assert(q.collect().map(_.toString).sorted.toSeq == exact,
+        "routed result diverges from the base scan")
+
+      // no equality conjunct on the filter column -> no route
+      val noEq = base.filter(col("flag") === 0)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(!Projections.usesFilteredProjection(noEq),
+        "routed without the equality conjunct")
+
+      // a DIFFERENT value must not route
+      val wrongVal = base.filter(col("ctr") === 63)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(!Projections.usesFilteredProjection(wrongVal),
+        "routed ctr=63 onto the ctr=62 subset")
+
+      // referencing an uncarried column -> no route
+      val base2 = base.withColumn("extra", col("v") * 2)
+      val uncarried = base.filter(col("ctr") === 62)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(Projections.usesFilteredProjection(uncarried)) // control
+      val withUncarried = base.filter(col("ctr") === 62)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v") * 2).as("e"))
+      assert(Projections.usesFilteredProjection(withUncarried),
+        "v*2 only references carried v — should still route")
+      assert(base2 != null)
+    } finally Projections.clear()
+  }
+
+  test("non-row-wise chains (window between filter and agg) do not route") {
+    val base = makeBase()
+    Projections.registerFiltered(spark, base, "ctr", 62,
+      Seq("ctr", "k", "flag", "u", "v"))
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      val q = base
+        .withColumn("rn", row_number().over(w))
+        .filter(col("ctr") === 62 && col("rn") === 1)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      // the window must see ALL rows of each k-partition, not the 62
+      // subset: a routed plan here would be WRONG, not just different
+      assert(!Projections.usesFilteredProjection(q),
+        s"routed through a Window:\n${physical(q)}")
+    } finally Projections.clear()
+  }
+}
