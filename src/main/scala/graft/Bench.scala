@@ -101,8 +101,19 @@ object Bench {
     // this JVM's own 32 worker threads).
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // 100 M-row hits results are a committed SNAPSHOT (BENCH_100M.json,
+    // produced by tools/run_bench100.sh — ~30 min with a 100 g heap, too
+    // heavy to re-measure inside every per-round bench): embedded
+    // verbatim, labeled as such, with its own load/heap fields inside.
+    val hits100m =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_100M.json")
+        if (java.nio.file.Files.exists(p))
+          s""","hits100m_snapshot":${java.nio.file.Files.readString(p).trim}"""
+        else ""
+      } catch { case _: Throwable => "" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_ambient":$ambientLoad,"load_avg":$loadAvg$hits}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_ambient":$ambientLoad,"load_avg":$loadAvg$hits$hits100m}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/BENCH_local.json"), line)

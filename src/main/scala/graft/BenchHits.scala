@@ -31,10 +31,13 @@ object BenchHits {
 
   val HitsRows: Long = 10000000L
   val DefaultPath = "target/hits_10m.parquet"
+  val Rows100m: Long = 100000000L
+  val Path100m = "target/hits_100m.parquet"
 
   /** Deterministic hits-like table. Every column derives from xxhash64 of
     * the row id with a distinct seed — reproducible across runs/JVMs. */
-  def generate(spark: SparkSession, path: String = DefaultPath): Unit = {
+  def generate(spark: SparkSession, path: String = DefaultPath,
+               rows: Long = HitsRows): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"))) return
@@ -45,7 +48,7 @@ object BenchHits {
     val widths = array(Seq(1366, 1920, 1280, 1440, 360, 768, 1024, 1536,
       2560, 412).map(lit): _*)
 
-    val df = spark.range(HitsRows)
+    val df = spark.range(rows)
       .withColumn("WatchID", h(7))
       .withColumn("UserID",
         when(hm(2, 100) < 20, hm(21, 100)).otherwise(hm(22, 1200000)))
@@ -95,7 +98,10 @@ object BenchHits {
         element_at(widths, (hm(24, 10) + 1).cast("int")).cast("int"))
       .drop("id")
 
-    df.repartitionByRange(32, col("EventDate"), col("CounterID"))
+    // file count scales with rows (~90 MB parquet each at 100 M) so the
+    // cached-partition parallelism and per-file stats granularity hold
+    val nFiles = math.max(32L, rows / 1562500L).toInt
+    df.repartitionByRange(nFiles, col("EventDate"), col("CounterID"))
       .sortWithinPartitions("EventDate", "CounterID", "EventTime")
       .write.mode("overwrite").parquet(path)
   }
@@ -167,10 +173,29 @@ object BenchHits {
     0.098, 0.13, 0.531, 0.32, 0.351, 0.122, 0.118, 0.053, 0.037, 0.223,
     0.016, 0.014, 0.014)
 
+  /** Same source, data_size=10^8 — suite sum 34.54 s (the scale
+    * BASELINE.md commits to comparing at). */
+  val referenceBest100m: Seq[Double] = Seq(
+    0.016, 0.012, 0.037, 0.045, 0.104, 0.228, 0.022, 0.012, 0.487, 0.542,
+    0.167, 0.182, 0.603, 0.77, 0.734, 0.728, 1.756, 0.907, 3.955, 0.037,
+    0.532, 0.645, 1.479, 0.759, 0.215, 0.215, 0.23, 0.602, 0.899, 3.174,
+    0.631, 0.938, 5.412, 3.053, 2.999, 1.063, 0.086, 0.038, 0.031, 0.162,
+    0.013, 0.011, 0.007)
+
   /** Generate-if-absent, register the view, run each query best-of-3
-    * through the noop sink, return per-query best + suite sum. */
-  def suite(spark: SparkSession, path: String = DefaultPath): SuiteResult = {
-    generate(spark, path)
+    * through the noop sink, return per-query best + suite sum.
+    *
+    * Memory strategy by scale: at 10 M the table + all six projections
+    * fit a 24 g heap uncompressed. At 100 M (~30 GB cached + ~13 GB of
+    * row projections) the run needs the 100 g heap tools/run_bench100.sh
+    * provides (the box has 125 GB, same as the reference hardware);
+    * everything still registers MEMORY_AND_DISK, so an undersized heap
+    * degrades to local-disk reads instead of failing. */
+  def suite(spark: SparkSession, path: String = DefaultPath,
+            rows: Long = HitsRows,
+            refBest: Seq[Double] = referenceBest,
+            passRuns: (Int, Int) = (5, 3)): SuiteResult = {
+    generate(spark, path, rows)
     // Aggregation fast path: the suite is dominated by high-cardinality
     // group-bys; the codegen'd vectorized first-level hash map (off by
     // default) front-loads the hot keys before the UnsafeRow map, on the
@@ -217,6 +242,16 @@ object BenchHits {
     graft.plans.Projections.register(spark, hits,
       Seq("URL"), Seq("URL"))
 
+    // A FILTERED projection on CounterID=62 (Projections.registerFiltered
+    // — the reference's PK-seek analogue) was measured here and is NOT
+    // registered: at 15 % selectivity over an in-memory base the q37-q43
+    // family is aggregation-bound, not scan-bound (100 M probe: the
+    // projection scan is 0.06 s while the URL group-by is ~1.0 s routed
+    // or not), so the copy is neutral where the suite runs and earns its
+    // keep only when the base is disk-backed and scans dominate — the
+    // actual 100 TB case. Capability + routing live in plans/Projections
+    // with FilteredProjectionSpec pinning semantics.
+
     // AGGREGATE projections (the reference's AggregatingMergeTree MVs):
     // per-key partial state — count/sum/min/max/HLL — that the global
     // aggregates and low-cardinality group-bys (q1-q15) finish from
@@ -252,14 +287,14 @@ object BenchHits {
     // identical code); spreading the samples across two passes decorrelates
     // the jitter.
     val passes = scala.collection.mutable.ArrayBuffer[IndexedSeq[Double]]()
-    passes += queries.indices.map(i => measure(i, 5))
-    passes += queries.indices.map(i => measure(i, 3))
+    passes += queries.indices.map(i => measure(i, passRuns._1))
+    passes += queries.indices.map(i => measure(i, passRuns._2))
     def bestOf(i: Int): Double = {
       val valid = passes.iterator.map(_(i)).filter(_ >= 0).toSeq
       if (valid.nonEmpty) valid.min else -1.0
     }
     def suiteRatio: Double = {
-      val pairs = queries.indices.map(i => (bestOf(i), referenceBest(i)))
+      val pairs = queries.indices.map(i => (bestOf(i), refBest(i)))
         .filter(_._1 >= 0)
       if (pairs.isEmpty) Double.PositiveInfinity
       else pairs.map(_._1).sum / pairs.map(_._2).sum
@@ -281,7 +316,7 @@ object BenchHits {
     val ok = per.filter(_._2 >= 0)
     graft.plans.Projections.clear()
     hits.unpersist(false)
-    val ratios = per.zip(referenceBest).map { case ((k, v), ref) =>
+    val ratios = per.zip(refBest).map { case ((k, v), ref) =>
       "\"" + k + "\":" + (if (v < 0) -1.0 else math.rint(v / ref * 100) / 100)
     }.mkString("{", ",", "}")
     SuiteResult(
@@ -289,6 +324,6 @@ object BenchHits {
       slowest = if (ok.nonEmpty) ok.map(_._2).max else -1.0,
       json = per.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}") +
-        s""","hits_baseline_sec":${referenceBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses""")
+        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses""")
   }
 }
