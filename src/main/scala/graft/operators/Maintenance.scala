@@ -100,6 +100,69 @@ object Maintenance {
     (total - expiredCount, expiredCount, after - (total - expiredCount))
   }
 
+  /** Column TTL (daisy: `src/DataStreams/TTLColumnAlgorithm.cpp:26-66`):
+    * rows whose `timeCol` expired keep living, but `targetCol` resets to
+    * its DEFAULT expression — NULL when none (the reference inserts the
+    * type default; Spark columns are nullable, so NULL is the honest
+    * default here and any other default is the explicit `defaultSql`).
+    * The result is cast to the column's type, same as every mutation.
+    * NULL-time rows never expire. Returns the number of reset rows. */
+  def expireColumn(spark: SparkSession, path: String,
+                   timeCol: String, cutoffIso: String, targetCol: String,
+                   defaultSql: Option[String] = None): Long = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains(targetCol), s"expireColumn: no column $targetCol")
+    val expired = coalesce(
+      col(timeCol) < lit(cutoffIso).cast("timestamp"), lit(false))
+    val dt = df.schema(targetCol).dataType
+    val dflt = defaultSql.map(expr).getOrElse(lit(null)).cast(dt)
+    val outCols = df.columns.map { c =>
+      if (c == targetCol) when(expired, dflt).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    val reset = df.filter(expired).count()
+    val tmp = path + ".ttlcol_tmp"
+    df.select(outCols.toIndexedSeq: _*).write.mode("overwrite").parquet(tmp)
+    swap(spark, tmp, path)
+    reset
+  }
+
+  /** TTL recompression (daisy: `TTLDescription.cpp:288-292` RECOMPRESS
+    * mode + `MergeTreeDataPartTTLInfos` recompression scheduling): parts
+    * whose data aged past the cutoff are rewritten with a
+    * heavier-but-smaller codec while hot data keeps the fast one. Spark
+    * shape: split on the TTL predicate, write the cold slice with
+    * `coldCodec` and the hot slice with the session default, temp+swap.
+    * Parquet allows per-file codecs inside one directory, so readers
+    * are unaffected. Returns (hotRows, coldRows). */
+  def recompressOlderThan(spark: SparkSession, path: String,
+                          timeCol: String, cutoffIso: String,
+                          coldCodec: String = "zstd"): (Long, Long) = {
+    val df = spark.read.parquet(path)
+    val expired = coalesce(
+      col(timeCol) < lit(cutoffIso).cast("timestamp"), lit(false))
+    val tmp = path + ".ttlrc_tmp"
+    df.filter(expired).write.mode("overwrite")
+      .option("compression", coldCodec).parquet(tmp)
+    df.filter(!expired).write.mode("append").parquet(tmp)
+    val cold = df.filter(expired).count()
+    val total = df.count()
+    swap(spark, tmp, path)
+    (total - cold, cold)
+  }
+
+  /** Data-file count per codec suffix (Spark names part files
+    * `...c000.<codec>.parquet`) — the recompression gate's metric. */
+  def fileCountByCodec(spark: SparkSession, path: String): Map[String, Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .groupBy(n => n.split('.').takeRight(2).head)
+      .map { case (k, v) => k -> v.size }
+  }
+
   /** ALTER TABLE … DELETE WHERE — the reference's mutation subsystem
     * (`src/Interpreters/MutationsInterpreter.cpp`: a mutation re-reads
     * the affected parts, drops matching rows, writes replacement parts).

@@ -173,6 +173,52 @@ object Coverage extends QueryModule {
           lit(rollups).as("rollup_rows"))
     }),
 
+    // Column TTL as a checked batch job (TTLColumnAlgorithm.cpp): rows
+    // survive, the column resets to its default on expiry. Scratch copy
+    // of orders; pre-1996 o_orderpriority resets to '0-EXPIRED'.
+    "q_ttl_column" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_ttlcol/orders").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "orders").write.parquet(scratch)
+      val reset = graft.operators.Maintenance.expireColumn(
+        s, scratch, "o_orderdate", "1996-01-01", "o_orderpriority",
+        defaultSql = Some("'0-EXPIRED'"))
+      s.read.parquet(scratch)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(col("o_orderpriority"), col("n"), col("sum_price"),
+          lit(reset).as("reset_rows"))
+    }),
+
+    // TTL recompression as a checked batch job (TTLDescription.cpp:288
+    // RECOMPRESS): cold rows rewritten under zstd, hot rows keep the
+    // default codec, one directory, readers unaffected. Content is
+    // checksummed against the untouched oracle table; the codec split
+    // is asserted from the part-file names.
+    "q_ttl_recompress" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_ttlrc/orders").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "orders").write.parquet(scratch)
+      val (hot, cold) = graft.operators.Maintenance.recompressOlderThan(
+        s, scratch, "o_orderdate", "1996-01-01", coldCodec = "zstd")
+      val byCodec = graft.operators.Maintenance.fileCountByCodec(s, scratch)
+      s.read.parquet(scratch).agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .select(col("n_rows"), col("sum_price"), col("key_sum"),
+          lit(hot).as("hot_rows"), lit(cold).as("cold_rows"),
+          lit(byCodec.getOrElse("zstd", 0) > 0).as("has_zstd"),
+          lit(byCodec.getOrElse("snappy", 0) > 0).as("has_snappy"))
+    }),
+
     // system.* introspection over a scratch catalog (reference:
     // src/Storages/System/StorageSystemTables.cpp / StorageSystemColumns
     // .cpp): creates two fixed tables, then reads system_columns joined
@@ -609,6 +655,27 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM expired)::BIGINT AS expired_rows,
         |       (SELECT count(*) FROM rollup)::BIGINT AS rollup_rows
         |FROM final""".stripMargin,
+
+    "q_ttl_column" ->
+      """SELECT CASE WHEN o_orderdate < '1996-01-01'
+        |            THEN '0-EXPIRED' ELSE o_orderpriority END
+        |         AS o_orderpriority,
+        |       count(*)::BIGINT AS n,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderdate < '1996-01-01')::BIGINT AS reset_rows
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_ttl_recompress" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       sum(o_orderkey)::BIGINT AS key_sum,
+        |       (SELECT count(*) FROM orders
+        |        WHERE NOT (o_orderdate < '1996-01-01'))::BIGINT AS hot_rows,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderdate < '1996-01-01')::BIGINT AS cold_rows,
+        |       TRUE AS has_zstd, TRUE AS has_snappy
+        |FROM orders""".stripMargin,
 
     "q_system_catalog" ->
       """SELECT * FROM (VALUES

@@ -70,6 +70,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r.sameElements(Array(3L)))
   }
 
+  test("column TTL resets only expired rows' values; NULL default and NULL time handled") {
+    val dir = "/root/repo/target/ttlcol_test"
+    Seq((1L, 10L, Some("2020-01-01 00:00:00")),
+        (2L, 20L, Some("2024-06-01 00:00:00")),
+        (3L, 30L, None: Option[String]))
+      .toDF("id", "v", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+    val reset = Maintenance.expireColumn(
+      spark, dir, "ts", "2023-01-01 00:00:00", "v") // default = NULL
+    assert(reset == 1)
+    val out = spark.read.parquet(dir).orderBy($"id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // id=1 expired -> NULL; id=2 fresh; id=3 NULL ts never expires
+    assert(out.sameElements(Array((1L, -1L), (2L, 20L), (3L, 30L))))
+  }
+
+  test("TTL recompression splits codecs without changing content") {
+    val dir = "/root/repo/target/ttlrc_test"
+    Tables.load(spark, sf, "orders").write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum($"o_orderkey")).head()
+    val (hot, cold) = Maintenance.recompressOlderThan(
+      spark, dir, "o_orderdate", "1996-01-01")
+    assert(hot > 0 && cold > 0)
+    val codecs = Maintenance.fileCountByCodec(spark, dir)
+    assert(codecs.getOrElse("zstd", 0) > 0, s"no zstd files: $codecs")
+    assert(codecs.getOrElse("snappy", 0) > 0, s"no snappy files: $codecs")
+    val after = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum($"o_orderkey")).head()
+    assert(after == before, "recompression changed content")
+  }
+
   test("OPTIMIZE compacts many small files into the target count, preserving rows") {
     val dir = "/root/repo/target/compact_test"
     Tables.load(spark, sf, "lineitem")
