@@ -173,6 +173,59 @@ object Coverage extends QueryModule {
           lit(rollups).as("rollup_rows"))
     }),
 
+    // The REST surface end to end as an oracled gate (reference:
+    // TabularTableRestRouterHandler + SearchHandler flow): real HTTP
+    // against a live RestServer — DDL create, row ingest with _idem
+    // dedup, then a /search aggregation whose JSON rows become the
+    // gate's DataFrame. The oracle aggregates the same source table
+    // directly, so the whole HTTP/ingest/search path is hash-checked,
+    // not just spec-asserted.
+    "q_rest_pipeline" -> ((s, dir) => {
+      val root = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_rest").toString
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+      val catalog = new graft.rest.Catalog(s, root)
+      val server = new graft.rest.RestServer(s, catalog, port = 0)
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.boundPort}/dae/v1"
+        val http = java.net.http.HttpClient.newHttpClient()
+        def post(path: String, payload: String): String = {
+          val req = java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(base + path))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+            .build()
+          val r = http.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(r.statusCode() == 200, s"$path -> ${r.statusCode()}: ${r.body()}")
+          r.body()
+        }
+        post("/ddl/tables",
+          """{"name":"nations_rest","columns":[
+            |{"name":"n_name","type":"string"},
+            |{"name":"n_regionkey","type":"bigint"},
+            |{"name":"_time","type":"timestamp"}],
+            |"order_by":["n_regionkey"],"partition_by_granularity":"D"}""".stripMargin)
+        val rows = t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))
+          .collect()
+          .map(r => s"""["${r.getString(0)}","${r.get(1)}",""" +
+            s""""2024-01-01 00:00:00","${r.getString(0)}"]""")
+          .mkString(",")
+        post("/ingest/tables/nations_rest",
+          s"""{"columns":["n_name","n_regionkey","_time","_idem"],"data":[$rows]}""")
+        val resp = post("/search",
+          """{"query":"SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name FROM nations_rest GROUP BY n_regionkey","limit":100}""")
+        val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp).get("rows")
+        val jsons = (0 until arr.size()).map(i => arr.get(i).toString)
+        s.read.json(s.createDataset(jsons)(org.apache.spark.sql.Encoders.STRING))
+          .select(col("n_regionkey"), col("n"), col("first_name"))
+      } finally server.stop()
+    }),
+
     // Column TTL as a checked batch job (TTLColumnAlgorithm.cpp): rows
     // survive, the column resets to its default on expiry. Scratch copy
     // of orders; pre-1996 o_orderpriority resets to '0-EXPIRED'.
@@ -655,6 +708,11 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM expired)::BIGINT AS expired_rows,
         |       (SELECT count(*) FROM rollup)::BIGINT AS rollup_rows
         |FROM final""".stripMargin,
+
+    "q_rest_pipeline" ->
+      """SELECT n_regionkey, count(*)::BIGINT AS n,
+        |       min(n_name) AS first_name
+        |FROM nation GROUP BY 1""".stripMargin,
 
     "q_ttl_column" ->
       """SELECT CASE WHEN o_orderdate < '1996-01-01'

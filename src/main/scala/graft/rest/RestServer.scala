@@ -400,10 +400,20 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
   def start(): Unit = {
     // Small fixed pool: concurrent requests don't serialize behind one
     // long-streaming search (Spark's scheduler does the real fan-out).
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // Daemon threads + explicit shutdown in stop(): a lingering
+    // non-daemon pool otherwise keeps the embedding JVM alive forever
+    // after main returns (observed wedging the correctness-gate runner).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
     server.start()
   }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ =>
+    }
+  }
 }
 
 object RestServer {
