@@ -29,20 +29,23 @@ object UrlFuncs {
 
   private val Empty = UTF8String.fromString("")
 
-  /** Literal port of getURLHost + ExtractDomain over UTF-8 bytes. */
+  /** Literal port of getURLHost + ExtractDomain over UTF-8 bytes.
+    * Reads bytes in place via getByte — `getBytes` would copy the whole
+    * URL per row (an UnsafeRow-backed string is never array-aligned),
+    * which on a 100 M-row group-by column is the dominant allocation;
+    * only the returned domain (typically 10-20 bytes) is materialized. */
   def domain(u: UTF8String, withoutWWW: Boolean): UTF8String = {
-    val b = u.getBytes
-    val n = b.length
+    val n = u.numBytes()
     if (n == 0) return Empty
     var pos = 0
-    if (n >= 2 && b(0) == '/' && b(1) == '/') pos = 2
+    if (n >= 2 && u.getByte(0) == '/' && u.getByte(1) == '/') pos = 2
     else {
       // scheme: alnum/.-+ up to 16 bytes, then "://"
       val schemeEnd = math.min(n, 16)
       var p = 1
       var stop = false
       while (p < schemeEnd && !stop) {
-        val c = b(p) & 0xff
+        val c = u.getByte(p) & 0xff
         if (!isAlphaNumeric(c)) {
           if (c == '.' || c == '-' || c == '+') ()       // scheme chars
           else if (isRestricted(c)) return Empty
@@ -50,7 +53,8 @@ object UrlFuncs {
         }
         if (!stop) p += 1
       }
-      if (schemeEnd - p > 2 && b(p) == ':' && b(p + 1) == '/' && b(p + 2) == '/')
+      if (schemeEnd - p > 2 && u.getByte(p) == ':' && u.getByte(p + 1) == '/' &&
+          u.getByte(p + 2) == '/')
         pos = p + 3
       else pos = 0
     }
@@ -59,7 +63,7 @@ object UrlFuncs {
     var p = pos
     var term = -1
     while (p < n && term < 0) {
-      val c = b(p) & 0xff
+      val c = u.getByte(p) & 0xff
       if (c == '.') { dotPos = p; p += 1 }
       else if (c == ':' || c == '/' || c == '?' || c == '#') term = p
       else if (c == '@') { start = p + 1; p += 1 }
@@ -69,13 +73,16 @@ object UrlFuncs {
     val end = if (term >= 0) term else n
     // checkAndReturnHost
     if (dotPos < 0 || start >= end || end - dotPos == 1) return Empty
-    val afterDot = b(dotPos + 1) & 0xff
+    val afterDot = u.getByte(dotPos + 1) & 0xff
     if (afterDot == ':' || afterDot == '/' || afterDot == '?' || afterDot == '#')
       return Empty
     var s = start
-    if (withoutWWW && end - s > 4 && b(s) == 'w' && b(s + 1) == 'w' &&
-        b(s + 2) == 'w' && b(s + 3) == '.') s += 4
-    UTF8String.fromBytes(b, s, end - s)
+    if (withoutWWW && end - s > 4 && u.getByte(s) == 'w' && u.getByte(s + 1) == 'w' &&
+        u.getByte(s + 2) == 'w' && u.getByte(s + 3) == '.') s += 4
+    val out = new Array[Byte](end - s)
+    var i = 0
+    while (i < out.length) { out(i) = u.getByte(s + i); i += 1 }
+    UTF8String.fromBytes(out)
   }
 
   /** protocol (reference `src/Functions/URL/protocol.h` ExtractProtocol):
