@@ -89,6 +89,71 @@ object StreamingGate extends QueryModule {
       s.table(name)
     }),
 
+    // Idempotent-key ingest dedup (StreamOps.dedupByIdem): every _idem
+    // key arrives TWICE with the same event time — once per batch (even
+    // event_ids in batch 1, odds in batch 2) — so every drop decision
+    // is a cross-batch state hit, not a batch-local distinct. The
+    // watermark is set far out so nothing can be dropped as merely
+    // late. Survivor = the batch-1 (even) member, which the oracle
+    // selects directly.
+    "q_stream_idem_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .collect()
+        .map { r =>
+          val id = r.getLong(0)
+          (id, IngestRow((id / 2).toString,
+            new java.sql.Timestamp(1700000000000L + (id / 2) * 60000L),
+            r.getLong(1), r.getString(2), r.getDouble(3)))
+        }
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val src = MemoryStream[IngestRow]
+      val name = sinkName("stream_idem")
+      val q = StreamOps.dedupByIdem(src.toDF(), watermark = "99999 days")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try {
+        src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
+        src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .select(col("_idem").cast("long").as("idem"), col("_time"),
+          col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // Tumbling event-time aggregation (StreamOps.tumblingAgg): events
+    // split into two batches by id parity, update-mode sink; the final
+    // update per (bucket, type) — the one with the max count — must
+    // equal the batch aggregate of all rows, which the oracle computes.
+    "q_stream_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), IngestRow(r.getLong(0).toString,
+          r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val src = MemoryStream[IngestRow]
+      val name = sinkName("stream_tumble")
+      val q = StreamOps.tumblingAgg(src.toDF(), "_time", "5 minutes",
+          watermark = "99999 days")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try {
+        src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
+        src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val w = Window.partitionBy(col("bucket_start"), col("event_type"))
+        .orderBy(col("n").desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+
     // Streaming ReplacingMergeTree (StreamOps.latestPerKey): synthetic
     // ingest rows with ts = o_orderkey seconds (unique per row), split
     // into two batches by key parity so batch 2 delivers strictly-older
@@ -152,6 +217,26 @@ object StreamingGate extends QueryModule {
         |         AND cnt_pos >= cnt_neg AND last_pos_seq IS NOT NULL
         |         THEN 1 ELSE 0 END))::INT AS survivors
         |FROM g""".stripMargin,
+
+    // survivor per idem pair = the batch-1 (even-id) member when one
+    // exists, else the lone odd member — arg_min on the id parity
+    "q_stream_idem_dedup" ->
+      """WITH e AS (
+        |  SELECT event_id, event_id // 2 AS idem, user_id, event_type,
+        |         value
+        |  FROM events)
+        |SELECT idem,
+        |  make_timestamp((1700000000 + idem * 60) * 1000000) AS _time,
+        |  arg_min(user_id, event_id % 2) AS user_id,
+        |  arg_min(event_type, event_id % 2) AS event_type,
+        |  arg_min(value, event_id % 2) AS value
+        |FROM e GROUP BY idem""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |       event_type, count(*)::BIGINT AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_stream_dedup" ->
       """WITH d AS (
