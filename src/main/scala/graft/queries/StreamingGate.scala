@@ -154,6 +154,40 @@ object StreamingGate extends QueryModule {
         .filter(col("rn") === 1).drop("rn")
     }),
 
+    // Stream-static dimension enrichment (StreamOps.enrich): orders
+    // stream in two batches against the static nation dimension
+    // (broadcast join, no stream-side shuffle); append-mode output =
+    // every input row with its dimension attributes, which the oracle
+    // joins directly.
+    "q_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") % 25).as("u"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .collect()
+        .map(r => IngestRow(r.getLong(0).toString,
+          new java.sql.Timestamp(1700000000000L),
+          r.getLong(1), r.getString(2), r.getDouble(3)))
+      val (b1, b2) = rows.partition(_._idem.toLong % 2 == 0)
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val src = MemoryStream[IngestRow]
+      val name = sinkName("stream_enrich")
+      val q = StreamOps.enrich(src.toDF(), dim, "user_id", "n_nationkey")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try {
+        src.addData(b1.toIndexedSeq); q.processAllAvailable()
+        src.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .groupBy(col("n_name"), col("n_regionkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("value")), 2).as("sum_price"),
+          sum(col("_idem").cast("long")).as("key_sum"))
+    }),
+
     // Streaming ReplacingMergeTree (StreamOps.latestPerKey): synthetic
     // ingest rows with ts = o_orderkey seconds (unique per row), split
     // into two batches by key parity so batch 2 delivers strictly-older
@@ -217,6 +251,13 @@ object StreamingGate extends QueryModule {
         |         AND cnt_pos >= cnt_neg AND last_pos_seq IS NOT NULL
         |         THEN 1 ELSE 0 END))::INT AS survivors
         |FROM g""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT n.n_name, n.n_regionkey, count(*)::BIGINT AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS sum_price,
+        |       sum(o.o_orderkey)::BIGINT AS key_sum
+        |FROM orders o JOIN nation n ON o.o_custkey % 25 = n.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // survivor per idem pair = the batch-1 (even-id) member when one
     // exists, else the lone odd member — arg_min on the id parity
