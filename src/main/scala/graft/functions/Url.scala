@@ -29,6 +29,16 @@ object UrlFuncs {
 
   private val Empty = UTF8String.fromString("")
 
+  /** Materialize bytes [from, until) of `u` as a standalone string —
+    * the only per-row allocation the scanners make (see domain's
+    * scaladoc for why getBytes' whole-URL copy is avoided). */
+  private def slice(u: UTF8String, from: Int, until: Int): UTF8String = {
+    val out = new Array[Byte](until - from)
+    var i = 0
+    while (i < out.length) { out(i) = u.getByte(from + i); i += 1 }
+    UTF8String.fromBytes(out)
+  }
+
   /** Literal port of getURLHost + ExtractDomain over UTF-8 bytes.
     * Reads bytes in place via getByte — `getBytes` would copy the whole
     * URL per row (an UnsafeRow-backed string is never array-aligned),
@@ -79,45 +89,40 @@ object UrlFuncs {
     var s = start
     if (withoutWWW && end - s > 4 && u.getByte(s) == 'w' && u.getByte(s + 1) == 'w' &&
         u.getByte(s + 2) == 'w' && u.getByte(s + 3) == '.') s += 4
-    val out = new Array[Byte](end - s)
-    var i = 0
-    while (i < out.length) { out(i) = u.getByte(s + i); i += 1 }
-    UTF8String.fromBytes(out)
+    slice(u, s, end)
   }
 
   /** protocol (reference `src/Functions/URL/protocol.h` ExtractProtocol):
     * RFC-3986 scheme chars from an alpha start, requiring a ':' and at
     * least 4 bytes after the scheme. */
   def protocol(u: UTF8String): UTF8String = {
-    val b = u.getBytes
-    val n = b.length
+    val n = u.numBytes()
     if (n == 0) return Empty
-    val c0 = b(0) & 0xff
+    val c0 = u.getByte(0) & 0xff
     if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return Empty
     var p = 1
     while (p < n && {
-      val c = b(p) & 0xff
+      val c = u.getByte(p) & 0xff
       isAlphaNumeric(c) || c == '+' || c == '-' || c == '.'
     }) p += 1
     if (n - p < 4) return Empty
-    if (b(p) == ':') UTF8String.fromBytes(b, 0, p) else Empty
+    if (u.getByte(p) == ':') slice(u, 0, p) else Empty
   }
 
   /** netloc (reference `src/Functions/URL/netloc.cpp`): scheme skip,
     * then user:pass@host:port up to the path/query/fragment — a literal
     * port including its slash/question-mark truncation bookkeeping. */
   def netloc(u: UTF8String): UTF8String = {
-    val b = u.getBytes
-    val n = b.length
+    val n = u.numBytes()
     if (n == 0) return Empty
     var pos = 0
-    if (pos + 2 < n && b(0) == '/' && b(1) == '/') pos = 2
+    if (pos + 2 < n && u.getByte(0) == '/' && u.getByte(1) == '/') pos = 2
     else {
       val schemeEnd = math.min(n, 16)
       var p = 1
       var stop = false
       while (p < schemeEnd && !stop) {
-        val c = b(p) & 0xff
+        val c = u.getByte(p) & 0xff
         if (!isAlphaNumeric(c)) {
           if (c == '.' || c == '-' || c == '+') ()
           else if (isRestricted(c)) return Empty
@@ -125,7 +130,8 @@ object UrlFuncs {
         }
         if (!stop) p += 1
       }
-      if (p + 2 < schemeEnd && b(p) == ':' && b(p + 1) == '/' && b(p + 2) == '/')
+      if (p + 2 < schemeEnd && u.getByte(p) == ':' && u.getByte(p + 1) == '/' &&
+          u.getByte(p + 2) == '/')
         pos = p + 3
       else pos = 0
     }
@@ -135,28 +141,26 @@ object UrlFuncs {
     val start = pos
     var p = pos
     while (p < n) {
-      val c = b(p) & 0xff
+      val c = u.getByte(p) & 0xff
       if (c == '/') {
-        if (hasId) return UTF8String.fromBytes(b, start, p - start)
+        if (hasId) return slice(u, start, p)
         slashPos = p
       } else if (c == '?') {
-        if (hasId) return UTF8String.fromBytes(b, start, p - start)
+        if (hasId) return slice(u, start, p)
         qmPos = p
       } else if (c == '#') {
-        return UTF8String.fromBytes(b, start, p - start)
+        return slice(u, start, p)
       } else if (c == '@') {
         hasId = true
       } else if (isRestricted(c)) {
         return if (p > start)
-          UTF8String.fromBytes(b, start,
-            math.min(math.min(p - 1, qmPos), slashPos) - start)
+          slice(u, start, math.min(math.min(p - 1, qmPos), slashPos))
         else Empty
       }
       p += 1
     }
-    if (hasId) UTF8String.fromBytes(b, start, p - start)
-    else UTF8String.fromBytes(b, start,
-      math.min(math.min(p, qmPos), slashPos) - start)
+    if (hasId) slice(u, start, p)
+    else slice(u, start, math.min(math.min(p, qmPos), slashPos))
   }
 
   /** topLevelDomain (reference `src/Functions/URL/topLevelDomain.cpp`):
