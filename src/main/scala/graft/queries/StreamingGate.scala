@@ -188,6 +188,38 @@ object StreamingGate extends QueryModule {
           sum(col("_idem").cast("long")).as("key_sum"))
     }),
 
+    // Sliding event-time aggregation (StreamOps.slidingAgg, 10-minute
+    // windows every 5): same final-update reduction as tumbling —
+    // sliding windows sit on a fixed grid (no merging), so the max-n
+    // update per (window, type) is the full count, and the oracle
+    // expands each event into its two covering windows.
+    "q_stream_sliding" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), IngestRow(r.getLong(0).toString,
+          r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val src = MemoryStream[IngestRow]
+      val name = sinkName("stream_slide")
+      val q = StreamOps.slidingAgg(src.toDF(), "_time", "10 minutes",
+          "5 minutes", watermark = "99999 days")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try {
+        src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
+        src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val w = Window.partitionBy(col("bucket_start"), col("event_type"))
+        .orderBy(col("n").desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+
     // Streaming ReplacingMergeTree (StreamOps.latestPerKey): synthetic
     // ingest rows with ts = o_orderkey seconds (unique per row), split
     // into two batches by key parity so batch 2 delivers strictly-older
@@ -278,6 +310,17 @@ object StreamingGate extends QueryModule {
         |       event_type, count(*)::BIGINT AS n,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // each event lands in the two 10-minute windows whose starts are
+    // the two most recent 5-minute grid points
+    "q_stream_sliding" ->
+      """WITH expanded AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts)
+        |           - k * INTERVAL '5 minutes' AS bucket_start,
+        |         event_type
+        |  FROM events, (SELECT unnest(range(2)) AS k))
+        |SELECT bucket_start, event_type, count(*)::BIGINT AS n
+        |FROM expanded GROUP BY 1, 2""".stripMargin,
 
     "q_stream_dedup" ->
       """WITH d AS (
