@@ -220,6 +220,35 @@ object StreamingGate extends QueryModule {
         .filter(col("rn") === 1).drop("rn")
     }),
 
+    // Gap-based session windows (StreamOps.sessionAggFull, 30-minute
+    // gap): two batches split by event parity force cross-batch session
+    // MERGES (a batch-2 event can bridge two batch-1 sessions);
+    // complete-mode output is the final session set directly, matched
+    // against a gap-and-islands oracle using session_window's exact
+    // break rule (diff >= gap) and end = last event + gap.
+    "q_stream_session" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), IngestRow(r.getLong(0).toString,
+          r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val src = MemoryStream[IngestRow]
+      val name = sinkName("stream_session")
+      val q = StreamOps.sessionAggFull(src.toDF(), "_time", "30 minutes",
+          watermark = "99999 days")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      try {
+        src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
+        src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+    }),
+
     // Streaming ReplacingMergeTree (StreamOps.latestPerKey): synthetic
     // ingest rows with ts = o_orderkey seconds (unique per row), split
     // into two batches by key parity so batch 2 delivers strictly-older
@@ -310,6 +339,24 @@ object StreamingGate extends QueryModule {
         |       event_type, count(*)::BIGINT AS n,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       user_id, count(*)::BIGINT AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     // each event lands in the two 10-minute windows whose starts are
     // the two most recent 5-minute grid points

@@ -93,6 +93,18 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n_events"))
 
+  /** [[sessionAgg]] with the window bounds exposed (reporting/gate
+    * variant): session_end = last event + gap, per session_window
+    * semantics. */
+  def sessionAggFull(df: DataFrame, timeCol: String, gap: String,
+                     watermark: String): DataFrame =
+    df.withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
   /** A signed ingest row for the streaming collapsing engine. */
   case class SignedRow(user_id: Long, seq: Long, sign: Int, value: Double)
 
