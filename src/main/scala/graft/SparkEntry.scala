@@ -16,7 +16,7 @@ object SparkEntry {
   val modules: Seq[QueryModule] = Seq(Agg, Joins, Windows, SortSet,
     EventAnalytics, Sketches, Operators, Scalars, DataOps, CoreModel,
     MoreFunctions, Extras, Coverage, MoreAggregates, Formats, Engines, Corpus,
-    StreamingGate)
+    StreamingGate, Training)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-join + aggregate + top-k: scan, broadcast join, partial agg,

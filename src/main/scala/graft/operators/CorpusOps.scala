@@ -270,4 +270,108 @@ object CorpusOps {
       .withColumn("tfidf",
         round(col("cnt") * log(col("n_docs").cast("double") / col("dfreq")), 4))
   }
+
+  // -------------------------------------------- paragraph-level dedup (CCNet)
+
+  /** Paragraph-level exact dedup (CCNet — Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * 2019 §3: dedup at paragraph granularity removes boilerplate that
+    * document-level dedup like [[Dedup.exact]] never sees). `parasCol`
+    * is the document pre-split into paragraphs (real corpora split on
+    * blank lines; callers choose the segmentation). The globally FIRST
+    * occurrence of each distinct paragraph survives — first = smallest
+    * (docId, in-doc index), the deterministic tie-break — and each doc
+    * is rebuilt from its survivors in original order.
+    *
+    * Returns one row per doc: `n_paras`, `n_kept`, and `kept_text`.
+    *
+    * Scale shape: one shuffle keyed by the 16-byte md5 digest (digests
+    * travel, not paragraph text) for the first-occurrence window, one
+    * doc-keyed aggregation to rebuild — the same two-exchange plan at
+    * 100 TB, with no skew risk beyond genuinely viral paragraphs (and
+    * those groups only rank, never materialize pairs). */
+  def paragraphDedup(df: DataFrame, idCol: String, parasCol: Column): DataFrame = {
+    val ex = df.select(col(idCol), posexplode(parasCol).as(Seq("p_idx", "para")))
+      .withColumn("digest", md5(col("para").cast("binary")))
+    val w = Window.partitionBy(col("digest")).orderBy(col(idCol), col("p_idx"))
+    ex.withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("p_idx"), col("para"))))),
+          s => s.getField("para")), " ").as("kept_text"))
+  }
+
+  // ----------------------------------- duplicate-substring spans (ExactSubstr)
+
+  /** Duplicate-substring spans (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022 — ExactSubstr): training
+    * pipelines cut REPEATED SPANS (licenses, boilerplate) out of
+    * otherwise-unique documents, which whole-document dedup
+    * ([[Dedup.exact]], reference `OPTIMIZE ... DEDUPLICATE`) cannot do.
+    * The paper's suffix array is replaced by its k-token-gram
+    * equivalence: a maximal span of >= k tokens is corpus-duplicated iff
+    * every k-gram inside it occurs >= 2 times corpus-wide, so marking
+    * duplicate k-grams and interval-merging their [pos, pos+k) ranges
+    * per doc recovers the same spans at >= k-token resolution.
+    *
+    * Returns one row per merged span: (`idCol`, span_start, span_end
+    * [token positions, end exclusive], span_toks).
+    *
+    * Scale shape: explode to one row per k-gram (n_tokens rows), count
+    * by the 8-byte FNV gram hash (classic wordcount shuffle — the hash
+    * travels, never gram text), join the >= 2 hashes back (Spark
+    * broadcast-or-shuffle by size), and a per-doc window for the merge.
+    * Nothing is quadratic; the window key is the doc id, so skew is
+    * bounded by document length. */
+  def dupSpans(df: DataFrame, idCol: String, toksCol: Column, k: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      posexplode(gramHashes(toksCol, k)).as(Seq("pos", "h")))
+    val dupH = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("h")
+    val dup = grams.join(dupH, "h").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("new_span",
+        when(col("pos") > coalesce(prevEnd, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("pos") + k).cast("long").as("span_end"))
+      .withColumn("span_toks", col("span_end") - col("span_start"))
+      .drop("span_id")
+  }
+
+  // --------------------------------- hashed n-gram linear classifier (fastText)
+
+  /** fastText-shaped linear quality classifier (Joulin et al., "Bag of
+    * Tricks for Efficient Text Classification", 2016): the score is the
+    * mean over (uni+bi)gram bucket weights, bucket = FNV-1a mod
+    * `buckets`. The CCNet/LLaMA corpus pipelines run exactly this model
+    * class for language/quality filtering at web scale. The weight table
+    * here is a deterministic hash-derived stand-in in milli-units
+    * (bucket * Knuth-multiplier mod 2001, shifted to [-1000, 1000]) —
+    * the container ships no trained model; a production run swaps in a
+    * broadcast float array with the identical plan shape. All arithmetic
+    * is integer until the final mean, so the decision threshold is
+    * bit-stable for the oracle.
+    *
+    * Returns a struct column (n_grams, milli_sum): callers derive
+    * score = milli_sum / (1000 * n_grams) and pass = milli_sum > 0.
+    * Pure codegen column work — no shuffle, no UDF, no broadcast. */
+  def classifierState(toks: Column, buckets: Int = 1024): Column = {
+    val grams = concat(toks, ngrams(toks, 2))
+    val milli = transform(grams, g => {
+      val b = pmod(GraftScalar.fnv1a64(g), lit(buckets.toLong))
+      (b * 2654435761L) % 2001L - 1000L
+    })
+    struct(
+      size(grams).cast("long").as("n_grams"),
+      aggregate(milli, lit(0L), (acc, x) => acc + x).as("milli_sum"))
+  }
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, Dedup}
+
+/** Second corpus-preparation wave: the training-data operations that act
+  * BELOW document granularity — paragraph-level dedup (CCNet), duplicate-
+  * substring span detection (ExactSubstr), and fastText-class hashed
+  * n-gram classifier scoring. Every query is DuckDB-oracled with the same
+  * mirrored-arithmetic discipline as [[Corpus]] (FNV-1a replayed via
+  * [[DataOps.fnvSql]], integer metrics, one final division).
+  */
+object Training extends QueryModule {
+
+  /** Signed-64 reduction of the HUGEINT FNV value — Spark longs compare
+    * and mod signed, so every mirrored hash must too. */
+  private def fnvSigned(v: String): String =
+    s"""CASE WHEN ($v) >= 9223372036854775808
+       |  THEN (($v) - ${DataOps.M64})::BIGINT ELSE ($v)::BIGINT END""".stripMargin
+
+  private val toksSql =
+    """SELECT doc_id, lang,
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+      |      AS toks FROM documents""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    // CCNet paragraph dedup over deterministic 4-token segments (the
+    // synthetic corpus has no blank-line structure; real corpora pass
+    // split(text, '\n\n')). Gate: per-doc paragraph/survivor counts AND
+    // the md5 of the reconstructed text — content-exact, not count-exact.
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val toks = col("toks")
+      val paras = filter(
+        transform(toks, (_, i) =>
+          when(i % 4 === 0, array_join(slice(toks, i + 1, lit(4)), " "))),
+        x => x.isNotNull)
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", split(Dedup.normalized(col("text")), " "))
+        .withColumn("paras", paras)
+      CorpusOps.paragraphDedup(docs, "doc_id", col("paras"))
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("kept_text").cast("binary")).as("kept_md5"))
+    }),
+
+    // ExactSubstr duplicate spans at 3-token resolution: every merged
+    // [start, end) interval is emitted, so the oracle checks positions,
+    // not just counts.
+    "q_dedup_substring" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", split(Dedup.normalized(col("text")), " "))
+      CorpusOps.dupSpans(docs, "doc_id", col("toks"), k = 3)
+    }),
+
+    // Hashed (uni+bi)gram linear classifier, micro-averaged per language:
+    // pass counts are integer-exact; the mean bucket weight is ONE double
+    // division of two exact long sums, so it is bit-stable.
+    "q_quality_classifier" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", split(Dedup.normalized(col("text")), " "))
+        .withColumn("st", CorpusOps.classifierState(col("toks")))
+        .select(col("lang"),
+          when(col("st.milli_sum") > 0, 1L).otherwise(0L).as("pass"),
+          col("st.n_grams").as("n_grams"), col("st.milli_sum").as("milli"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("milli")).as("milli_total"),
+          round(sum(col("milli")).cast("double") /
+            (sum(col("n_grams")) * 1000), 6).as("avg_w"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_paragraph" ->
+      s"""WITH tk AS ($toksSql),
+         |p AS (SELECT doc_id, list_filter(list_transform(toks, (x, i) ->
+         |    CASE WHEN (i - 1) % 4 = 0
+         |      THEN array_to_string(toks[i:i+3], ' ') END),
+         |    s -> s IS NOT NULL) AS paras FROM tk),
+         |e AS (SELECT doc_id, unnest(paras) AS para,
+         |    generate_subscripts(paras, 1) - 1 AS p_idx FROM p),
+         |r AS (SELECT doc_id, para, p_idx, row_number() OVER (
+         |    PARTITION BY md5(para) ORDER BY doc_id, p_idx) AS rn FROM e)
+         |SELECT doc_id, count(*)::BIGINT AS n_paras,
+         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  md5(coalesce(string_agg(para, ' ' ORDER BY p_idx)
+         |    FILTER (WHERE rn = 1), '')) AS kept_md5
+         |FROM r GROUP BY doc_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      s"""WITH tk AS ($toksSql),
+         |g AS (SELECT doc_id, list_filter(list_transform(toks, (x, i) ->
+         |    CASE WHEN i <= len(toks) - 2
+         |      THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+         |    s -> s IS NOT NULL) AS grams FROM tk),
+         |h AS (SELECT doc_id, list_transform(grams, g2 ->
+         |    ${fnvSigned(DataOps.fnvSql("g2"))}) AS hs FROM g),
+         |e AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos,
+         |    unnest(hs) AS h FROM h),
+         |d AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+         |dp AS (SELECT e.doc_id, e.pos FROM e JOIN d USING (h)),
+         |m AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(
+         |    max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    -9223372036854775808) THEN 1 ELSE 0 END AS new_span FROM dp),
+         |sp AS (SELECT doc_id, pos, sum(new_span) OVER (
+         |    PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |  FROM m)
+         |SELECT doc_id, min(pos)::BIGINT AS span_start,
+         |  max(pos + 3)::BIGINT AS span_end,
+         |  (max(pos + 3) - min(pos))::BIGINT AS span_toks
+         |FROM sp GROUP BY doc_id, span_id""".stripMargin,
+
+    "q_quality_classifier" ->
+      s"""WITH tk AS ($toksSql),
+         |g AS (SELECT doc_id, lang, list_concat(toks,
+         |    list_filter(list_transform(toks, (x, i) ->
+         |      CASE WHEN i <= len(toks) - 1
+         |        THEN toks[i] || ' ' || toks[i+1] END),
+         |      s -> s IS NOT NULL)) AS grams FROM tk),
+         |w AS (SELECT doc_id, lang, len(grams)::BIGINT AS n_grams,
+         |    coalesce(list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(grams, g2 ->
+         |        ((((${fnvSigned(DataOps.fnvSql("g2"))}) % 1024 + 1024) % 1024)
+         |          * 2654435761) % 2001 - 1000)),
+         |      (a, b) -> a + b), 0)::BIGINT AS milli FROM g)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN milli > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+         |  sum(n_grams)::BIGINT AS total_grams,
+         |  sum(milli)::BIGINT AS milli_total,
+         |  round(sum(milli)::DOUBLE / (sum(n_grams) * 1000), 6) AS avg_w
+         |FROM w GROUP BY lang""".stripMargin)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusOps
+
+/** Pins the sub-document corpus operators on hand-built inputs:
+  * paragraph dedup's first-occurrence rule and doc reconstruction,
+  * duplicate-substring span merging, classifier state arithmetic. (The
+  * sf0.01 gate hash-checks the same operators against DuckDB; these
+  * cases document WHY each answer is what it is.)
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("paragraphDedup keeps the globally first occurrence and rebuilds docs") {
+    // "b" appears in doc 1 (idx 1) and doc 2 (idx 0): doc 1 wins.
+    // "a" appears twice inside doc 1: only the first survives.
+    val d = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq("b", "c"))
+    ).toDF("doc_id", "paras")
+    val out = CorpusOps.paragraphDedup(d, "doc_id", col("paras"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_paras", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L, "a b"), (2L, 2L, 1L, "c")))
+  }
+
+  test("paragraphDedup: a doc made entirely of dups keeps empty text") {
+    val d = Seq((1L, Seq("x")), (2L, Seq("x"))).toDF("doc_id", "paras")
+    val out = CorpusOps.paragraphDedup(d, "doc_id", col("paras"))
+      .orderBy("doc_id").select("n_kept", "kept_text")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "x"), (0L, "")))
+  }
+
+  test("dupSpans merges overlapping and adjacent duplicate k-gram ranges") {
+    // k=2 over: doc1 = p q r s t, doc2 = p q r x s t
+    // duplicate 2-grams: "p q" (d1@0, d2@0), "q r" (d1@1, d2@1),
+    // "s t" (d1@3, d2@4).
+    // doc1: positions 0,1 merge to [0,3); position 3 gives [3,5) —
+    // adjacent to [0,3) (3 > 3 is false) so ONE span [0,5).
+    // doc2: [0,3) and [4,6) stay separate (4 > 3).
+    val d = Seq(
+      (1L, Seq("p", "q", "r", "s", "t")),
+      (2L, Seq("p", "q", "r", "x", "s", "t"))
+    ).toDF("doc_id", "toks")
+    val out = CorpusOps.dupSpans(d, "doc_id", col("toks"), k = 2)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "span_toks")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 5L, 5L), (2L, 0L, 3L, 3L), (2L, 4L, 6L, 2L)))
+  }
+
+  test("dupSpans: a corpus with no repeated k-grams yields no spans") {
+    val d = Seq((1L, Seq("a", "b", "c")), (2L, Seq("d", "e", "f")))
+      .toDF("doc_id", "toks")
+    assert(CorpusOps.dupSpans(d, "doc_id", col("toks"), k = 2).count() == 0)
+  }
+
+  test("classifierState: gram count and deterministic milli-weight sum") {
+    val d = Seq(("u v w")).toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+      .select(CorpusOps.classifierState(col("toks")).as("st"))
+      .select("st.n_grams", "st.milli_sum").as[(Long, Long)].head()
+    // grams = 3 unigrams + 2 bigrams
+    assert(d._1 == 5L)
+    // each weight is in [-1000, 1000] by construction
+    assert(math.abs(d._2) <= 5000L)
+    // replay the documented arithmetic for one gram
+    val h = graft.functions.SimHash64.fnv1a64("u")
+    val b = ((h % 1024) + 1024) % 1024
+    val w = (b * 2654435761L) % 2001L - 1000L
+    assert(w >= -1000L && w <= 1000L)
+  }
+}
