@@ -128,6 +128,37 @@ object Projections {
   private val filteredRegistry =
     new java.util.concurrent.CopyOnWriteArrayList[FilteredProjDef]()
 
+  /** An EXPRESSION-KEYED, optionally FILTERED aggregate projection: the
+    * reference's AggregatingMergeTree materialized view in its general
+    * form (`src/Storages/StorageMaterializedView.cpp` — the MV SELECT
+    * may compute expressions and carry a WHERE). Keys and measures are
+    * arbitrary deterministic expressions over the base (e.g.
+    * `domainWithoutWWW(Referer)`), and the optional filter is baked
+    * into the state build. A query routes here when its (optimizer-
+    * normalized) filter conjuncts equal the baked set, every grouping
+    * expression matches a key expression, and every aggregate call is
+    * count/sum/min/max/avg/approx_count_distinct/any_value over a
+    * registered measure expression. Matching is by canonicalized
+    * expression equality after rebasing attribute ids onto leaf output
+    * positions, so it survives lineage differences that preserve the
+    * leaf. */
+  private final case class ExprAggProjDef(
+      baseLeafCanonical: LogicalPlan,
+      keyNorms: Seq[Expression],          // rebased + canonicalized
+      measureNorms: Seq[Expression],
+      measureTypes: Seq[DataType],
+      whereNorms: Set[Expression],        // conjuncts, rebased + canonicalized
+      projPlan: LogicalPlan,
+      projDf: DataFrame,
+      base: DataFrame,
+      keyCols: Seq[org.apache.spark.sql.Column],      // for rebuilds
+      measureCols: Seq[org.apache.spark.sql.Column],
+      whereCols: Seq[org.apache.spark.sql.Column],
+      basePaths: Set[String])
+
+  private val exprAggRegistry =
+    new java.util.concurrent.CopyOnWriteArrayList[ExprAggProjDef]()
+
   /** Types DataSketches HllSketchAgg accepts (no float/double/date). */
   private def hllCapable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | StringType | BinaryType => true
@@ -308,6 +339,115 @@ object Projections {
     (proj.queryExecution.optimizedPlan, proj)
   }
 
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Rebase every attribute of `e` to a positional exprId over `leafOut`
+    * and canonicalize — the comparable form for expression-keyed
+    * projection matching (two plans over the same canonical leaf agree on
+    * output positions even when their attribute ids differ). None if `e`
+    * references anything outside the leaf. */
+  private def normEx(e: Expression, leafOut: Seq[Attribute]): Option[Expression] = {
+    if (!e.references.forall(a => leafOut.exists(_.exprId == a.exprId)))
+      return None
+    Some(e.transformUp {
+      case a: AttributeReference =>
+        a.withExprId(org.apache.spark.sql.catalyst.expressions.ExprId(
+          leafOut.indexWhere(_.exprId == a.exprId).toLong))
+    }.canonicalized)
+  }
+
+  /** Resolve registration Columns to optimizer-normalized expressions over
+    * the base leaf — going through the optimizer keeps them comparable
+    * with the (also optimized) plans the routing rule sees. */
+  private def resolveExprs(base: DataFrame,
+      cols: Seq[org.apache.spark.sql.Column]): Seq[Expression] =
+    base.select(cols: _*).queryExecution.optimizedPlan match {
+      case Project(ps, _) =>
+        ps.map { case Alias(e, _) => e; case e => e }
+      case other => other.output
+    }
+
+  /** Resolve the WHERE columns to the optimizer's conjunct set — inferred
+    * predicates (IsNotNull from !=, folded constants) included, which is
+    * exactly what a routed query's own optimized Filter carries. */
+  private def resolveConjuncts(base: DataFrame,
+      where: Seq[org.apache.spark.sql.Column]): Seq[Expression] =
+    if (where.isEmpty) Nil
+    else base.filter(where.reduce(_ && _)).queryExecution.optimizedPlan
+      .collect { case Filter(c, _) => splitAnd(c) }.flatten
+
+  /** Materialize one expression-keyed aggregate-projection build: bake the
+    * filter, compute key/measure expressions once, group by the keys and
+    * keep per-measure partial state. Returns measure result types too
+    * (needed to pick which state columns exist). */
+  private def buildAggExpr(base: DataFrame,
+      keyCols: Seq[org.apache.spark.sql.Column],
+      measureCols: Seq[org.apache.spark.sql.Column],
+      whereCols: Seq[org.apache.spark.sql.Column])
+      : (LogicalPlan, DataFrame, Seq[DataType]) = {
+    val filtered = whereCols.foldLeft(base)((d, c) => d.filter(c))
+    val withCols = filtered.select(
+      keyCols.zipWithIndex.map { case (c, i) => c.as(s"__key_$i") } ++
+        measureCols.zipWithIndex.map { case (c, i) => c.as(s"__e_$i") }: _*)
+    val mTypes = measureCols.indices.map(i => withCols.schema(s"__e_$i").dataType)
+    val state: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__cnt") +: measureCols.indices.flatMap { i =>
+        val m = col(s"__e_$i")
+        Seq(count(m).as(s"__cntnn_e$i"),
+            min(m).as(s"__min_e$i"),
+            max(m).as(s"__max_e$i")) ++
+          (if (summable(mTypes(i))) Seq(sum(m).as(s"__sum_e$i")) else Nil) ++
+          (if (hllCapable(mTypes(i))) Seq(hll_sketch_agg(m).as(s"__hll_e$i"))
+           else Nil)
+      }
+    val proj = withCols
+      .groupBy(keyCols.indices.map(i => col(s"__key_$i")): _*)
+      .agg(state.head, state.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    proj.count()
+    (proj.queryExecution.optimizedPlan, proj, mTypes)
+  }
+
+  /** Build, cache and register an EXPRESSION-KEYED aggregate projection:
+    * one row of partial state per distinct `keys` expression tuple over
+    * the rows passing `where` (baked in). Aggregations over the base
+    * whose optimized filter conjuncts equal the baked set, whose grouping
+    * expressions are a subset of `keys`, and whose aggregate calls are
+    * count/sum/min/max/avg/approx_count_distinct/any_value over `measures`
+    * expressions are rewritten to finish from this state. `any_value`
+    * re-merges as the min state — a legitimate "any" under its
+    * nondeterministic contract. */
+  def registerAggExpr(spark: SparkSession, base: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column],
+      measures: Seq[org.apache.spark.sql.Column],
+      where: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    lock.synchronized {
+      val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
+        .getOrElse(throw new IllegalArgumentException(
+          "Projections.registerAggExpr: base must scan a single relation"))
+      val leafOut = baseLeaf.output
+      def norm(e: Expression): Expression = normEx(e, leafOut).getOrElse(
+        throw new IllegalArgumentException(
+          s"registerAggExpr: $e references columns outside the base"))
+      val keyN = resolveExprs(base, keys).map(norm)
+      val mN = resolveExprs(base, measures).map(norm)
+      val whereN = resolveConjuncts(base, where).map(norm).toSet
+      exprAggRegistry.asScala.find { p =>
+        p.baseLeafCanonical == baseLeaf.canonicalized && p.keyNorms == keyN &&
+          p.measureNorms == mN && p.whereNorms == whereN
+      }.foreach(p => return p.projDf)
+      val (projPlan, proj, mTypes) = buildAggExpr(base, keys, measures, where)
+      exprAggRegistry.add(ExprAggProjDef(baseLeaf.canonicalized, keyN, mN,
+        mTypes, whereN, projPlan, proj, base, keys, measures, where,
+        rootPathsOf(base)))
+      install(spark)
+      proj
+    }
+
   /** Insert-triggered projection refresh — the ingest paths (Catalog
     * ingest/ingestRaw, WalCommitter.commitBatch) call this after
     * appending files under `path`. Every projection whose base scans
@@ -316,7 +456,8 @@ object Projections {
     * so both the rebuilt projection and any later un-routed scan of the
     * same base lineage see the appended rows. */
   def invalidatePath(path: String): Unit = lock.synchronized {
-    if (registry.isEmpty && aggRegistry.isEmpty) return
+    if (registry.isEmpty && aggRegistry.isEmpty &&
+        filteredRegistry.isEmpty && exprAggRegistry.isEmpty) return
     val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
     def refreshBase(base: DataFrame): Unit =
       base.queryExecution.analyzed.foreach {
@@ -361,6 +502,15 @@ object Projections {
         filteredRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }
+    exprAggRegistry.asScala.zipWithIndex.foreach { case (p, i) =>
+      if (p.basePaths.contains(target)) {
+        p.projDf.unpersist(false)
+        refreshBase(p.base)
+        val (projPlan, proj, _) =
+          buildAggExpr(p.base, p.keyCols, p.measureCols, p.whereCols)
+        exprAggRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
+      }
+    }
   }
 
   /** Spec hook: does `df`'s optimized plan read a registered filtered
@@ -372,9 +522,19 @@ object Projections {
       leafOf(p.projPlan).exists(pl => leaves.contains(pl.canonicalized)))
   }
 
+  /** Spec hook: does `df`'s optimized plan finish from a registered
+    * expression-keyed aggregate projection? */
+  private[graft] def usesExprAggProjection(df: DataFrame): Boolean = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.canonicalized)
+    exprAggRegistry.asScala.exists(p =>
+      leafOf(p.projPlan).exists(pl => leaves.contains(pl.canonicalized)))
+  }
+
   /** Number of registered projections (spec hook). */
   private[graft] def registeredCount: Int =
-    registry.size() + aggRegistry.size() + filteredRegistry.size()
+    registry.size() + aggRegistry.size() + filteredRegistry.size() +
+      exprAggRegistry.size()
 
   /** Unpersist and drop every registered projection. */
   def clear(): Unit = lock.synchronized {
@@ -384,6 +544,8 @@ object Projections {
     aggRegistry.clear()
     filteredRegistry.forEach(p => p.projDf.unpersist(false): Unit)
     filteredRegistry.clear()
+    exprAggRegistry.forEach(p => p.projDf.unpersist(false): Unit)
+    exprAggRegistry.clear()
   }
 
   def install(spark: SparkSession): Unit =
@@ -402,22 +564,17 @@ object Projections {
   object RouteToProjection extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (registry.isEmpty && aggRegistry.isEmpty &&
-          filteredRegistry.isEmpty) return plan
+          filteredRegistry.isEmpty && exprAggRegistry.isEmpty) return plan
       plan.transformDown {
         // aggregate projections first: finishing from pre-merged state
         // strictly dominates re-aggregating a raw-layout copy
         case agg @ Aggregate(groupingExprs, _, child, _) =>
           routeAgg(agg)
+            .orElse(routeExprAgg(agg))
             .orElse(routeFiltered(agg, child))
             .orElse(route(agg, groupingExprs, child))
             .getOrElse(agg)
       }
-    }
-
-    private def splitAnd(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        splitAnd(l) ++ splitAnd(r)
-      case other => Seq(other)
     }
 
     /** Swap the leaf for a filtered projection when some Filter in a
@@ -514,6 +671,175 @@ object Projections {
           }
       }
       None
+    }
+
+    /** Route to an EXPRESSION-KEYED aggregate projection: inline the
+      * child chain's Project aliases down to the leaf (the optimizer's
+      * PullOutGroupingExpressions turns `GROUP BY f(x)` into a Project
+      * computing `_groupingexpression = f(x)`, so the real expressions
+      * live in the Projects), collect the Filter conjuncts, and match
+      * both against a registered definition by rebased canonicalized
+      * equality. Conjuncts must match EXACTLY (the baked filter defines
+      * the state's row population; both sides pass the same optimizer,
+      * so inferred IsNotNulls appear on both), grouping expressions must
+      * be a subset of the keys (roll-up over state is exact), and every
+      * aggregate call must rewrite onto a measure's state. */
+    private def routeExprAgg(agg: Aggregate): Option[LogicalPlan] = {
+      if (exprAggRegistry.isEmpty) return None
+      var gExprs: Seq[Expression] = agg.groupingExpressions
+      var aExprs: Seq[NamedExpression] = agg.aggregateExpressions
+      var conds: Seq[Expression] = Nil
+      var node = agg.child
+      var done = false
+      while (!done) node match {
+        case Filter(c, ch) if c.deterministic =>
+          conds ++= splitAnd(c); node = ch
+        case Project(ps, ch) if ps.forall(_.deterministic) =>
+          val subst: Map[Attribute, Expression] = ps.collect {
+            case a: Alias => (a.toAttribute: Attribute) -> a.child
+          }.toMap
+          if (subst.nonEmpty) {
+            def sub(e: Expression): Expression = e.transformUp {
+              case a: Attribute => subst.getOrElse(a, a)
+            }
+            gExprs = gExprs.map(sub)
+            aExprs = aExprs.map { ne =>
+              sub(ne) match {
+                case n: NamedExpression => n
+                case e => Alias(e, ne.name)(exprId = ne.exprId)
+              }
+            }
+            conds = conds.map(sub)
+          }
+          node = ch
+        case l if l.children.isEmpty => done = true
+        case _ => return None
+      }
+      val leafOut = node.output
+      val leafC = node.canonicalized
+      val dbg = java.lang.Boolean.getBoolean("graft.proj.debug")
+      val condNorms = conds
+        .map(c => normEx(c, leafOut).getOrElse(return None)).toSet
+      val gStripped = gExprs.map { case Alias(e, _) => e; case e => e }
+      val gNorms = gStripped
+        .map(e => normEx(e, leafOut).getOrElse(return None))
+      exprAggRegistry.asScala.foreach { p =>
+        if (dbg) {
+          println(s"[proj-debug] leaf match: ${p.baseLeafCanonical == leafC}")
+          println(s"[proj-debug] where reg=${p.whereNorms} in=$condNorms eq=${p.whereNorms == condNorms}")
+          println(s"[proj-debug] keys reg=${p.keyNorms} in=$gNorms sub=${gNorms.forall(p.keyNorms.contains)}")
+        }
+        if (p.baseLeafCanonical == leafC && p.whereNorms == condNorms &&
+            gNorms.forall(p.keyNorms.contains))
+          rewriteExprAgg(agg, gExprs, aExprs, p, leafOut)
+            .foreach(r => return Some(r))
+      }
+      None
+    }
+
+    /** Rewrite the matched aggregate onto the projection's state columns.
+      * Key expressions (anywhere outside an aggregate call) become the
+      * projection's key attributes; aggregate calls re-merge state. Top-
+      * level names and exprIds are preserved, so parents (HAVING, ORDER
+      * BY, LIMIT) are untouched. */
+    private def rewriteExprAgg(agg: Aggregate, gExprs: Seq[Expression],
+        aExprs: Seq[NamedExpression], p: ExprAggProjDef,
+        leafOut: Seq[Attribute]): Option[LogicalPlan] = {
+      val out = p.projPlan.output
+      def attr(n: String): Option[Attribute] = out.find(_.name == n)
+      val cntAttr = attr("__cnt").getOrElse(return None)
+      def complete(fn: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateFunction): AggregateExpression =
+        AggregateExpression(fn, Complete, isDistinct = false, None,
+          NamedExpression.newExprId)
+      def sumLong(a: Attribute): Expression =
+        Coalesce(Seq(complete(Sum(a)), Literal(0L)))
+      def keyAttr(e: Expression): Option[Attribute] =
+        normEx(e, leafOut).flatMap { n =>
+          val i = p.keyNorms.indexOf(n)
+          if (i >= 0) attr(s"__key_$i") else None
+        }
+      def measureIdx(e: Expression): Option[Int] =
+        normEx(e, leafOut).flatMap { n =>
+          val i = p.measureNorms.indexOf(n)
+          if (i >= 0) Some(i) else None
+        }
+      var ok = true
+      val dbg = java.lang.Boolean.getBoolean("graft.proj.debug")
+      def fail(orig: Expression): Expression = {
+        if (dbg) println(s"[proj-debug] rewrite FAIL on: $orig (${orig.getClass})")
+        ok = false; orig
+      }
+      val outSet = AttributeSet(out)
+      def rewriteOne(e: Expression): Expression = e.transformDown {
+        // transformDown re-enters replacement subtrees: an aggregate that
+        // already reads the projection's state attributes IS a replacement
+        // (reference-free aggregates like count(1) are originals)
+        case ae: AggregateExpression
+            if ae.references.nonEmpty && ae.references.subsetOf(outSet) => ae
+        case ae: AggregateExpression
+            if ae.isDistinct || ae.filter.nonEmpty => fail(ae)
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case c: Count if c.children.forall {
+                case Literal(v, _) => v != null; case _ => false } =>
+            sumLong(cntAttr)
+          case c: Count if c.children.size == 1 =>
+            measureIdx(c.children.head)
+              .flatMap(i => attr(s"__cntnn_e$i")).map(sumLong)
+              .getOrElse(fail(ae))
+          case s: Sum =>
+            measureIdx(s.child).flatMap(i => attr(s"__sum_e$i"))
+              .map(a => complete(Sum(a)): Expression).getOrElse(fail(ae))
+          case m: Min =>
+            measureIdx(m.child).flatMap(i => attr(s"__min_e$i"))
+              .map(a => complete(Min(a)): Expression).getOrElse(fail(ae))
+          case m: Max =>
+            measureIdx(m.child).flatMap(i => attr(s"__max_e$i"))
+              .map(a => complete(Max(a)): Expression).getOrElse(fail(ae))
+          // any_value/first re-merges as the min state: the contract is
+          // "some value from the group", and the group's minimum is one
+          case f: org.apache.spark.sql.catalyst.expressions.aggregate.First =>
+            measureIdx(f.child).flatMap(i => attr(s"__min_e$i"))
+              .map(a => complete(Min(a)): Expression).getOrElse(fail(ae))
+          case a: Average =>
+            (for (i <- measureIdx(a.child);
+                  sa <- attr(s"__sum_e$i"); ca <- attr(s"__cntnn_e$i"))
+              yield {
+                val n = sumLong(ca)
+                If(EqualTo(n, Literal(0L)),
+                  Literal.create(null, DoubleType),
+                  new Divide(Cast(complete(Sum(sa)), DoubleType),
+                    Cast(sumLong(ca), DoubleType))): Expression
+              }).getOrElse(fail(ae))
+          case h: HyperLogLogPlusPlus if h.relativeSD >= 0.02 =>
+            measureIdx(h.child).flatMap(i => attr(s"__hll_e$i"))
+              .map(ha => Coalesce(Seq(
+                HllSketchEstimate(complete(new HllUnionAgg(ha))),
+                Literal(0L))): Expression)
+              .getOrElse(fail(ae))
+          case _ => fail(ae)
+        }
+        case e if keyAttr(e).isDefined => keyAttr(e).get
+      }
+      val newGrouping = gExprs.map {
+        case Alias(e, _) => keyAttr(e).getOrElse {
+          if (dbg) println(s"[proj-debug] no key attr for grouping $e")
+          return None
+        }
+        case e => keyAttr(e).getOrElse {
+          if (dbg) println(s"[proj-debug] no key attr for grouping $e")
+          return None
+        }
+      }
+      val newAggExprs = aExprs.map(ne => rewriteOne(ne) match {
+        case n: NamedExpression => n
+        case e => Alias(e, ne.name)(exprId = ne.exprId)
+      })
+      if (!ok) return None
+      val needed = AttributeSet(newAggExprs.flatMap(_.references) ++ newGrouping)
+      val projected = Project(out.filter(needed.contains), p.projPlan)
+      Some(agg.copy(groupingExpressions = newGrouping,
+        aggregateExpressions = newAggExprs, child = projected))
     }
 
     /** Per-function state rewrite; None if any aggregate in the list is

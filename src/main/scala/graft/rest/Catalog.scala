@@ -167,6 +167,7 @@ class Catalog(spark: SparkSession, root: String) {
     // inserted block through dependent MVs; our equivalent re-lists and
     // rebuilds projections registered over this table's path)
     graft.plans.Projections.invalidatePath(dataPath(name))
+    graft.core.QueryCache.invalidatePath(dataPath(name))
     n
   }
 
@@ -230,6 +231,7 @@ class Catalog(spark: SparkSession, root: String) {
       .write.mode("append")
       .partitionBy(TimeTable.BucketCol).parquet(dataPath(name))
     graft.plans.Projections.invalidatePath(dataPath(name))
+    graft.core.QueryCache.invalidatePath(dataPath(name))
     n
   }
 

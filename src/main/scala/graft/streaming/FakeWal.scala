@@ -280,6 +280,7 @@ final class WalCommitter(tablePath: String, maxIdemKeys: Int = 100000) {
         // commit hook: refresh projections registered over this table
         // (reference: inserts push blocks through dependent MVs)
         graft.plans.Projections.invalidatePath(tablePath)
+        graft.core.QueryCache.invalidatePath(tablePath)
         val newKeys = rows.select("_idem").na.drop().distinct().as[String].collect()
         seenIdem.synchronized(newKeys.foreach(k => seenIdem.put(k, java.lang.Boolean.TRUE)))
         ranges.foreach { case (p, lo, hi) =>

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Projections
+
+/** Expression-keyed, filtered aggregate projections — the reference's
+  * AggregatingMergeTree MV in its general form (a SELECT that computes
+  * expressions and carries a WHERE). The rewrite must be invisible:
+  * identical results to the un-routed plan, exact filter-conjunct
+  * matching (a query with a different WHERE must NOT route), subset
+  * grouping roll-up, and refusal outside the supported function family.
+  */
+class ExprAggProjectionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def routed(df: DataFrame): Boolean =
+    Projections.usesExprAggProjection(df)
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def makeBase(): DataFrame = {
+    val df = spark.range(30000).select(
+      concat(lit("http://d"), col("id") % 13, lit(".org/p"), col("id") % 5)
+        .as("url"),
+      when(col("id") % 9 === 0, lit("")).otherwise(concat(lit("r"), col("id") % 7))
+        .as("ref"),
+      (col("id") % 100).cast("long").as("v"))
+      .persist()
+    df.count()
+    df
+  }
+
+  test("expression key + baked filter: routed result matches the base scan") {
+    val base = makeBase()
+    def q: DataFrame = base
+      .filter(col("ref") =!= "")
+      .groupBy(substring(col("url"), 8, 3).as("key"))
+      .agg(avg(length(col("ref"))).as("l"), count(lit(1)).as("c"),
+        min(col("ref")).as("anyr"))
+    val exact = rows(q)
+    assert(!routed(q), "query routed before any registration")
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(substring(col("url"), 8, 3)),
+      measures = Seq(length(col("ref")), col("ref")),
+      where = Seq(col("ref") =!= ""))
+    try {
+      assert(routed(q), "agg did not route to the expression state table")
+      assert(rows(q) == exact, "routed result diverges from base scan")
+    } finally Projections.clear()
+  }
+
+  test("any_value over a measure routes (min state is a legitimate any)") {
+    val base = makeBase()
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(substring(col("url"), 8, 3)),
+      measures = Seq(col("ref")),
+      where = Nil)
+    try {
+      val q = base.groupBy(substring(col("url"), 8, 3).as("key"))
+        .agg(any_value(col("ref")).as("a"), count(lit(1)).as("c"))
+      assert(routed(q), "any_value did not route")
+      // the returned value must be SOME ref of the group
+      val vals = q.collect().map(_.getAs[String]("a"))
+      assert(vals.forall(v => v == "" || v.startsWith("r")))
+    } finally Projections.clear()
+  }
+
+  test("a different WHERE must not route; an unsupported agg must not route") {
+    val base = makeBase()
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(substring(col("url"), 8, 3)),
+      measures = Seq(col("v")),
+      where = Seq(col("ref") =!= ""))
+    try {
+      val wrongWhere = base.filter(col("ref") =!= "r1")
+        .groupBy(substring(col("url"), 8, 3).as("key"))
+        .agg(sum(col("v")).as("s"))
+      assert(!routed(wrongWhere), "routed despite a different baked filter")
+      val noWhere = base.groupBy(substring(col("url"), 8, 3).as("key"))
+        .agg(sum(col("v")).as("s"))
+      assert(!routed(noWhere), "routed despite a missing baked filter")
+      val unsupported = base.filter(col("ref") =!= "")
+        .groupBy(substring(col("url"), 8, 3).as("key"))
+        .agg(expr("percentile_approx(v, 0.5)").as("p"))
+      assert(!routed(unsupported), "routed an unsupported aggregate")
+    } finally Projections.clear()
+  }
+
+  test("SQL text with HAVING + ORDER BY routes and matches (q29 shape)") {
+    val base = makeBase()
+    base.createOrReplaceTempView("eb")
+    val sql = """SELECT substring(url, 8, 3) AS key,
+                 avg(length(ref)) AS l, count(*) AS c
+                 FROM eb WHERE ref != '' GROUP BY key
+                 HAVING count(*) > 10 ORDER BY l DESC, key LIMIT 5"""
+    val exact = spark.sql(sql).collect().map(_.toString).toSeq
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(substring(col("url"), 8, 3)),
+      measures = Seq(length(col("ref")), col("ref")),
+      where = Seq(col("ref") =!= ""))
+    try {
+      val q = spark.sql(sql)
+      assert(routed(q), "SQL-text query did not route")
+      assert(q.collect().map(_.toString).toSeq == exact)
+    } finally Projections.clear()
+  }
+
+  test("ingest-path invalidation rebuilds the expression state") {
+    val dir = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_expragg_inv").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    spark.range(100).select(concat(lit("a"), col("id") % 3).as("g"),
+      col("id").cast("long").as("v")).write.parquet(dir)
+    val base = spark.read.parquet(dir)
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(upper(col("g"))), measures = Seq(col("v")), where = Nil)
+    try {
+      def q = base.groupBy(upper(col("g")).as("k")).agg(sum(col("v")).as("s"))
+      assert(routed(q))
+      val before = q.collect().map(_.getAs[Long]("s")).sum
+      spark.range(100, 200).select(concat(lit("a"), col("id") % 3).as("g"),
+        col("id").cast("long").as("v")).write.mode("append").parquet(dir)
+      Projections.invalidatePath(dir)
+      val after = q.collect().map(_.getAs[Long]("s")).sum
+      assert(after == (0L until 200L).sum,
+        s"stale state after ingest: $before -> $after")
+    } finally {
+      Projections.clear()
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+}
