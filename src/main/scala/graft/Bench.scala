@@ -103,21 +103,27 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     // 100 M-row hits results are a committed SNAPSHOT (BENCH_100M.json,
     // produced by tools/run_bench100.sh — ~30 min with a 100 g heap, too
-    // heavy to re-measure inside every per-round bench): embedded
-    // verbatim, labeled as such, with its own load/heap fields inside.
-    val hits100m =
-      try {
-        val p = java.nio.file.Paths.get("BENCH_100M.json")
-        if (java.nio.file.Files.exists(p))
-          s""","hits100m_snapshot":${java.nio.file.Files.readString(p).trim}"""
-        else ""
-      } catch { case _: Throwable => "" }
+    // heavy to re-measure inside every per-round bench). Printed as its
+    // own line BEFORE the suite line: the driver tail-captures stdout,
+    // and r9's embedded-snapshot suffix pushed the live sf0.1 numbers
+    // past the truncation point. The parsable suite line must be LAST.
+    Seq("BENCH_100M.json" -> "hits100m_snapshot",
+        "BENCH_100M_COLD.json" -> "hits100m_cold_snapshot").foreach {
+      case (file, label) =>
+        try {
+          val p = java.nio.file.Paths.get(file)
+          if (java.nio.file.Files.exists(p))
+            println(s"""{"metric":"$label","snapshot":${
+              java.nio.file.Files.readString(p).trim}}""")
+        } catch { case _: Throwable => () }
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_ambient":$ambientLoad,"load_avg":$loadAvg$hits$hits100m}"""
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_ambient":$ambientLoad,"load_avg":$loadAvg$hits}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/BENCH_local.json"), line)
     catch { case _: Throwable => () }
+    // LAST stdout line = the driver-parsable suite JSON.
+    println(line)
     spark.stop()
   }
 }

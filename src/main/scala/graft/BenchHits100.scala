@@ -24,15 +24,19 @@ object BenchHits100 {
     Tables.tune(spark)
     val ambient = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val cold = sys.env.get("SPARK_GRAFT_HITS_COLD").contains("1")
     val r = BenchHits.suite(spark, BenchHits.Path100m, BenchHits.Rows100m,
       BenchHits.referenceBest100m, passRuns = (3, 2))
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val regime = if (cold) "cold" else "cached"
     val line =
-      s"""{"metric":"hits100m_suite","value":${r.total},"unit":"sec","rows":100000000,"heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g","load_avg_ambient":$ambient,"load_avg":$loadEnd,"hits100m_suite_sec":${r.total},"hits100m_slowest_sec":${r.slowest},"hits100m_queries":${r.json}}"""
+      s"""{"metric":"hits100m_suite","value":${r.total},"unit":"sec","rows":100000000,"regime":"$regime","heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g","load_avg_ambient":$ambient,"load_avg":$loadEnd,"hits100m_suite_sec":${r.total},"hits100m_slowest_sec":${r.slowest},"hits100m_queries":${r.json}}"""
     println(line)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/BENCH_hits100m.json"), line)
+      java.nio.file.Paths.get(
+        if (cold) "target/BENCH_hits100m_cold.json"
+        else "target/BENCH_hits100m.json"), line)
     catch { case _: Throwable => () }
     spark.stop()
   }

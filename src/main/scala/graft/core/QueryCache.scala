@@ -3,42 +3,67 @@ package graft.core
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
 
-/** Query result cache with insert-driven invalidation — the reference's
-  * query cache (`/root/reference/src/Interpreters/Cache/QueryCache.cpp`:
-  * results keyed by the query AST, entries expire after a TTL, and
-  * passive invalidation keeps stale results from being served).
+/** Query result cache with insert-driven invalidation.
   *
-  * graft keys entries by the CANONICALIZED OPTIMIZED logical plan, which
-  * is strictly stronger than the reference's AST key: two textually
-  * different queries that optimize to the same plan share one entry, and
-  * alias/case differences never cause spurious misses. The cached value
-  * is the result persisted as a Spark cached DataFrame (MEMORY_AND_DISK)
-  * — at cluster scale the result blocks live on the executors, not the
-  * driver, so a cached 100 GB aggregate is as legal as a cached 5-row
-  * one.
+  * EXTENSION beyond the reference: the daisy fork at `/root/reference`
+  * (v21.4-era) has no query result cache — the closest machinery it has
+  * is the mark/uncompressed block caches under `src/IO` and the
+  * projection-style materialized routing graft already implements in
+  * `plans/Projections.scala`. The result cache here follows the shape of
+  * the widely-published upstream design (query-keyed entries, TTL,
+  * refusal of non-deterministic queries) but is graft's own addition,
+  * with a stronger key and a stronger freshness story:
   *
-  * Freshness follows the projection registry's model rather than the
-  * reference's purely TTL-based expiry: every ingest path that appends
-  * files under a table root calls [[invalidatePath]], which drops every
-  * entry whose plan scanned that root. The TTL remains as a backstop for
-  * sources graft does not write (external files mutated out-of-band).
+  *   - Entries are keyed by the CANONICALIZED OPTIMIZED logical plan with
+  *     alias names blanked — strictly stronger than an AST-text key: two
+  *     textually different queries that optimize to the same plan share
+  *     one entry, and alias/case differences never cause spurious misses.
+  *     (Alias names must be normalized explicitly: `Alias` equality
+  *     includes the name, so `sum(id) AS s` and `sum(id) AS s2` would
+  *     otherwise key apart. A hit therefore serves the FIRST query's
+  *     column names — same values, AST-cache semantics.)
+  *   - The cached value is the result persisted as a Spark cached
+  *     DataFrame (MEMORY_AND_DISK) — at cluster scale the result blocks
+  *     live on the executors, not the driver, so a cached 100 GB
+  *     aggregate is as legal as a cached 5-row one.
+  *   - Freshness follows the projection registry's model rather than
+  *     pure TTL expiry: every ingest path that appends files under a
+  *     table root calls [[invalidatePath]], which drops every entry whose
+  *     plan scanned that root. The TTL remains as a backstop for sources
+  *     graft does not write (external files mutated out-of-band).
   *
-  * Entries evict LRU beyond `maxEntries`. Lookup is O(entries) on the
-  * canonical plan — the registry is bounded and small by construction.
+  * Recomputation always re-plans from the ANALYZED logical plan via
+  * `Dataset.ofRows` — never by re-running the caller's memoized
+  * DataFrame, whose executed plan has the pre-ingest file listing baked
+  * into its scan. A fresh planning pass re-lists the (refreshed) file
+  * index, so a post-invalidation recompute sees appended files.
+  *
+  * Entries evict LRU beyond `maxEntries` (access-ordered LinkedHashMap).
   */
 object QueryCache {
 
+  /** Cache key: the canonical plan with file relations swapped for
+    * schema-only stand-ins, plus one token per swapped relation naming
+    * its (paths, format, schema). Needed because `HadoopFsRelation`
+    * equality is identity-based through its `FileIndex` — two requests
+    * reading the same parquet root build different relation objects, so
+    * raw canonical plans would never compare equal across requests. */
+  private final case class Key(plan: LogicalPlan, relations: Seq[String])
+
   private final case class Entry(
-      key: LogicalPlan,                   // canonicalized optimized plan
+      key: Key,
       result: DataFrame,                  // persisted
       createdMs: Long,
       paths: Set[String])                 // scanned file roots
 
+  // access-ordered: get() on a hit moves the entry to the young end, so
+  // the iterator's first entry is always the LRU eviction victim.
   private val entries =
-    new java.util.LinkedHashMap[LogicalPlan, Entry](16, 0.75f, true)
+    new java.util.LinkedHashMap[Int, Entry](16, 0.75f, true)
   private val lock = new Object
 
   @volatile private var hitCount = 0L
@@ -50,8 +75,32 @@ object QueryCache {
   def misses: Long = missCount
   def size: Int = lock.synchronized(entries.size)
 
-  private def rootPathsOf(df: DataFrame): Set[String] =
-    df.queryExecution.analyzed.collect {
+  /** Canonicalized optimized plan with alias names blanked
+    * (canonicalization normalizes exprIds but `Alias` equality still
+    * includes the name — see class doc) and file relations replaced by
+    * schema-only `LocalRelation` stand-ins + path/format tokens. */
+  private def normalizedKey(df: DataFrame): Key = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val relTokens = Seq.newBuilder[String]
+    val plan = df.queryExecution.optimizedPlan.canonicalized.transformUp {
+      case lr: LogicalRelation =>
+        relTokens += (lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).sorted.mkString(",") +
+              "|" + fs.fileFormat.getClass.getName +
+              "|" + fs.dataSchema.catalogString
+          case other => other.toString // per-relation identity: TTL-only
+        })
+        LocalRelation(lr.output)
+    }.transformAllExpressions {
+      case a: Alias if a.name.nonEmpty => Alias(a.child, "")(exprId = a.exprId)
+    }
+    Key(plan, relTokens.result())
+  }
+
+  private def rootPathsOf(plan: LogicalPlan): Set[String] =
+    plan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -63,44 +112,54 @@ object QueryCache {
   /** Serve `df`'s result from the cache, computing and persisting it on
     * miss. The returned DataFrame reads the persisted result — identical
     * rows, no recomputation. Non-deterministic plans (rand(), current
-    * timestamp) are never cached, matching the reference's refusal. */
+    * timestamp) are never cached. */
   def cached(df: DataFrame): DataFrame = {
-    val key = df.queryExecution.optimizedPlan.canonicalized
-    val deterministic =
-      key.collect { case n => n }.forall(_.expressions.forall(_.deterministic))
+    val key = normalizedKey(df)
+    val deterministic = key.plan.collect { case n => n }
+      .forall(_.expressions.forall(_.deterministic))
     if (!deterministic) return df
+    val hash = key.hashCode()
     val now = System.currentTimeMillis()
     lock.synchronized {
-      val hit = entries.get(key)
-      if (hit != null && now - hit.createdMs <= ttlMs) {
+      val hit = entries.get(hash)
+      if (hit != null && hit.key == key && now - hit.createdMs <= ttlMs) {
         hitCount += 1
         return hit.result
       }
-      if (hit != null) dropEntry(hit)
+      if (hit != null) dropEntry(hash, hit) // expired or hash collision
     }
-    // compute OUTSIDE the lock: a slow query must not serialize the cache
-    val result = df.persist(StorageLevel.MEMORY_AND_DISK)
+    // compute OUTSIDE the lock: a slow query must not serialize the cache.
+    // NEVER re-run the caller's DataFrame — its memoized QueryExecution
+    // has the planning-time file listing baked into the scan. The no-op
+    // filter builds a NEW Dataset over the analyzed plan, so persisting
+    // it triggers a fresh planning pass that re-lists the (refreshed)
+    // file index; the optimizer erases the trivial filter itself.
+    val analyzed = df.queryExecution.analyzed
+    val result = df
+      .where(org.apache.spark.sql.functions.lit(true))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    val entry = Entry(key, result, now, rootPathsOf(df))
+    val entry = Entry(key, result, now, rootPathsOf(analyzed))
     lock.synchronized {
       missCount += 1
-      val race = entries.get(key)
-      if (race != null && now - race.createdMs <= ttlMs) {
+      val race = entries.get(hash)
+      if (race != null && race.key == key && now - race.createdMs <= ttlMs) {
         result.unpersist(false)
         return race.result
       }
-      entries.put(key, entry)
+      if (race != null) dropEntry(hash, race)
+      entries.put(hash, entry)
       while (entries.size > maxEntries) {
         val eldest = entries.entrySet().iterator().next()
-        dropEntry(eldest.getValue)
+        dropEntry(eldest.getKey, eldest.getValue)
       }
     }
     result
   }
 
-  private def dropEntry(e: Entry): Unit = {
+  private def dropEntry(hash: Int, e: Entry): Unit = {
     e.result.unpersist(false)
-    entries.remove(e.key)
+    entries.remove(hash)
   }
 
   /** Insert-triggered invalidation: drop every entry whose plan scanned
@@ -108,8 +167,9 @@ object QueryCache {
   def invalidatePath(path: String): Unit = lock.synchronized {
     if (entries.isEmpty) return
     val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
-    entries.values().asScala.filter(_.paths.contains(target)).toSeq
-      .foreach(dropEntry)
+    entries.entrySet().asScala
+      .filter(_.getValue.paths.contains(target)).toSeq
+      .foreach(e => dropEntry(e.getKey, e.getValue))
   }
 
   def clear(): Unit = lock.synchronized {

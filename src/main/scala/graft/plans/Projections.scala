@@ -298,6 +298,23 @@ object Projections {
       proj
     }
 
+  /** Storage-regime policy for filtered projections (the reference's
+    * PK-seek analogue, `MergeTreeDataSelectExecutor.cpp:495-565` — a
+    * (CounterID, EventDate) primary key reads only the matching ~15 % of
+    * rows): a filtered copy pays off only when the base is SCAN-bound.
+    * Measured both ways at 100 M rows (BENCH_100M.md): against a
+    * memory-resident base the hot-key family is aggregation-bound (scan
+    * 0.06 s vs ~1.0 s group-by) and the copy is dead weight, while a
+    * disk-backed base reads 6.7× the bytes it needs. So: register iff
+    * `base` has no in-memory storage level, and report which way it
+    * went. At cluster scale "not memory-resident" is the 100 TB default;
+    * local benches flip it per regime with one `.persist`. */
+  def registerFilteredByRegime(spark: SparkSession, base: DataFrame,
+                               filterCol: String, filterValue: Any,
+                               columns: Seq[String]): Boolean =
+    if (base.storageLevel.useMemory) false
+    else { registerFiltered(spark, base, filterCol, filterValue, columns); true }
+
   /** Register a filtered projection over `base`: a cached copy of the
     * rows where `filterCol = filterValue`, carrying `columns` (which
     * must include the filter column so residual predicates bind). The

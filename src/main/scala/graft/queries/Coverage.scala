@@ -117,11 +117,15 @@ object Coverage extends QueryModule {
         .select(col("l_returnflag"), k.as("k"))
         .groupBy(col("l_returnflag"))
         .agg(
-          uint64Wrap(sum(col("k") * lit(1000000000000000L))).as("sum_u64"),
+          // 20+-digit values ship as STRING: the driver's hasher coerces
+          // DECIMAL(38,0) and DuckDB HUGEINT cells differently (r9's two
+          // red rows), so both sides pin the textual representation.
+          uint64Wrap(sum(col("k") * lit(1000000000000000L)))
+            .cast("string").as("sum_u64"),
           int64Reinterpret(uint64Wrap(sum(col("k") * lit(1000000000000000L))))
             .as("sum_i64"),
           max(uint64Wrap(col("k") * lit(2654435761L) * lit(1000003L)))
-            .as("mul_wrap_max"),
+            .cast("string").as("mul_wrap_max"),
           sum(int32Wrap(col("k") * lit(98765L)).cast("long")).as("i32_wrap_sum"),
           count(lit(1)).as("n"))
     }),
@@ -137,8 +141,10 @@ object Coverage extends QueryModule {
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), v.as("v"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("v")).as("sum_v"), min(col("v")).as("min_v"),
-          max(col("v")).as("max_v"), count(lit(1)).as("n"))
+        // STRING-pinned for the driver hasher, same as q_type_wide_uint64
+        .agg(sum(col("v")).cast("string").as("sum_v"),
+          min(col("v")).cast("string").as("min_v"),
+          max(col("v")).cast("string").as("max_v"), count(lit(1)).as("n"))
     }),
 
     // TTL rollup-on-expiry as a checked batch job (reference:
@@ -224,6 +230,131 @@ object Coverage extends QueryModule {
         s.read.json(s.createDataset(jsons)(org.apache.spark.sql.Encoders.STRING))
           .select(col("n_regionkey"), col("n"), col("first_name"))
       } finally server.stop()
+    }),
+
+    // LiveView WATCH end-to-end (reference `StorageLiveView.h:84-88`
+    // periodic refresh + ASTWatchQuery LIMIT n): a real /search
+    // long-poll with watch:2 consumes TWO NDJSON emissions — version 1
+    // over the first ingest batch, version 2 only after a concurrent
+    // second ingest changes the result — and the gate hashes the final
+    // state plus the emission count, so both the re-evaluation loop and
+    // the change detection are oracled, not just spec-asserted.
+    "q_rest_watch" -> ((s, dir) => withRest(s, "graft_q_watch") { (post, _) =>
+      post("/ddl/tables",
+        """{"name":"watch_t","columns":[
+          |{"name":"k","type":"bigint"},{"name":"v","type":"bigint"},
+          |{"name":"_time","type":"timestamp"}],
+          |"order_by":["k"],"partition_by_granularity":"D"}""".stripMargin)
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      def ingest(rows: Seq[(Long, Long)], tag: String): Unit = {
+        val data = rows.map { case (k, v) =>
+          s"""["$k","$v","2024-01-01 00:00:00","$tag$k"]""" }.mkString(",")
+        post("/ingest/tables/watch_t",
+          s"""{"columns":["k","v","_time","_idem"],"data":[$data]}""")
+      }
+      val (batch1, batch2) = nation.toSeq.partition(_._1 % 2 == 0)
+      ingest(batch1, "a")
+      // the second batch lands while the WATCH long-poll is pending: the
+      // first evaluation runs synchronously on request receipt, so a 2 s
+      // delay guarantees version 1 precedes it
+      val later = new Thread(() => { Thread.sleep(2000); ingest(batch2, "b") })
+      later.start()
+      val resp = post("/search",
+        """{"query":"SELECT count(*) AS n, sum(v) AS sv, sum(k) AS sk FROM watch_t",
+          |"watch":2,"watch_interval_ms":150,"watch_timeout_ms":30000}""".stripMargin)
+      later.join()
+      val lines = resp.trim.split("\n").filter(_.nonEmpty)
+      val last = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(lines.last).get("rows")
+      val jsons = (0 until last.size()).map(i => last.get(i).toString)
+      s.read.json(s.createDataset(jsons)(org.apache.spark.sql.Encoders.STRING))
+        .select(col("n"), col("sv"), col("sk"),
+          lit(lines.length.toLong).as("versions"))
+    }),
+
+    // EXPLAIN levels over live HTTP (reference
+    // `SQLAnalyzerRestRouterHandler.cpp:207` + InterpreterExplainQuery's
+    // AST/SYNTAX/PLAN/PIPELINE modes): each /sqlanalyzer mode must
+    // return the matching Catalyst stage — asserted structurally by the
+    // stage's signature marker, reduced to a hashed (mode, ok) table.
+    "q_rest_explain" -> ((s, dir) => withRest(s, "graft_q_explain") { (post, _) =>
+      post("/ddl/tables",
+        """{"name":"exp_t","columns":[
+          |{"name":"g","type":"bigint"},{"name":"v","type":"bigint"},
+          |{"name":"_time","type":"timestamp"}],
+          |"order_by":["g"],"partition_by_granularity":"D"}""".stripMargin)
+      post("/ingest/tables/exp_t",
+        """{"columns":["g","v","_time","_idem"],
+          |"data":[["1","10","2024-01-01 00:00:00","x1"],
+          |        ["2","20","2024-01-01 00:00:00","x2"]]}""".stripMargin)
+      val markers = Seq(
+        "ast" -> Seq("'UnresolvedRelation", "'Aggregate"),
+        "syntax" -> Seq("Aggregate"),
+        "plan" -> Seq("Aggregate"),
+        "pipeline" -> Seq("HashAggregate"),
+        "codegen" -> Seq("WholeStageCodegen"))
+      val rows = markers.map { case (mode, marks) =>
+        val body = post("/sqlanalyzer",
+          s"""{"query":"SELECT g, count(*) AS c, sum(v) AS sv FROM exp_t GROUP BY g","mode":"$mode"}""")
+        (mode, marks.exists(body.contains), body.contains(s""""mode":"$mode""""))
+      }
+      s.createDataFrame(rows).toDF("mode", "has_stage_marker", "echoes_mode")
+    }),
+
+    // CSV/TSV display render round-trip (reference CSVWithNames /
+    // TabSeparatedWithNames output formats): /search renders both
+    // formats server-side; the gate re-parses the CSV text into rows
+    // and hashes them against the source table, with a TSV-agreement
+    // flag — so the rendered bytes, not just the row count, are oracled.
+    "q_rest_render" -> ((s, dir) => withRest(s, "graft_q_render") { (post, _) =>
+      post("/ddl/tables",
+        """{"name":"render_t","columns":[
+          |{"name":"n_name","type":"string"},
+          |{"name":"n_regionkey","type":"bigint"},
+          |{"name":"_time","type":"timestamp"}],
+          |"order_by":["n_name"],"partition_by_granularity":"D"}""".stripMargin)
+      val rows = t(s, dir, "nation").select(col("n_name"), col("n_regionkey"))
+        .collect()
+        .map(r => s"""["${r.getString(0)}","${r.get(1)}",""" +
+          s""""2024-01-01 00:00:00","${r.getString(0)}"]""")
+        .mkString(",")
+      post("/ingest/tables/render_t",
+        s"""{"columns":["n_name","n_regionkey","_time","_idem"],"data":[$rows]}""")
+      val q = """{"query":"SELECT n_name, n_regionkey FROM render_t","limit":100,"format":"%s"}"""
+      def parse(text: String, sep: Char): Seq[(String, Long)] =
+        text.split("\n").toSeq.drop(1).filter(_.nonEmpty).map { line =>
+          val parts = line.split(sep)
+          (parts(0), parts(1).toLong)
+        }
+      val csvRows = parse(post("/search", q.format("csv")), ',')
+      val tsvRows = parse(post("/search", q.format("tsv")), '\t')
+      val agree = csvRows.sorted == tsvRows.sorted
+      s.createDataFrame(csvRows.map { case (n, k) => (n, k, agree) })
+        .toDF("n_name", "n_regionkey", "tsv_agrees")
+    }),
+
+    // Prometheus /metrics exposition (reference
+    // `PrometheusRequestHandler.cpp` + PrometheusMetricsWriter): the
+    // endpoint must expose every session gauge as `# TYPE … gauge` +
+    // a parseable value line — reduced to a hashed (metric, typed,
+    // numeric) table over the stable metric set.
+    "q_rest_metrics" -> ((s, dir) => withRest(s, "graft_q_metrics") { (_, get) =>
+      val body = get("/metrics")
+      val lines = body.split("\n")
+      val expected = Seq("default_parallelism", "executor_count",
+        "active_jobs", "jvm_heap_used_bytes", "jvm_heap_max_bytes",
+        "query_cache_hits", "query_cache_misses", "query_cache_entries")
+      val rows = expected.map { m =>
+        val name = "graft_" + m
+        val typed = lines.contains(s"# TYPE $name gauge")
+        val numeric = lines.exists(l => l.startsWith(name + " ") &&
+          l.drop(name.length + 1).trim.matches("-?\\d+"))
+        (m, typed, numeric)
+      }
+      s.createDataFrame(rows).toDF("metric", "typed", "numeric")
     }),
 
     // Column TTL as a checked batch job (TTLColumnAlgorithm.cpp): rows
@@ -632,7 +763,74 @@ object Coverage extends QueryModule {
         graft.functions.GeoAlgos.pointInPolygonColumn(px, py, poly).as("inside"))
     }))
 
+  /** Live-RestServer fixture shared by the q_rest_* gates: fresh scratch
+    * catalog, ephemeral port, (post, get) HTTP helpers, teardown. The
+    * returned DataFrame must be server-independent (parsed local rows —
+    * the q_rest_pipeline pattern), since the server stops before the
+    * gate writes it. */
+  private def withRest(s: org.apache.spark.sql.SparkSession, scratch: String)(
+      body: ((String, String) => String, String => String)
+        => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), scratch).toString
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val catalog = new graft.rest.Catalog(s, root)
+    val server = new graft.rest.RestServer(s, catalog, port = 0)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, payload: String): String = {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(base + "/dae/v1" + path))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+          .build()
+        val r = http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200,
+          s"$path -> ${r.statusCode()}: ${r.body()}")
+        r.body()
+      }
+      def get(path: String): String = { // absolute path (e.g. /metrics)
+        val r = http.send(java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(base + path)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200, s"$path -> ${r.statusCode()}")
+        r.body()
+      }
+      body(post, get)
+    } finally server.stop()
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_rest_watch" ->
+      """SELECT count(*)::BIGINT AS n,
+        |       sum(n_regionkey)::BIGINT AS sv,
+        |       sum(n_nationkey)::BIGINT AS sk,
+        |       2::BIGINT AS versions
+        |FROM nation""".stripMargin,
+
+    "q_rest_explain" ->
+      """SELECT mode, TRUE AS has_stage_marker, TRUE AS echoes_mode
+        |FROM (VALUES ('ast'), ('syntax'), ('plan'), ('pipeline'),
+        |             ('codegen')) AS m(mode)""".stripMargin,
+
+    "q_rest_render" ->
+      """SELECT n_name, n_regionkey, TRUE AS tsv_agrees
+        |FROM nation""".stripMargin,
+
+    "q_rest_metrics" ->
+      """SELECT metric, TRUE AS typed, TRUE AS numeric
+        |FROM (VALUES ('default_parallelism'), ('executor_count'),
+        |             ('active_jobs'), ('jvm_heap_used_bytes'),
+        |             ('jvm_heap_max_bytes'), ('query_cache_hits'),
+        |             ('query_cache_misses'), ('query_cache_entries'))
+        |  AS m(metric)""".stripMargin,
+
     "q_ttl_expiry" ->
       """SELECT count(*)::BIGINT AS kept_rows,
         |       round(sum(o_totalprice), 2) AS kept_total,
@@ -661,21 +859,22 @@ object Coverage extends QueryModule {
         |             ELSE (k * 98765) % 4294967296 END) AS i32_wrap_sum,
         |    count(*)::BIGINT AS n
         |  FROM t GROUP BY l_returnflag)
-        |SELECT l_returnflag, su AS sum_u64,
+        |SELECT l_returnflag, su::VARCHAR AS sum_u64,
         |  (CASE WHEN su >= 9223372036854775808
         |        THEN su - 18446744073709551616 ELSE su END)::BIGINT
         |    AS sum_i64,
-        |  mul_wrap_max, i32_wrap_sum::BIGINT AS i32_wrap_sum, n
+        |  mul_wrap_max::VARCHAR AS mul_wrap_max,
+        |  i32_wrap_sum::BIGINT AS i32_wrap_sum, n
         |FROM g""".stripMargin,
 
     "q_type_wide_decimal" ->
       """SELECT l_returnflag,
         |  sum(l_partkey::HUGEINT * 1000000000000000000 + l_orderkey)
-        |    AS sum_v,
+        |    ::VARCHAR AS sum_v,
         |  min(l_partkey::HUGEINT * 1000000000000000000 + l_orderkey)
-        |    AS min_v,
+        |    ::VARCHAR AS min_v,
         |  max(l_partkey::HUGEINT * 1000000000000000000 + l_orderkey)
-        |    AS max_v,
+        |    ::VARCHAR AS max_v,
         |  count(*)::BIGINT AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 

@@ -278,7 +278,17 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
           val paged = if (offset > 0) base.offset(offset) else base
           paged.limit(effLimit)
       }
-      val df = buildDf()
+      val watchMode = opt("watch").map(_.asInt()).filter(_ > 0)
+      // Result cache (graft extension, QueryCache.scala): per-request
+      // `use_cache` or server-wide flag. WATCH mode never caches — its
+      // whole point is re-evaluating against fresh ingests.
+      val useCache = watchMode.isEmpty &&
+        (opt("use_cache").exists(_.asBoolean(false)) ||
+          RestServer.queryCacheEnabled)
+      val df = {
+        val built = buildDf()
+        if (useCache) graft.core.QueryCache.cached(built) else built
+      }
 
       // WATCH mode (reference live views, `StorageLiveView.h:84-88`
       // periodic refresh + `ASTWatchQuery` LIMIT n): a chunked NDJSON
@@ -287,7 +297,7 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
       // CHANGES, closing after `watch` emissions (or the timeout). The
       // views are re-registered per refresh, so each evaluation is a
       // fresh scan that sees rows ingested since the previous one.
-      opt("watch").map(_.asInt()).filter(_ > 0) match {
+      watchMode match {
         case Some(nUpdates) =>
           val intervalMs = opt("watch_interval_ms").map(_.asLong()).getOrElse(250L)
           val timeoutMs = opt("watch_timeout_ms").map(_.asLong()).getOrElse(30000L)
@@ -419,4 +429,10 @@ class RestServer(spark: SparkSession, catalog: Catalog, port: Int = 0) {
 object RestServer {
   /** Server-side clamp for `limit <= 0` ("unbounded") search requests. */
   val MaxResultRows = 1000000
+
+  /** Serve every /search SELECT through [[graft.core.QueryCache]] when
+    * true; individual requests can opt in with `"use_cache": true`
+    * regardless. Ingest paths invalidate by table root, so a cached
+    * result is never served across an append to its table. */
+  @volatile var queryCacheEnabled: Boolean = false
 }

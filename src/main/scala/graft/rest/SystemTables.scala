@@ -106,7 +106,10 @@ object SystemTables {
       ("executor_count", sc.statusTracker.getExecutorInfos.length.toLong),
       ("active_jobs", sc.statusTracker.getActiveJobIds().length.toLong),
       ("jvm_heap_used_bytes", rt.totalMemory() - rt.freeMemory()),
-      ("jvm_heap_max_bytes", rt.maxMemory())
+      ("jvm_heap_max_bytes", rt.maxMemory()),
+      ("query_cache_hits", graft.core.QueryCache.hits),
+      ("query_cache_misses", graft.core.QueryCache.misses),
+      ("query_cache_entries", graft.core.QueryCache.size.toLong)
     ).toDF("metric", "value")
   }
 

@@ -69,6 +69,33 @@ class FilteredProjectionSpec extends AnyFunSuite {
     } finally Projections.clear()
   }
 
+  test("storage-regime policy: cold base registers and routes, cached base declines") {
+    // cached (memory-resident) base: the projection is dead weight
+    // (aggregation-bound regime) — the policy must decline
+    val cachedBase = makeBase()
+    try {
+      assert(!Projections.registerFilteredByRegime(spark, cachedBase,
+        "ctr", 62, Seq("ctr", "k", "v")),
+        "registered a filtered projection over a memory-resident base")
+      assert(Projections.registeredCount == 0)
+
+      // cold (unpersisted, disk-backed) base: scan-bound — the policy
+      // registers, and the hot-key query routes with identical results
+      val dir = "target/filtered_regime_" + System.nanoTime()
+      cachedBase.write.parquet(dir)
+      val coldBase = spark.read.parquet(dir)
+      def q: DataFrame = coldBase.filter(col("ctr") === 62)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val exact = q.collect().map(_.toString).sorted.toSeq
+      assert(Projections.registerFilteredByRegime(spark, coldBase,
+        "ctr", 62, Seq("ctr", "k", "v")),
+        "declined to register over a disk-backed base")
+      assert(Projections.usesFilteredProjection(q),
+        s"cold-regime query did not route:\n${physical(q)}")
+      assert(q.collect().map(_.toString).sorted.toSeq == exact)
+    } finally Projections.clear()
+  }
+
   test("non-row-wise chains (window between filter and agg) do not route") {
     val base = makeBase()
     Projections.registerFiltered(spark, base, "ctr", 62,

@@ -302,6 +302,33 @@ class RestSpec extends AnyFunSuite {
     assert(bad == 400 && bb.contains("unknown explain mode"), bb)
   }
 
+  test("query cache: repeated search hits, ingest invalidation serves fresh") {
+    graft.core.QueryCache.clear()
+    val q = """{"query":"SELECT count(*) AS n FROM logs","use_cache":true}"""
+    val (c1, b1) = post("/search", q)
+    assert(c1 == 200, b1)
+    val h0 = graft.core.QueryCache.hits
+    val (c2, b2) = post("/search", q)
+    assert(c2 == 200 && b2 == b1, s"$b1 vs $b2")
+    assert(graft.core.QueryCache.hits == h0 + 1,
+      "repeated cached search did not hit the cache")
+    // ingest → invalidatePath fires → next cached search must be fresh
+    val rows1 = b1.split("\"n\":")(1).takeWhile(_.isDigit).toLong
+    val (ic, ib) = post("/ingest/tables/logs",
+      """{"columns":["sourcetype","latency","_time","_idem"],
+        |"data":[["cacheinv","1.0","2024-03-05 00:00:00","qc1"]]}""".stripMargin)
+    assert(ic == 200, ib)
+    val (c3, b3) = post("/search", q)
+    val rows2 = b3.split("\"n\":")(1).takeWhile(_.isDigit).toLong
+    assert(c3 == 200 && rows2 == rows1 + 1,
+      s"stale cached result after ingest: $rows1 -> $rows2")
+    // the fresh result is itself cached again
+    val h1 = graft.core.QueryCache.hits
+    val (c4, b4) = post("/search", q)
+    assert(c4 == 200 && b4 == b3 && graft.core.QueryCache.hits == h1 + 1)
+    graft.core.QueryCache.clear()
+  }
+
   test("drop removes table and data") {
     val (code, _) = delete("/ddl/tables/logs")
     assert(code == 200)
