@@ -24,18 +24,28 @@ object BenchHits100 {
     Tables.tune(spark)
     val ambient = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val cold = sys.env.get("SPARK_GRAFT_HITS_COLD").contains("1")
-    val r = BenchHits.suite(spark, BenchHits.Path100m, BenchHits.Rows100m,
-      BenchHits.referenceBest100m, passRuns = (3, 2))
+    // SPARK_GRAFT_HITS_ROWS=1000000000 switches to the 1 B scale point
+    // (forced cold inside suite(); single-run passes — each full pass
+    // scans ~60 GB of parquet 43 times).
+    val rows = sys.env.get("SPARK_GRAFT_HITS_ROWS").map(_.toLong)
+      .getOrElse(BenchHits.Rows100m)
+    val (path, refBest, passes, label) =
+      if (rows >= BenchHits.Rows1b)
+        (BenchHits.Path1b, BenchHits.referenceBest1b, (1, 1), "hits1b")
+      else (BenchHits.Path100m, BenchHits.referenceBest100m, (3, 2), "hits100m")
+    val cold = sys.env.get("SPARK_GRAFT_HITS_COLD").contains("1") ||
+      rows > BenchHits.Rows100m
+    val r = BenchHits.suite(spark, path, rows, refBest, passRuns = passes)
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val regime = if (cold) "cold" else "cached"
     val line =
-      s"""{"metric":"hits100m_suite","value":${r.total},"unit":"sec","rows":100000000,"regime":"$regime","heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g","load_avg_ambient":$ambient,"load_avg":$loadEnd,"hits100m_suite_sec":${r.total},"hits100m_slowest_sec":${r.slowest},"hits100m_queries":${r.json}}"""
+      s"""{"metric":"${label}_suite","value":${r.total},"unit":"sec","rows":$rows,"regime":"$regime","heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g","load_avg_ambient":$ambient,"load_avg":$loadEnd,"${label}_suite_sec":${r.total},"${label}_slowest_sec":${r.slowest},"${label}_queries":${r.json}}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        if (cold) "target/BENCH_hits100m_cold.json"
+        if (rows >= BenchHits.Rows1b) "target/BENCH_hits1b.json"
+        else if (cold) "target/BENCH_hits100m_cold.json"
         else "target/BENCH_hits100m.json"), line)
     catch { case _: Throwable => () }
     spark.stop()

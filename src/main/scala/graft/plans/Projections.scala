@@ -67,6 +67,19 @@ object Projections {
   // invalidatePath(); routing only reads the COW list, lock-free
   private val lock = new Object
 
+  /** Routing substitutions that are within-contract but OBSERVABLY
+    * different from the unrouted plan: `any_value`/`first` re-merges as
+    * the group minimum ("some value" → the min is one, but
+    * `first(x, ignoreNulls=false)` can no longer observe null when
+    * non-null values exist), and `approx_count_distinct(x, rsd >= 0.02)`
+    * swaps HLL++ for a DataSketches HLL union whose estimates differ
+    * inside the error bound. Both match the reference's semantics
+    * (`any()` is explicitly arbitrary, uniqMerge re-estimates), but a
+    * routed and an unrouted run of the same query can return different
+    * values — set false to route only bit-identical rewrites
+    * (count/sum/min/max/avg). */
+  @volatile var routeNondeterministic: Boolean = true
+
   /** An AGGREGATE projection: the reference's AggregatingMergeTree
     * materialized view (`src/Storages/MergeTree/registerStorageMergeTree
     * .cpp:351,946` + `src/AggregateFunctions/AggregateFunctionState.cpp`
@@ -123,7 +136,8 @@ object Projections {
       base: DataFrame,
       columnsOrdered: Seq[String],
       filterColOrdered: String,
-      basePaths: Set[String])
+      basePaths: Set[String],
+      diskDir: Option[String])            // parquet-materialized when set
 
   private val filteredRegistry =
     new java.util.concurrent.CopyOnWriteArrayList[FilteredProjDef]()
@@ -311,18 +325,30 @@ object Projections {
     * local benches flip it per regime with one `.persist`. */
   def registerFilteredByRegime(spark: SparkSession, base: DataFrame,
                                filterCol: String, filterValue: Any,
-                               columns: Seq[String]): Boolean =
+                               columns: Seq[String],
+                               diskDir: Option[String] = None): Boolean =
     if (base.storageLevel.useMemory) false
-    else { registerFiltered(spark, base, filterCol, filterValue, columns); true }
+    else {
+      registerFiltered(spark, base, filterCol, filterValue, columns, diskDir)
+      true
+    }
 
-  /** Register a filtered projection over `base`: a cached copy of the
-    * rows where `filterCol = filterValue`, carrying `columns` (which
-    * must include the filter column so residual predicates bind). The
-    * build runs one filter over the base — no shuffle; the copy keeps
-    * the base's partitioning, thinned by the selectivity. */
+  /** Register a filtered projection over `base`: a copy of the rows
+    * where `filterCol = filterValue`, carrying `columns` (which must
+    * include the filter column so residual predicates bind). The build
+    * runs one filter over the base — no shuffle; the copy keeps the
+    * base's partitioning, thinned by the selectivity.
+    *
+    * `diskDir = Some(path)` materializes the copy as PARQUET at `path`
+    * instead of a memory cache — the reference's on-disk PK-organized
+    * part. That is the right storage at scales where the selected slice
+    * itself exceeds executor memory (a 15 % slice of 1 B rows does):
+    * routed queries then scan a selectivity-sized columnar file instead
+    * of the full base, which is the whole PK-seek win. */
   def registerFiltered(spark: SparkSession, base: DataFrame,
                        filterCol: String, filterValue: Any,
-                       columns: Seq[String]): DataFrame =
+                       columns: Seq[String],
+                       diskDir: Option[String] = None): DataFrame =
     lock.synchronized {
       val fcLower = filterCol.toLowerCase
       val carried = columns.map(_.toLowerCase).toSet
@@ -337,23 +363,40 @@ object Projections {
           p.filterCol == fcLower && p.filterLit.semanticEquals(flit) &&
           p.carried == carried
       }.foreach(p => return p.projDf)
-      val (projPlan, proj) = buildFiltered(base, filterCol, filterValue, columns)
+      val (projPlan, proj) =
+        buildFiltered(base, filterCol, filterValue, columns, diskDir)
       filteredRegistry.add(FilteredProjDef(baseLeaf.canonicalized, fcLower,
         flit, carried, projPlan, proj, base, columns, filterCol,
-        rootPathsOf(base)))
+        rootPathsOf(base), diskDir))
       install(spark)
       proj
     }
 
   private def buildFiltered(base: DataFrame, filterCol: String,
-                            filterValue: Any, columns: Seq[String])
+                            filterValue: Any, columns: Seq[String],
+                            diskDir: Option[String])
       : (LogicalPlan, DataFrame) = {
-    val proj = base
+    val sel = base
       .filter(col(filterCol) === lit(filterValue))
       .select(columns.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    proj.count()
-    (proj.queryExecution.optimizedPlan, proj)
+    diskDir match {
+      case None =>
+        val proj = sel.persist(StorageLevel.MEMORY_AND_DISK)
+        proj.count()
+        (proj.queryExecution.optimizedPlan, proj)
+      case Some(dir) =>
+        sel.write.mode("overwrite").parquet(dir)
+        val read = base.sparkSession.read.parquet(dir)
+        // Routing substitutes projPlan under the query's ORIGINAL
+        // attributes, so the fresh parquet relation's new exprIds must
+        // be re-aliased back to the base-lineage ones sel carries.
+        val wanted = sel.queryExecution.analyzed.output
+        val readPlan = read.queryExecution.analyzed
+        val aliases = readPlan.output.zip(wanted).map { case (n, o) =>
+          Alias(n, o.name)(exprId = o.exprId)
+        }
+        (Project(aliases, readPlan), read)
+    }
   }
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
@@ -515,7 +558,7 @@ object Projections {
           p.filterLit.value match {
             case u: org.apache.spark.unsafe.types.UTF8String => u.toString
             case v => v
-          }, p.columnsOrdered)
+          }, p.columnsOrdered, p.diskDir)
         filteredRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }
@@ -815,7 +858,10 @@ object Projections {
               .map(a => complete(Max(a)): Expression).getOrElse(fail(ae))
           // any_value/first re-merges as the min state: the contract is
           // "some value from the group", and the group's minimum is one
-          case f: org.apache.spark.sql.catalyst.expressions.aggregate.First =>
+          // (observably different from the unrouted pick — gated by
+          // [[routeNondeterministic]])
+          case f: org.apache.spark.sql.catalyst.expressions.aggregate.First
+              if routeNondeterministic =>
             measureIdx(f.child).flatMap(i => attr(s"__min_e$i"))
               .map(a => complete(Min(a)): Expression).getOrElse(fail(ae))
           case a: Average =>
@@ -828,7 +874,8 @@ object Projections {
                   new Divide(Cast(complete(Sum(sa)), DoubleType),
                     Cast(sumLong(ca), DoubleType))): Expression
               }).getOrElse(fail(ae))
-          case h: HyperLogLogPlusPlus if h.relativeSD >= 0.02 =>
+          case h: HyperLogLogPlusPlus
+              if h.relativeSD >= 0.02 && routeNondeterministic =>
             measureIdx(h.child).flatMap(i => attr(s"__hll_e$i"))
               .map(ha => Coalesce(Seq(
                 HllSketchEstimate(complete(new HllUnionAgg(ha))),
@@ -915,7 +962,8 @@ object Projections {
                     new Divide(Cast(complete(Sum(sa)), DoubleType),
                       Cast(sumLong(ca), DoubleType))): Expression
                 }).getOrElse(fail(ae))
-            case h: HyperLogLogPlusPlus if h.relativeSD >= 0.02 =>
+            case h: HyperLogLogPlusPlus
+                if h.relativeSD >= 0.02 && routeNondeterministic =>
               // lgK=12 union estimate (~1.6 % rsd) replaces an HLL++
               // estimate whose requested error is coarser — approximate
               // in, approximate out, same contract as uniqMerge

@@ -96,6 +96,27 @@ class FilteredProjectionSpec extends AnyFunSuite {
     } finally Projections.clear()
   }
 
+  test("disk-materialized filtered projection routes to the parquet slice") {
+    val base0 = makeBase()
+    val dir = "target/filtered_disk_" + System.nanoTime()
+    base0.write.parquet(dir)
+    val coldBase = spark.read.parquet(dir)
+    def q: DataFrame = coldBase.filter(col("ctr") === 62 && col("flag") === 0)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val exact = q.collect().map(_.toString).sorted.toSeq
+    Projections.registerFiltered(spark, coldBase, "ctr", 62,
+      Seq("ctr", "k", "flag", "v"), diskDir = Some(dir + "_ctr62"))
+    try {
+      assert(Projections.usesFilteredProjection(q),
+        s"did not route to the disk projection:\n${physical(q)}")
+      // the routed scan must read the projection parquet, not the base
+      assert(physical(q).contains("_ctr62"),
+        s"routed plan does not scan the materialized slice:\n${physical(q)}")
+      assert(q.collect().map(_.toString).sorted.toSeq == exact,
+        "disk-routed result diverges from the base scan")
+    } finally Projections.clear()
+  }
+
   test("non-row-wise chains (window between filter and agg) do not route") {
     val base = makeBase()
     Projections.registerFiltered(spark, base, "ctr", 62,
