@@ -48,7 +48,19 @@ object BenchHits {
     val widths = array(Seq(1366, 1920, 1280, 1440, 360, 768, 1024, 1536,
       2560, 412).map(lit): _*)
 
-    val df = spark.range(rows)
+    // file count scales with rows (~90 MB parquet each at 100 M) so the
+    // cached-partition parallelism and per-file stats granularity hold
+    val nFiles = math.max(32L, rows / 1562500L).toInt
+    // Layout strategy by scale. Up to 100 M: hash-derived EventTime +
+    // a repartitionByRange(EventDate, CounterID) shuffle. At 1 B that
+    // shuffle is ~60 GB through local scratch — instead EventTime is
+    // MONOTONE in the row id (uniform over the same July month, same
+    // marginal distribution; every other column hashes independently),
+    // so spark.range's id-range partitions ARE EventDate ranges and the
+    // date-clustered layout costs only a per-partition sort, no shuffle.
+    val monotoneTime = rows > Rows100m
+
+    val df = spark.range(0, rows, 1, nFiles)
       .withColumn("WatchID", h(7))
       .withColumn("UserID",
         when(hm(2, 100) < 20, hm(21, 100)).otherwise(hm(22, 1200000)))
@@ -83,7 +95,10 @@ object BenchHits {
             lit("ref"), hm(142, 1000), lit(".example.org/path/"), hm(143, 10000)))
           .otherwise(lit("")))
       .withColumn("EventTime",
-        timestamp_seconds(lit(1372636800L) + hm(15, 31L * 86400)))
+        if (monotoneTime)
+          timestamp_seconds(lit(1372636800L) +
+            (col("id") * lit(31L * 86400) / lit(rows)).cast("long"))
+        else timestamp_seconds(lit(1372636800L) + hm(15, 31L * 86400)))
       .withColumn("EventDate", to_date(col("EventTime")))
       .withColumn("Refresh", (hm(16, 100) < 2).cast("int"))
       .withColumn("DontCountHits", (hm(17, 100) < 1).cast("int"))
@@ -98,11 +113,10 @@ object BenchHits {
         element_at(widths, (hm(24, 10) + 1).cast("int")).cast("int"))
       .drop("id")
 
-    // file count scales with rows (~90 MB parquet each at 100 M) so the
-    // cached-partition parallelism and per-file stats granularity hold
-    val nFiles = math.max(32L, rows / 1562500L).toInt
-    df.repartitionByRange(nFiles, col("EventDate"), col("CounterID"))
-      .sortWithinPartitions("EventDate", "CounterID", "EventTime")
+    val laid =
+      if (monotoneTime) df // id-range partitions are already date ranges
+      else df.repartitionByRange(nFiles, col("EventDate"), col("CounterID"))
+    laid.sortWithinPartitions("EventDate", "CounterID", "EventTime")
       .write.mode("overwrite").parquet(path)
   }
 
@@ -235,6 +249,11 @@ object BenchHits {
     // sandbox (1 B ≈ 300 GB columnar) — cold is forced, not chosen.
     val cold = sys.env.get("SPARK_GRAFT_HITS_COLD").contains("1") ||
       rows > Rows100m
+    // 1 B-scale shuffles: 32 reduce partitions put ~30 M-group hash maps
+    // in each task on the high-cardinality queries; 4× the partitions
+    // bounds per-task state (the cluster-scale default — partition count
+    // tracks data, not just cores).
+    if (rows > Rows100m) spark.conf.set("spark.sql.shuffle.partitions", "128")
     val hits = {
       val raw = spark.read.parquet(path)
       if (cold) raw

@@ -136,6 +136,7 @@ object Projections {
       base: DataFrame,
       columnsOrdered: Seq[String],
       filterColOrdered: String,
+      filterValueOrig: Any,               // as passed — for rebuilds
       basePaths: Set[String],
       diskDir: Option[String])            // parquet-materialized when set
 
@@ -354,7 +355,29 @@ object Projections {
       val carried = columns.map(_.toLowerCase).toSet
       require(carried.contains(fcLower),
         "registerFiltered: the filter column must be carried")
-      val flit = org.apache.spark.sql.catalyst.expressions.Literal(filterValue)
+      // Coerce the filter literal to the base column's type: routing
+      // matches by Literal.semanticEquals, and a query writes
+      // `CounterID = 62` with the literal in the COLUMN's type, so a
+      // registration value of a different width (62L over an int
+      // column) would never match — the projection would build fine and
+      // silently never route (exactly what the first 1 B bench run
+      // measured: hits_filtered_projection true, hits_q37_routed
+      // false). The round-trip guard keeps a value the column's type
+      // can't represent exactly (62.5 over int) un-coerced, so such a
+      // registration can't capture queries for a different value.
+      val flit = {
+        val raw = org.apache.spark.sql.catalyst.expressions.Literal(filterValue)
+        base.schema.fields.find(_.name.equalsIgnoreCase(filterCol))
+          .map(_.dataType) match {
+          case Some(dt) if dt != raw.dataType =>
+            val casted = Cast(raw, dt).eval(null)
+            val back = if (casted == null) null
+              else Cast(Literal(casted, dt), raw.dataType).eval(null)
+            if (casted != null && back == raw.value) Literal(casted, dt)
+            else raw
+          case _ => raw
+        }
+      }
       val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
         .getOrElse(throw new IllegalArgumentException(
           "Projections.registerFiltered: base must scan a single relation"))
@@ -367,7 +390,7 @@ object Projections {
         buildFiltered(base, filterCol, filterValue, columns, diskDir)
       filteredRegistry.add(FilteredProjDef(baseLeaf.canonicalized, fcLower,
         flit, carried, projPlan, proj, base, columns, filterCol,
-        rootPathsOf(base), diskDir))
+        filterValue, rootPathsOf(base), diskDir))
       install(spark)
       proj
     }
@@ -555,10 +578,7 @@ object Projections {
         p.projDf.unpersist(false)
         refreshBase(p.base)
         val (projPlan, proj) = buildFiltered(p.base, p.filterColOrdered,
-          p.filterLit.value match {
-            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-            case v => v
-          }, p.columnsOrdered, p.diskDir)
+          p.filterValueOrig, p.columnsOrdered, p.diskDir)
         filteredRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }

@@ -117,6 +117,41 @@ class FilteredProjectionSpec extends AnyFunSuite {
     } finally Projections.clear()
   }
 
+  test("a wider-typed registration value coerces to the column type and SQL-path queries route") {
+    // The first 1 B bench registered CounterID=62 as a Long over an int
+    // column: the slice built fine but Literal(62L, Long) never
+    // semanticEquals the query's Literal(62, Int), so routing silently
+    // never fired. Registration must coerce; the query goes through a
+    // temp view + spark.sql — the bench's actual path.
+    val base = makeBase()
+    base.createOrReplaceTempView("fp_sql_base")
+    def q: DataFrame = spark.sql(
+      "SELECT k, count(*) AS n, sum(v) AS sv FROM fp_sql_base " +
+        "WHERE ctr = 62 AND flag = 0 GROUP BY k")
+    val exact = q.collect().map(_.toString).sorted.toSeq
+    Projections.registerFiltered(spark, base, "ctr", 62L,
+      Seq("ctr", "k", "flag", "v"))
+    try {
+      assert(Projections.usesFilteredProjection(q),
+        s"Long-registered value over int column did not route:\n${physical(q)}")
+      assert(q.collect().map(_.toString).sorted.toSeq == exact)
+    } finally Projections.clear()
+  }
+
+  test("a registration value the column type cannot represent does not capture queries") {
+    val base = makeBase()
+    // 62.5 over an int column: round-trip fails, literal stays Double,
+    // and an `ctr = 62` query must NOT be routed to the (empty) slice.
+    Projections.registerFiltered(spark, base, "ctr", 62.5,
+      Seq("ctr", "k", "v"))
+    def q: DataFrame = base.filter(col("ctr") === 62)
+      .groupBy(col("k")).agg(sum(col("v")).as("sv"))
+    try {
+      assert(!Projections.usesFilteredProjection(q),
+        s"non-representable registration value captured an int query:\n${physical(q)}")
+    } finally Projections.clear()
+  }
+
   test("non-row-wise chains (window between filter and agg) do not route") {
     val base = makeBase()
     Projections.registerFiltered(spark, base, "ctr", 62,
