@@ -290,6 +290,18 @@ object BenchHits {
           "SearchPhrase", "Refresh", "ResolutionWidth"))
       graft.plans.Projections.register(spark, hits,
         Seq("URL"), Seq("URL"))
+    } else {
+      // Past the memory-resident scale the same alternate layout goes to
+      // DISK as a bucketed parquet copy: the UserID-keyed group-bys
+      // (q16-q19) are exchange-bound at 1 B rows (each shuffles the
+      // ~1 B-row partial state of a 1.2 M-key aggregation), and the
+      // bucketed scan's HashPartitioning(UserID, 128) satisfies their
+      // distribution scan-side — per-bucket local aggregation, zero
+      // exchange. One file per bucket (the write pre-partitions on the
+      // bucket key), reused across runs via the _SUCCESS check.
+      graft.plans.Projections.registerBucketed(spark, hits,
+        Seq("UserID"), Seq("UserID", "SearchPhrase", "EventTime"),
+        numBuckets = 128, dir = path + "_by_userid")
     }
 
     // FILTERED projection on CounterID=62 (the reference's PK-seek
@@ -355,6 +367,11 @@ object BenchHits {
     val q37Routed = filteredRegistered &&
       (try graft.plans.Projections.usesFilteredProjection(spark.sql(queries(36)))
        catch { case _: Throwable => false })
+    // Same proof for the bucketed disk projection: does q16 (the
+    // UserID-family representative) read the bucketed copy?
+    val q16Routed =
+      try graft.plans.Projections.usesRowProjection(spark.sql(queries(15)))
+      catch { case _: Throwable => false }
 
     def once(sql: String): Double = {
       val t0 = System.nanoTime()
@@ -412,6 +429,6 @@ object BenchHits {
       slowest = if (ok.nonEmpty) ok.map(_._2).max else -1.0,
       json = per.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}") +
-        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed""")
+        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed,"hits_q16_routed":$q16Routed""")
   }
 }

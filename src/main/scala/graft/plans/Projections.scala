@@ -60,7 +60,8 @@ object Projections {
       base: DataFrame,                    // lineage holder for rebuilds
       columnsOrdered: Seq[String],        // register() args, for rebuilds
       partitionColsOrdered: Seq[String],
-      basePaths: Set[String])             // normalized file-source roots
+      basePaths: Set[String],             // normalized file-source roots
+      bucketDisk: Option[(Int, String)] = None) // (numBuckets, dir) when parquet-bucketed
 
   private val registry = new java.util.concurrent.CopyOnWriteArrayList[ProjDef]()
   // guards the find-or-build in register() and the rebuild in
@@ -220,6 +221,64 @@ object Projections {
     (proj.queryExecution.optimizedPlan, proj)
   }
 
+  /** Materialize one BUCKETED disk projection build: narrow select,
+    * pre-partitioned on the bucket key into exactly `numBuckets` tasks
+    * (task hash == bucket hash, both Murmur3 pmod numBuckets, so the
+    * layout is one file per bucket — no small-file explosion), written
+    * as an external bucketed parquet table. The returned plan reads the
+    * table through the catalog (that is what carries the bucket spec to
+    * the scan) with an alias layer mapping the fresh relation's
+    * attributes back to the base lineage ids routing substitutes under.
+    * ProjectExec's alias-aware output partitioning then re-expresses
+    * HashPartitioning(bucketCols, numBuckets) in the original ids, so
+    * the routed aggregate's distribution is satisfied scan-side. */
+  private def buildBucketed(base: DataFrame, bucketCols: Seq[String],
+                            columns: Seq[String], numBuckets: Int,
+                            dir0: String, reuseExisting: Boolean)
+      : (LogicalPlan, DataFrame) = {
+    val spark = base.sparkSession
+    // a relative `path` table option resolves against the WAREHOUSE dir,
+    // not the cwd — absolutize so the _SUCCESS probe, the DDL LOCATION
+    // and the write all name the same directory
+    val dir = new java.io.File(dir0).getAbsolutePath
+    val sel = base.select(columns.map(col): _*)
+    val table = "graft_bproj_" + java.lang.Integer.toHexString(dir.hashCode)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val complete = reuseExisting &&
+      fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (complete) {
+      // bucket ids are encoded in the file names, so an external
+      // CLUSTERED BY declaration over the existing files restores the
+      // bucketed-scan contract without rewriting a row
+      val ddlCols = sel.schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $table ($ddlCols) USING PARQUET
+           |CLUSTERED BY (${bucketCols.mkString(", ")})
+           |INTO $numBuckets BUCKETS
+           |LOCATION '$dir'""".stripMargin)
+    } else {
+      sel.repartition(numBuckets, bucketCols.map(col): _*)
+        .write.mode("overwrite")
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .option("path", dir)
+        .saveAsTable(table)
+    }
+    val read = spark.table(table)
+    val wanted = sel.queryExecution.analyzed.output
+    // strip the catalog read's SubqueryAlias: routing substitutes this
+    // plan during OPTIMIZATION, after EliminateSubqueryAliases has run,
+    // so a surviving alias node would reach the physical planner
+    val readPlan = org.apache.spark.sql.catalyst.analysis
+      .EliminateSubqueryAliases(read.queryExecution.analyzed)
+    val aliases = readPlan.output.zip(wanted).map { case (n, o) =>
+      Alias(n, o.name)(exprId = o.exprId)
+    }
+    (Project(aliases, readPlan), read)
+  }
+
   /** Materialize one aggregate-projection build: group by the key
     * columns, keep per-measure partial state, cache and force. The
     * groupBy's own hash partitioning on the full key tuple is preserved
@@ -307,6 +366,55 @@ object Projections {
       // identity: the projection keeps the base's exprIds) so
       // SkipPartialAgg's leaf-scoped stats decision fires on routed
       // plans too.
+      leafOf(projPlan).foreach(pl =>
+        TableStats.inherit(baseLeaf, pl, projPlan.output))
+      install(spark)
+      proj
+    }
+
+  /** DISK-backed row projection: the same alternate-layout copy as
+    * [[register]], but written as a PARQUET table bucketed on the hot
+    * key instead of a memory cache — the storage for scales where the
+    * copy itself exceeds executor memory (a 1 B-row 3-column slice is
+    * ~10 GB; at 100 TB every projection is a disk artifact). The write
+    * pre-partitions on the bucket key with `numBuckets` partitions, so
+    * each task owns exactly one bucket and the layout is one file per
+    * bucket — Spark's bucketed scan then reports
+    * HashPartitioning(bucketCols, numBuckets), and a routed aggregation
+    * whose keys cover the bucket key runs WITHOUT an exchange: the
+    * 1 B-row shuffle that dominates high-cardinality group-bys on the
+    * base becomes a per-bucket local aggregation. This is the
+    * MergeTree-projection trade (`src/Storages/StorageMaterializedView
+    * .cpp`) paid in columnar files: one extra stored copy, every routed
+    * query saves a full-table exchange.
+    *
+    * If `dir` already holds a complete bucketed write (`_SUCCESS`
+    * present), the files are reused and only the catalog entry is
+    * recreated — bucket ids live in the file names, so re-declaring the
+    * external table restores the bucketed-scan contract without
+    * rewriting. Rebuilds after [[invalidatePath]] always rewrite. */
+  def registerBucketed(spark: SparkSession, base: DataFrame,
+                       bucketCols: Seq[String], columns: Seq[String],
+                       numBuckets: Int, dir: String): DataFrame =
+    lock.synchronized {
+      val dirAbs = new java.io.File(dir).getAbsolutePath
+      val pcLower = bucketCols.map(_.toLowerCase)
+      val carried = columns.map(_.toLowerCase).toSet
+      require(pcLower.forall(carried), "bucket columns must be carried")
+      val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
+        .getOrElse(throw new IllegalArgumentException(
+          "Projections.registerBucketed: base must scan a single relation"))
+      registry.asScala.find { p =>
+        p.baseLeafCanonical == baseLeaf.canonicalized &&
+          p.partitionCols == pcLower && p.carried == carried &&
+          p.bucketDisk.exists(_._2 == dirAbs)
+      }.foreach(p => return p.projDf)
+      val (projPlan, proj) =
+        buildBucketed(base, bucketCols, columns, numBuckets, dirAbs,
+          reuseExisting = true)
+      registry.add(ProjDef(baseLeaf.canonicalized, pcLower, carried, projPlan,
+        proj, base, columns, bucketCols, rootPathsOf(base),
+        bucketDisk = Some((numBuckets, dirAbs))))
       leafOf(projPlan).foreach(pl =>
         TableStats.inherit(baseLeaf, pl, projPlan.output))
       install(spark)
@@ -541,7 +649,12 @@ object Projections {
   def invalidatePath(path: String): Unit = lock.synchronized {
     if (registry.isEmpty && aggRegistry.isEmpty &&
         filteredRegistry.isEmpty && exprAggRegistry.isEmpty) return
-    val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    // registered roots are absolute URI paths — absolutize a relative
+    // caller path so it can match them
+    val target = {
+      val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
+      if (p.startsWith("/")) p else new java.io.File(p).getAbsolutePath
+    }
     def refreshBase(base: DataFrame): Unit =
       base.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -556,8 +669,14 @@ object Projections {
       if (p.basePaths.contains(target)) {
         p.projDf.unpersist(false)
         refreshBase(p.base)
-        val (projPlan, proj) =
-          build(p.base, p.partitionColsOrdered, p.columnsOrdered)
+        val (projPlan, proj) = p.bucketDisk match {
+          case Some((n, dir)) =>
+            // always rewrite on refresh — the on-disk copy is stale
+            buildBucketed(p.base, p.partitionColsOrdered, p.columnsOrdered,
+              n, dir, reuseExisting = false)
+          case None =>
+            build(p.base, p.partitionColsOrdered, p.columnsOrdered)
+        }
         registry.set(i, p.copy(projPlan = projPlan, projDf = proj))
         for (bl <- leafOf(p.base.queryExecution.optimizedPlan);
              pl <- leafOf(projPlan))
@@ -593,6 +712,15 @@ object Projections {
     }
   }
 
+  /** Spec hook: does `df`'s optimized plan read a registered row
+    * projection (rather than the base relation)? */
+  private[graft] def usesRowProjection(df: DataFrame): Boolean = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.canonicalized)
+    registry.asScala.exists(p =>
+      leafOf(p.projPlan).exists(pl => leaves.contains(pl.canonicalized)))
+  }
+
   /** Spec hook: does `df`'s optimized plan read a registered filtered
     * projection (rather than the base relation)? */
   private[graft] def usesFilteredProjection(df: DataFrame): Boolean = {
@@ -618,7 +746,16 @@ object Projections {
 
   /** Unpersist and drop every registered projection. */
   def clear(): Unit = lock.synchronized {
-    registry.forEach(p => p.projDf.unpersist(false): Unit)
+    registry.forEach { p =>
+      p.projDf.unpersist(false)
+      // drop the catalog entry of a bucketed disk projection (the files
+      // stay — re-registration reuses them via the _SUCCESS check)
+      p.bucketDisk.foreach { case (_, dir) =>
+        val table = "graft_bproj_" + java.lang.Integer.toHexString(dir.hashCode)
+        try p.base.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+        catch { case _: Throwable => () }
+      }
+    }
     registry.clear()
     aggRegistry.forEach(p => p.projDf.unpersist(false): Unit)
     aggRegistry.clear()
