@@ -30,7 +30,10 @@ object Bench {
       // the filesystem out of the measurement (lz4 shuffle compression
       // stays at its default ON — string shuffles compress ~5x, probed
       // q35 495 MB -> 90 MB).
-      .config("spark.local.dir", "/dev/shm/spark-graft")
+      // per-process: see BenchHits100 — a sibling bench JVM exiting can
+      // delete a shared local root it created, killing this run's shuffle
+      .config("spark.local.dir",
+        s"/dev/shm/spark-graft-${ProcessHandle.current().pid()}")
     // Core-conf A/B hook (core confs are static — env-driven so they land
     // before the context starts): SPARK_GRAFT_CORE_CONF="k=v;k=v".
     sys.env.get("SPARK_GRAFT_CORE_CONF").foreach(_.split(";").filter(_.contains("="))
@@ -108,7 +111,8 @@ object Bench {
     // and r9's embedded-snapshot suffix pushed the live sf0.1 numbers
     // past the truncation point. The parsable suite line must be LAST.
     Seq("BENCH_100M.json" -> "hits100m_snapshot",
-        "BENCH_100M_COLD.json" -> "hits100m_cold_snapshot").foreach {
+        "BENCH_100M_COLD.json" -> "hits100m_cold_snapshot",
+        "BENCH_1B.json" -> "hits1b_snapshot").foreach {
       case (file, label) =>
         try {
           val p = java.nio.file.Paths.get(file)

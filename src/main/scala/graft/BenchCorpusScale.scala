@@ -33,7 +33,10 @@ object BenchCorpusScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/spark-graft")
+      // per-process: see BenchHits100 — a sibling bench JVM exiting can
+      // delete a shared local root it created, killing this run's shuffle
+      .config("spark.local.dir",
+        s"/dev/shm/spark-graft-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)

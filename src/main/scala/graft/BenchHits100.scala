@@ -17,7 +17,12 @@ object BenchHits100 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/spark-graft")
+      // per-process subdir: a second bench JVM sharing the bare parent
+      // registers it for delete-on-exit when it created it, wiping this
+      // app's live shuffle files mid-run (observed: 1 B suite killed at
+      // q16 by a concurrent sf0.1 bench exiting)
+      .config("spark.local.dir",
+        s"/dev/shm/spark-graft-${ProcessHandle.current().pid()}")
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -374,4 +374,104 @@ object CorpusOps {
       size(grams).cast("long").as("n_grams"),
       aggregate(milli, lit(0L), (acc, x) => acc + x).as("milli_sum"))
   }
+
+  // --------------------------------- n-gram LM perplexity (CCNet LM filter)
+
+  /** Bigram-LM document scoring — the OTHER half of CCNet next to
+    * [[paragraphDedup]] (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", 2020 §3.3: documents are
+    * scored by a KenLM n-gram model's perplexity and bucketed
+    * head/middle/tail; gibberish and boilerplate score high). The
+    * pre-trained 5-gram model becomes a corpus-trained add-one-smoothed
+    * bigram model — P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), with
+    * c(w1 ·) the left-context total and V the right-vocab size — so the
+    * entire model derives from ONE bigram-count aggregation over the
+    * corpus being scored.
+    *
+    * Returns one row per doc with >= 1 bigram: (idCol, n_bigrams,
+    * nll_sum, vocab) where nll_sum = Σ -ln P over the doc's bigrams;
+    * perplexity = exp(nll_sum / n_bigrams). `vocab` (same value on every
+    * row) rides along so callers can phrase thresholds relative to the
+    * uniform-model baseline ln(V) without a second pass.
+    *
+    * Scale shape: explode to one row per bigram, count by gram string
+    * (wordcount shuffle whose RESULT is vocab-bounded, not corpus-
+    * bounded), derive the context totals by re-aggregating that count
+    * table (vocab-sized input — never touches the corpus again), then
+    * join the doc grams back to both tables — Spark picks broadcast
+    * when the model fits and shuffle-hash when it does not, exactly how
+    * a model TABLE replaces CCNet's driver-loaded KenLM binary on a
+    * 1000-executor cluster — and one doc-keyed re-aggregation. Skew is
+    * bounded: the join key is the gram, and even a viral gram only
+    * fans out to its occurrence count, never pairs. */
+  def lmScore(df: DataFrame, idCol: String, toksCol: Column): DataFrame = {
+    val grams = df.select(col(idCol), explode(ngrams(toksCol, 2)).as("g"))
+    val c12 = grams.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = c12.select(
+      countDistinct(substring_index(col("g"), " ", -1)).as("vocab"))
+    grams
+      .join(c12, "g")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      // -ln P = ln(c1 + V) - ln(c12 + 1); both args are exact integers,
+      // so the only inexactness is ln itself
+      .withColumn("nll",
+        log((col("c1") + col("vocab")).cast("double")) -
+          log((col("c12") + 1).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum"),
+        max(col("vocab")).as("vocab"))
+  }
+
+  // ------------------------------ temperature-flattened domain mixing
+
+  /** Temperature sampling across domains — the mixing stage of every
+    * multi-source pretraining corpus (the α-flattened sampling of
+    * multilingual models: Conneau et al., "Unsupervised Cross-lingual
+    * Representation Learning at Scale" (XLM-R), 2020 §3.1, q_d ∝ p_d^α
+    * with α ≈ 0.3–0.7): domain d with c_d docs gets weight ∝ √c_d
+    * (α = 0.5), flattening the natural distribution so a 100× bigger
+    * domain is only 10× more likely per doc and small domains are not
+    * drowned. Keep decisions are a DETERMINISTIC coin, not an RNG:
+    * keep ⇔ pmod(fnv1a64(id), 10^6) < ppm_d — reproducible across runs,
+    * engines and partitionings.
+    *
+    * The rate derivation is integer-exact end to end so the decision is
+    * bit-stable for the oracle: w_d = floor(1000·√c_d) (√ is
+    * IEEE-correctly-rounded, the milli-floor makes it an exact BIGINT),
+    * S = Σ w_d (exact integer sum — immune to float summation order),
+    * ppm_d = min(10^6, (10^6 · budget · w_d) div (S · c_d)). The
+    * intermediate 10^6·budget·w_d needs headroom: fine in signed 64-bit
+    * up to ~10^5-doc budgets with 10^9-doc domains; a 100 TB run lifts
+    * the two products to DECIMAL(38,0) with the same floors.
+    *
+    * Returns `df` with (domain-keyed) `ppm` and per-row `keep` attached.
+    *
+    * Scale shape: one tiny groupBy(domain) count whose result is
+    * |domains| rows, broadcast back onto the corpus, then a stateless
+    * per-row hash filter — the corpus itself NEVER shuffles. */
+  def mixTemperature(df: DataFrame, idCol: String, domainCol: String,
+                     budget: Long): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+      .withColumn("w", floor(sqrt(col("c")) * 1000).cast("long"))
+    val total = counts.agg(sum(col("w")).as("s"))
+    val rates = counts.crossJoin(broadcast(total))
+      // floor(n/d) over exact-integer n, d < 2^53 is the true integer
+      // quotient: the double division is correctly rounded and a
+      // non-integer rational n/d sits >= 1/d > 2^-53·(n/d) away from any
+      // integer, so rounding can never cross one (and exact quotients
+      // divide exactly) — bit-stable in any IEEE engine
+      .withColumn("ppm",
+        least(lit(1000000L),
+          floor((lit(1000000L) * budget * col("w")).cast("double") /
+            (col("s") * col("c")).cast("double")).cast("long")))
+      .select(col(domainCol), col("c"), col("ppm"))
+    df.join(broadcast(rates), domainCol)
+      .withColumn("keep",
+        pmod(GraftScalar.fnv1a64(col(idCol).cast("string")),
+          lit(1000000L)) < col("ppm"))
+  }
 }

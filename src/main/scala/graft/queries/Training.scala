@@ -51,6 +51,39 @@ object Training extends QueryModule {
       CorpusOps.dupSpans(docs, "doc_id", col("toks"), k = 3)
     }),
 
+    // CCNet LM filter: corpus-trained add-one bigram model, per-lang
+    // doc/bigram totals plus head/tail bucket counts against thresholds
+    // phrased off the uniform-model baseline ln(V). Counts are exact;
+    // the one double aggregate is a single division rounded once.
+    "q_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", split(Dedup.normalized(col("text")), " "))
+      CorpusOps.lmScore(docs, "doc_id", col("toks"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .withColumn("avg_doc", col("nll_sum") / col("n_bigrams"))
+        .withColumn("base", log(col("vocab").cast("double")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("total_bigrams"),
+          round(sum(col("nll_sum")) / sum(col("n_bigrams")), 6).as("avg_nll"),
+          sum(when(col("avg_doc") < lit(0.98) * col("base"), 1L)
+            .otherwise(0L)).as("n_head"),
+          sum(when(col("avg_doc") >= lit(1.01) * col("base"), 1L)
+            .otherwise(0L)).as("n_tail"))
+    }),
+
+    // Temperature-flattened domain mixing (α = 0.5, budget 200 docs):
+    // integer-exact ppm thresholds + deterministic FNV coin, so every
+    // output column is an exact integer.
+    "q_mix_temperature" -> ((s, dir) => {
+      CorpusOps.mixTemperature(t(s, dir, "documents"), "doc_id", "lang",
+          budget = 200L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), max(col("ppm")).as("ppm"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // Hashed (uni+bi)gram linear classifier, micro-averaged per language:
     // pass counts are integer-exact; the mean bucket weight is ONE double
     // division of two exact long sums, so it is bit-stable.
@@ -110,6 +143,51 @@ object Training extends QueryModule {
          |  max(pos + 3)::BIGINT AS span_end,
          |  (max(pos + 3) - min(pos))::BIGINT AS span_toks
          |FROM sp GROUP BY doc_id, span_id""".stripMargin,
+
+    "q_lm_perplexity" ->
+      s"""WITH tk AS ($toksSql),
+         |g0 AS (SELECT doc_id, lang, list_filter(list_transform(toks, (x, i) ->
+         |    CASE WHEN i <= len(toks) - 1
+         |      THEN toks[i] || ' ' || toks[i+1] END),
+         |    s -> s IS NOT NULL) AS grams FROM tk),
+         |e AS (SELECT doc_id, lang, unnest(grams) AS g FROM g0),
+         |c12 AS (SELECT g, count(*)::BIGINT AS c12 FROM e GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(c12)::BIGINT AS c1
+         |  FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT split_part(g, ' ', 2))::BIGINT AS vocab
+         |  FROM c12),
+         |sc AS (SELECT e.doc_id, e.lang, v.vocab,
+         |    ln((c1.c1 + v.vocab)::DOUBLE) - ln((cg.c12 + 1)::DOUBLE) AS nll
+         |  FROM e JOIN c12 cg ON e.g = cg.g
+         |  JOIN c1 ON split_part(e.g, ' ', 1) = c1.w1 CROSS JOIN v),
+         |d AS (SELECT doc_id, lang, vocab, count(*)::BIGINT AS nb,
+         |    sum(nll) AS nll_sum FROM sc GROUP BY doc_id, lang, vocab)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(nb)::BIGINT AS total_bigrams,
+         |  round(sum(nll_sum) / sum(nb), 6) AS avg_nll,
+         |  sum(CASE WHEN nll_sum / nb < 0.98 * ln(vocab::DOUBLE)
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_head,
+         |  sum(CASE WHEN nll_sum / nb >= 1.01 * ln(vocab::DOUBLE)
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_tail
+         |FROM d GROUP BY lang""".stripMargin,
+
+    "q_mix_temperature" ->
+      s"""WITH cnt AS (SELECT lang, count(*)::BIGINT AS c FROM documents
+         |  GROUP BY lang),
+         |w AS (SELECT lang, c, floor(sqrt(c::DOUBLE) * 1000)::BIGINT AS w
+         |  FROM cnt),
+         |s AS (SELECT sum(w)::BIGINT AS s FROM w),
+         |r AS (SELECT lang, c, least(1000000::BIGINT,
+         |    floor((1000000::BIGINT * 200 * w)::DOUBLE
+         |      / (s.s * c)::DOUBLE)::BIGINT) AS ppm
+         |  FROM w CROSS JOIN s),
+         |k AS (SELECT d.lang, r.ppm, CASE WHEN
+         |    ((${fnvSigned(DataOps.fnvSql("d.doc_id::VARCHAR"))} % 1000000)
+         |      + 1000000) % 1000000 < r.ppm THEN 1 ELSE 0 END AS keep
+         |  FROM documents d JOIN r ON d.lang = r.lang)
+         |SELECT lang, count(*)::BIGINT AS n_docs, max(ppm)::BIGINT AS ppm,
+         |  sum(keep)::BIGINT AS n_kept
+         |FROM k GROUP BY lang""".stripMargin,
 
     "q_quality_classifier" ->
       s"""WITH tk AS ($toksSql),

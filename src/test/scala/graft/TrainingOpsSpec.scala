@@ -60,6 +60,61 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(CorpusOps.dupSpans(d, "doc_id", col("toks"), k = 2).count() == 0)
   }
 
+  test("lmScore: add-one bigram NLL replays by hand") {
+    // corpus: d1 = a b a b, d2 = a b c
+    // bigram counts: "a b"->3, "b a"->1, "b c"->1
+    // left-context totals: c1(a)=3, c1(b)=2; right-vocab V = {b,a,c} = 3
+    val d = Seq(
+      (1L, Seq("a", "b", "a", "b")),
+      (2L, Seq("a", "b", "c"))
+    ).toDF("doc_id", "toks")
+    val out = CorpusOps.lmScore(d, "doc_id", col("toks"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "nll_sum", "vocab")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._4)) == Seq((1L, 3L, 3L), (2L, 2L, 3L)))
+    // d1: -2 ln P(b|a) - ln P(a|b), P(b|a)=(3+1)/(3+3), P(a|b)=(1+1)/(2+3)
+    val d1 = 2 * math.log(6.0 / 4) + math.log(5.0 / 2)
+    // d2: -ln P(b|a) - ln P(c|b), P(c|b)=(1+1)/(2+3)
+    val d2 = math.log(6.0 / 4) + math.log(5.0 / 2)
+    assert(math.abs(out(0)._3 - d1) < 1e-9 && math.abs(out(1)._3 - d2) < 1e-9)
+  }
+
+  test("lmScore: docs without a bigram produce no row") {
+    val d = Seq((1L, Seq("solo")), (2L, Seq("a", "b"))).toDF("doc_id", "toks")
+    val out = CorpusOps.lmScore(d, "doc_id", col("toks"))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("mixTemperature: integer ppm derivation and deterministic coin") {
+    // X: 4 docs -> w=floor(1000*2)=2000; Y: 1 doc -> w=1000; S=3000
+    // budget 3: ppm_X = floor(1e6*3*2000 / (3000*4)) = 500000
+    //           ppm_Y = floor(1e6*3*1000 / (3000*1)) = 1e6 (capped)
+    val d = Seq(("x1", "X"), ("x2", "X"), ("x3", "X"), ("x4", "X"),
+      ("y1", "Y")).toDF("doc_id", "lang")
+    val out = CorpusOps.mixTemperature(d, "doc_id", "lang", budget = 3L)
+    val ppm = out.select("lang", "ppm").distinct().as[(String, Long)]
+      .collect().toMap
+    assert(ppm == Map("X" -> 500000L, "Y" -> 1000000L))
+    // every Y doc survives the capped rate; X decisions replay the coin
+    val kept = out.filter(col("keep")).select("doc_id").as[String]
+      .collect().toSet
+    assert(kept.contains("y1"))
+    val expectX = Seq("x1", "x2", "x3", "x4").filter { id =>
+      val h = graft.functions.SimHash64.fnv1a64(id)
+      ((h % 1000000) + 1000000) % 1000000 < 500000
+    }.toSet
+    assert(kept - "y1" == expectX)
+  }
+
+  test("mixTemperature: corpus side joins the rate table by broadcast") {
+    val d = Seq(("a", "X"), ("b", "Y")).toDF("doc_id", "lang")
+    val plan = CorpusOps.mixTemperature(d, "doc_id", "lang", budget = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("classifierState: gram count and deterministic milli-weight sum") {
     val d = Seq(("u v w")).toDF("text")
       .withColumn("toks", split(col("text"), " "))
