@@ -302,6 +302,15 @@ object BenchHits {
       graft.plans.Projections.registerBucketed(spark, hits,
         Seq("UserID"), Seq("UserID", "SearchPhrase", "EventTime"),
         numBuckets = 128, dir = path + "_by_userid")
+      // ClientIP is the other exchange-bound family key (the per-IP
+      // group-bys shuffle ~24 GB of UnsafeRow state at 1 B): same
+      // bucketed-disk trade, ~7 GB copy. WatchID is deliberately NOT
+      // carried — it would double the copy for queries that already
+      // beat the baseline on the raw path.
+      graft.plans.Projections.registerBucketed(spark, hits,
+        Seq("ClientIP"), Seq("ClientIP", "SearchEngineID", "SearchPhrase",
+          "Refresh", "ResolutionWidth"),
+        numBuckets = 128, dir = path + "_by_clientip")
     }
 
     // FILTERED projection on CounterID=62 (the reference's PK-seek

@@ -505,7 +505,8 @@ object Projections {
 
   private def buildFiltered(base: DataFrame, filterCol: String,
                             filterValue: Any, columns: Seq[String],
-                            diskDir: Option[String])
+                            diskDir: Option[String],
+                            reuseExisting: Boolean = true)
       : (LogicalPlan, DataFrame) = {
     val sel = base
       .filter(col(filterCol) === lit(filterValue))
@@ -516,7 +517,14 @@ object Projections {
         proj.count()
         (proj.queryExecution.optimizedPlan, proj)
       case Some(dir) =>
-        sel.write.mode("overwrite").parquet(dir)
+        // a complete previous materialization (the filter of an
+        // immutable base is deterministic) is reused as-is; rebuilds
+        // after invalidatePath pass reuseExisting=false and rewrite
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(base.sparkSession.sparkContext.hadoopConfiguration)
+        val complete = reuseExisting &&
+          fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))
+        if (!complete) sel.write.mode("overwrite").parquet(dir)
         val read = base.sparkSession.read.parquet(dir)
         // Routing substitutes projPlan under the query's ORIGINAL
         // attributes, so the fresh parquet relation's new exprIds must
@@ -697,7 +705,8 @@ object Projections {
         p.projDf.unpersist(false)
         refreshBase(p.base)
         val (projPlan, proj) = buildFiltered(p.base, p.filterColOrdered,
-          p.filterValueOrig, p.columnsOrdered, p.diskDir)
+          p.filterValueOrig, p.columnsOrdered, p.diskDir,
+          reuseExisting = false)
         filteredRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }
