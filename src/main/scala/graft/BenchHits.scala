@@ -381,6 +381,11 @@ object BenchHits {
     val q16Routed =
       try graft.plans.Projections.usesRowProjection(spark.sql(queries(15)))
       catch { case _: Throwable => false }
+    // and for the ClientIP-bucketed copy: q36 (index 35) is the pure
+    // per-IP representative
+    val q36Routed =
+      try graft.plans.Projections.usesRowProjection(spark.sql(queries(35)))
+      catch { case _: Throwable => false }
 
     def once(sql: String): Double = {
       val t0 = System.nanoTime()
@@ -438,6 +443,6 @@ object BenchHits {
       slowest = if (ok.nonEmpty) ok.map(_._2).max else -1.0,
       json = per.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}") +
-        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed,"hits_q16_routed":$q16Routed""")
+        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed,"hits_q16_routed":$q16Routed,"hits_q36_routed":$q36Routed""")
   }
 }
