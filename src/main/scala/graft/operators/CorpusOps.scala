@@ -105,6 +105,68 @@ object CorpusOps {
       dup * 1000 <= lit(maxDupPermille.toLong) * n2
   }
 
+  /** The full Gopher repetition-signal suite (Rae et al. 2021 §A1.1)
+    * beyond [[gopherPass]]'s duplicate-2-gram count: per document,
+    *
+    *  - `top{2,3,4}_chars` — character coverage (occurrences × gram
+    *    chars) of the single most-covering word n-gram, the numerator of
+    *    "fraction of characters in the most frequent n-gram". Maximizing
+    *    count×chars (not the count-maximal gram's chars) makes count
+    *    ties deterministic; it is the same monotone signal.
+    *  - `dup5_toks` — token positions covered by 5-grams occurring ≥ 2
+    *    times within the document, overlap-merged so each position
+    *    counts once (the "fraction of characters in duplicate n-grams"
+    *    family, token-resolution).
+    *
+    * Shaped for scale, not per-row lambdas: grams explode once per n and
+    * aggregate by (doc, gram) — O(L log L)-ish work per document instead
+    * of the O(L²) filter-inside-transform a HOF version would run, so a
+    * 100k-token document costs 4·100k exploded rows, not 10¹⁰ compares.
+    * Every shuffle and window is doc-keyed (bounded partitions). */
+  def repetitionSignals(df: DataFrame, idCol: String, toksCol: Column,
+                        topNs: Seq[Int] = Seq(2, 3, 4),
+                        dupN: Int = 5): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    val ids = base.select(col("id"), col("n_toks"))
+
+    // top-n-gram char coverage, all n in one exploded pass
+    val tagged = topNs.map { n =>
+        base.select(col("id"), lit(n).as("n"),
+          explode(ngrams(col("toks"), n)).as("g"))
+      }.reduce(_ unionByName _)
+    val covers = tagged.groupBy(col("id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cover", col("cnt") * length(col("g")))
+      .groupBy(col("id")).pivot("n", topNs)
+      .agg(max(col("cover")))
+    val coverCols = topNs.map(n => coalesce(col(s"`$n`"), lit(0L))
+      .as(s"top${n}_chars"))
+
+    // duplicate-n-gram coverage: dup start positions, interval-merged by
+    // the same running-max-end fold as [[dupSpans]], summed per doc
+    val g5 = base.select(col("id"),
+      posexplode(ngrams(col("toks"), dupN)).as(Seq("pos", "g")))
+    val dupPos = g5
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("id"), col("g"))))
+      .filter(col("cnt") >= 2)
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dupCov = dupPos
+      .withColumn("prev_end",
+        coalesce(max(col("pos") + dupN).over(wPrev), lit(-1L)))
+      .withColumn("c", greatest(
+        col("pos") + dupN - greatest(col("pos"), col("prev_end")), lit(0L)))
+      .groupBy(col("id")).agg(sum(col("c")).as("dup_toks"))
+
+    ids.join(covers, Seq("id"), "left")
+      .join(dupCov, Seq("id"), "left")
+      .select(col("id") +: col("n_toks") +: (coverCols :+
+        coalesce(col("dup_toks"), lit(0L)).as(s"dup${dupN}_toks")): _*)
+  }
+
   // ----------------------------------------------------------- PII scrubbing
 
   /** Conservative patterns valid in both Java regex and RE2-family

@@ -37,6 +37,21 @@ object DataOps extends QueryModule {
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     }),
 
+    // The production near-dedup path end to end: simhash-mined pairs →
+    // distributed connected components → per-cluster survivor (min id).
+    // Both stages are individually oracled (q_dedup_simhash,
+    // q_dedup_components); this row hash-checks their COMPOSITION over
+    // real mined pairs, the step a pipeline actually ships.
+    "q_dedup_e2e" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(t(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"),
+          (count(lit(1)) - lit(1)).cast("long").as("n_removed"))
+    }),
+
     // MinHash+LSH near-dup pairs (oracled: the FNV-1a shingle/band
     // arithmetic is mirrored in the DuckDB oracle, so bucketing is
     // hash-checked end to end).
@@ -399,8 +414,10 @@ object DataOps extends QueryModule {
   /** The q_dedup_simhash oracle: FNV-1a token hashes → per-bit +1/-1
     * votes → 64-bit fingerprint → 4x16-bit chunk blocking → Hamming
     * filter. Mirrors [[graft.operators.Dedup.simhashPairs]]. */
-  private def simhashOracle: String =
-    s"""WITH d AS (SELECT doc_id AS id,
+  /** The simhash CTE chain (through `cand`), shared by the pair oracle
+    * and the end-to-end cluster oracle. */
+  private def simhashCtes: String =
+    s"""d AS (SELECT doc_id AS id,
        |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
        |tok AS (SELECT id, unnest(string_split(t, ' ')) AS tk FROM d),
        |th AS (SELECT id, ${fnvSql("tk")} AS h FROM tok),
@@ -413,14 +430,38 @@ object DataOps extends QueryModule {
        |ch AS (SELECT id, fp, ci.i AS chunk_id, (fp >> (ci.i*16)) % 65536 AS chunk
        |  FROM fpt, (SELECT unnest(range(4)) AS i) ci),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
-       |  FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.id < b.id)
+       |  FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.id < b.id)""".stripMargin
+
+  private def simhashOracle: String =
+    s"""WITH $simhashCtes
        |SELECT id_a, id_b, bit_count(xor(fp_a::UBIGINT, fp_b::UBIGINT))::INT AS hamming
        |FROM cand WHERE bit_count(xor(fp_a::UBIGINT, fp_b::UBIGINT)) <= 3""".stripMargin
+
+  /** The q_dedup_e2e oracle: the SAME mined simhash pair set fed through
+    * a recursive-CTE connected-components fixpoint — the full production
+    * near-dedup path (mine pairs → cluster → keep min id) hash-checked
+    * end to end. */
+  private def dedupE2eOracle: String =
+    s"""WITH RECURSIVE $simhashCtes,
+       |p AS (SELECT id_a, id_b FROM cand
+       |  WHERE bit_count(xor(fp_a::UBIGINT, fp_b::UBIGINT)) <= 3),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id),
+       |c AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+       |SELECT comp::BIGINT AS comp, count(*)::BIGINT AS n_members,
+       |  min(id)::BIGINT AS keep_id, (count(*) - 1)::BIGINT AS n_removed
+       |FROM c GROUP BY comp""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
 
     "q_dedup_simhash" -> simhashOracle,
+
+    "q_dedup_e2e" -> dedupE2eOracle,
 
     // mirrors Ann.lshTopK(bands=2, rowsPerBand=4): candidates agree with
     // the query on at least one band's sign signature, exact cosine rerank

@@ -18,6 +18,15 @@ object Training extends QueryModule {
     s"""CASE WHEN ($v) >= 9223372036854775808
        |  THEN (($v) - ${DataOps.M64})::BIGINT ELSE ($v)::BIGINT END""".stripMargin
 
+  /** floor(1e6·num/den) as an exact-integer ppm (0 when den = 0): the
+    * double quotient of exact ints < 2^53 floors identically in any IEEE
+    * engine — see the mixTemperature rounding argument. */
+  private def ppmOf(num: org.apache.spark.sql.Column,
+                    den: org.apache.spark.sql.Column) =
+    when(den === 0L, 0L).otherwise(
+      floor((lit(1000000L) * num).cast("double") / den.cast("double"))
+        .cast("long"))
+
   private val toksSql =
     """SELECT doc_id, lang,
       |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
@@ -84,6 +93,29 @@ object Training extends QueryModule {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // Full Gopher repetition-signal suite: most-covering-2/3/4-gram char
+    // coverage + overlap-merged duplicate-5-gram token coverage, with ppm
+    // fractions from floor over exact-integer double division (bit-stable
+    // per the mixTemperature argument) and the paper's 0.20/0.18/0.16/0.15
+    // thresholds as an integer pass flag.
+    "q_quality_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("norm", Dedup.normalized(col("text")))
+        .withColumn("toks", split(col("norm"), " "))
+        .withColumn("n_chars", length(col("norm")).cast("long"))
+      CorpusOps.repetitionSignals(docs, "doc_id", col("toks"))
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("top2_ppm", ppmOf(col("top2_chars"), col("n_chars")))
+        .withColumn("top3_ppm", ppmOf(col("top3_chars"), col("n_chars")))
+        .withColumn("top4_ppm", ppmOf(col("top4_chars"), col("n_chars")))
+        .withColumn("dup5_ppm", ppmOf(col("dup5_toks"), col("n_toks")))
+        .withColumn("pass",
+          (col("top2_ppm") <= 200000L && col("top3_ppm") <= 180000L &&
+           col("top4_ppm") <= 160000L && col("dup5_ppm") <= 150000L)
+            .cast("int"))
+    }),
+
     // Hashed (uni+bi)gram linear classifier, micro-averaged per language:
     // pass counts are integer-exact; the mean bucket weight is ONE double
     // division of two exact long sums, so it is bit-stable.
@@ -102,7 +134,57 @@ object Training extends QueryModule {
             (sum(col("n_grams")) * 1000), 6).as("avg_w"))
     }))
 
+  /** 1-based DuckDB mirror of [[CorpusOps.ngrams]] over `toks`. */
+  private def gramSql(n: Int): String =
+    s"""list_filter(list_transform(toks, (x, i) ->
+       |      CASE WHEN i <= len(toks) - ${n - 1}
+       |        THEN array_to_string(toks[i:i+${n - 1}], ' ') END),
+       |      s -> s IS NOT NULL)""".stripMargin
+
+  private def topCoverSql(g: String): String =
+    s"""coalesce(list_max(list_transform($g, x ->
+       |      len(list_filter($g, y -> y = x))::BIGINT * strlen(x))),
+       |      0)::BIGINT""".stripMargin
+
+  private def ppmSql(num: String, den: String): String =
+    s"CASE WHEN $den = 0 THEN 0 ELSE floor(1000000.0 * $num / $den)::BIGINT END"
+
   def oracles: Map[String, String] = Map(
+    "q_quality_repetition" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+         |    strlen(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))::BIGINT AS n_chars
+         |  FROM documents),
+         |gr AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS n_toks,
+         |    ${gramSql(2)} AS g2, ${gramSql(3)} AS g3,
+         |    ${gramSql(4)} AS g4, ${gramSql(5)} AS g5 FROM tk),
+         |tc AS (SELECT doc_id, n_chars, n_toks,
+         |    ${topCoverSql("g2")} AS top2_chars,
+         |    ${topCoverSql("g3")} AS top3_chars,
+         |    ${topCoverSql("g4")} AS top4_chars,
+         |    list_filter(list_transform(g5, (x, i) ->
+         |      CASE WHEN len(list_filter(g5, y -> y = x)) >= 2
+         |        THEN (i - 1)::BIGINT END), p -> p IS NOT NULL) AS ps
+         |  FROM gr),
+         |e AS (SELECT doc_id, unnest(ps) AS pos FROM tc),
+         |m AS (SELECT doc_id, greatest(pos + 5 - greatest(pos,
+         |    coalesce(max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)), 0) AS c
+         |  FROM e),
+         |cov AS (SELECT doc_id, sum(c)::BIGINT AS dup5_toks FROM m GROUP BY doc_id),
+         |fin AS (SELECT t.doc_id, t.n_toks, t.top2_chars, t.top3_chars,
+         |    t.top4_chars, coalesce(cov.dup5_toks, 0)::BIGINT AS dup5_toks,
+         |    t.n_chars,
+         |    ${ppmSql("t.top2_chars", "t.n_chars")} AS top2_ppm,
+         |    ${ppmSql("t.top3_chars", "t.n_chars")} AS top3_ppm,
+         |    ${ppmSql("t.top4_chars", "t.n_chars")} AS top4_ppm,
+         |    ${ppmSql("coalesce(cov.dup5_toks, 0)", "t.n_toks")} AS dup5_ppm
+         |  FROM tc t LEFT JOIN cov ON t.doc_id = cov.doc_id)
+         |SELECT *, (CASE WHEN top2_ppm <= 200000 AND top3_ppm <= 180000
+         |    AND top4_ppm <= 160000 AND dup5_ppm <= 150000
+         |    THEN 1 ELSE 0 END)::INT AS pass
+         |FROM fin""".stripMargin,
+
     "q_dedup_paragraph" ->
       s"""WITH tk AS ($toksSql),
          |p AS (SELECT doc_id, list_filter(list_transform(toks, (x, i) ->

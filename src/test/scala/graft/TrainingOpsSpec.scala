@@ -36,6 +36,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, "x"), (0L, "")))
   }
 
+  test("repetitionSignals: top-n-gram char coverage is count times gram chars") {
+    // "a b a b a": 2-grams {a b, b a, a b, b a} → best cover 2·len("a b")=6;
+    // 3-grams {a b a ×2, b a b} → 2·5=10; 4-grams all unique → 1·7=7;
+    // no repeated 5-gram → dup5 coverage 0.
+    val d = Seq((1L, Seq("a", "b", "a", "b", "a"))).toDF("doc_id", "toks")
+    val out = CorpusOps.repetitionSignals(d, "doc_id", col("toks"))
+      .select("n_toks", "top2_chars", "top3_chars", "top4_chars", "dup5_toks")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out == ((5L, 6L, 10L, 7L, 0L)))
+  }
+
+  test("repetitionSignals: duplicate-5-gram coverage merges overlapping spans") {
+    // period-5 repeat "c d e f g"×3: every 5-gram start is duplicated,
+    // union covers all 15 positions. Second doc repeats only its first
+    // 5-gram at position 6: [0,5) ∪ [6,11) = 10 covered, not 11.
+    val d = Seq(
+      (1L, Seq("c", "d", "e", "f", "g", "c", "d", "e", "f", "g", "c", "d", "e", "f", "g")),
+      (2L, Seq("u", "v", "w", "x", "y", "z", "u", "v", "w", "x", "y"))
+    ).toDF("doc_id", "toks")
+    val out = CorpusOps.repetitionSignals(d, "doc_id", col("toks"))
+      .orderBy("id").select("n_toks", "dup5_toks")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((15L, 15L), (11L, 10L)))
+  }
+
+  test("repetitionSignals: short docs yield zero coverage, not nulls") {
+    val d = Seq((7L, Seq("only"))).toDF("doc_id", "toks")
+    val out = CorpusOps.repetitionSignals(d, "doc_id", col("toks"))
+      .select("n_toks", "top2_chars", "top3_chars", "top4_chars", "dup5_toks")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("dupSpans merges overlapping and adjacent duplicate k-gram ranges") {
     // k=2 over: doc1 = p q r s t, doc2 = p q r x s t
     // duplicate 2-grams: "p q" (d1@0, d2@0), "q r" (d1@1, d2@1),
