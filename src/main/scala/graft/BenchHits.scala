@@ -386,6 +386,13 @@ object BenchHits {
     val q36Routed =
       try graft.plans.Projections.usesRowProjection(spark.sql(queries(35)))
       catch { case _: Throwable => false }
+    // and for lazy top-k materialization: q24 is the wide SELECT * ORDER
+    // BY EventTime LIMIT 10. LAZY — checking the plan EXECUTES the
+    // narrow pre-pass (a real scan), so this must not run before the
+    // timed suite; it is forced only when the JSON is built.
+    lazy val q24Lazy =
+      try graft.plans.LazyTopK.usesLazyTopK(spark.sql(queries(23)))
+      catch { case _: Throwable => false }
 
     def once(sql: String): Double = {
       val t0 = System.nanoTime()
@@ -443,6 +450,6 @@ object BenchHits {
       slowest = if (ok.nonEmpty) ok.map(_._2).max else -1.0,
       json = per.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}") +
-        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed,"hits_q16_routed":$q16Routed,"hits_q36_routed":$q36Routed""")
+        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed,"hits_q16_routed":$q16Routed,"hits_q36_routed":$q36Routed,"hits_q24_lazy":$q24Lazy""")
   }
 }

@@ -115,5 +115,8 @@ object Tables {
     // ANALYZEd via plans.TableStats (auto mode vetoes unanalyzed keys),
     // then high-NDV group-bys plan Complete-mode agg after the exchange.
     graft.plans.SkipPartialAgg.register(spark)
+    // Lazy top-k materialization: wide ORDER BY + LIMIT reads bound the
+    // scan by a narrow pre-pass (inert unless the shape + width match).
+    graft.plans.LazyTopK.install(spark)
   }
 }

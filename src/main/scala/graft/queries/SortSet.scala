@@ -38,6 +38,19 @@ object SortSet extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // Wide top-k (every lineitem column) with a filter — the
+    // lazy-materialization shape: plans/LazyTopK bounds the wide scan by
+    // a narrow sort-key pre-pass; the full tie-broken ORDER BY + LIMIT
+    // stays in place so results are EXACTLY the naive plan's (this row
+    // hash-checks that claim against DuckDB).
+    "q_topk_wide" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") =!= "R")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(20)
+    }),
+
     // DISTINCT on a projection.
     "q_distinct" -> ((s, dir) => {
       t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct()
@@ -84,6 +97,11 @@ object SortSet extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q_topk_wide" ->
+      """SELECT * FROM lineitem WHERE l_returnflag != 'R'
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
     "q_orderby_limit" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS price
         |FROM lineitem

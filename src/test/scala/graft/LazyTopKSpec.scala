@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.LazyTopK
+
+/** Lazy top-k materialization: the rewrite must fire only on wide
+  * parquet ORDER BY + LIMIT shapes, inject a pushable sort-key bound,
+  * and return EXACTLY the unrewritten result (ties, DESC, filters). */
+class LazyTopKSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val dir = "target/lazytopk_test"
+
+  /** 12 measure columns (clears minSavedCols = 8) + key/tag columns,
+    * written shuffled so the parquet order is NOT the sort order for
+    * the ts ties test, with repeated ts values for tie coverage. */
+  private lazy val table: String = {
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("ts", (col("id") % 1000).cast("long")) // 5-way ties
+      .withColumn("tag", concat(lit("t"), col("id") % 7))
+      .select(Seq(col("id"), col("ts"), col("tag")) ++
+        (1 to 12).map(i => (col("id") * i).as(s"m$i")): _*)
+      .orderBy(rand(42)) // scatter across row groups
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def read() = spark.read.parquet(table)
+
+  test("fires on a wide filtered top-k and matches the unrewritten result") {
+    val q = read().filter(col("tag") === "t3")
+      .orderBy(col("ts"), col("id")).limit(10)
+    assert(LazyTopK.usesLazyTopK(q))
+    val got = q.collect().map(_.getLong(0)).toSeq
+    // unrewritten reference: compute without the rule via a plain sort
+    // over the collected filtered rows
+    val exp = read().filter(col("tag") === "t3")
+      .select(col("id"), col("ts")).collect()
+      .sortBy(r => (r.getLong(1), r.getLong(0))).take(10)
+      .map(_.getLong(0)).toSeq
+    assert(got == exp)
+  }
+
+  test("ties at the bound survive: k-th key value keeps all candidates") {
+    // ts has 5-way ties; limit cuts inside a tie group
+    val q = read().orderBy(col("ts"), col("id")).limit(7)
+    assert(LazyTopK.usesLazyTopK(q))
+    val got = q.select(col("ts"), col("id")).as[(Long, Long)].collect().toSeq
+    val exp = read().select(col("ts"), col("id")).as[(Long, Long)]
+      .collect().toSeq.sorted.take(7)
+    assert(got == exp)
+  }
+
+  test("DESC direction bounds from below") {
+    val q = read().orderBy(col("ts").desc, col("id").desc).limit(5)
+    assert(LazyTopK.usesLazyTopK(q))
+    val got = q.select(col("ts"), col("id")).as[(Long, Long)].collect().toSeq
+    val exp = read().select(col("ts"), col("id")).as[(Long, Long)]
+      .collect().toSeq.sorted(Ordering[(Long, Long)].reverse).take(5)
+    assert(got == exp)
+  }
+
+  test("does not fire on narrow projections (the pre-pass would be the query)") {
+    val q = read().select(col("ts"), col("id"))
+      .orderBy(col("ts")).limit(10)
+    assert(!LazyTopK.usesLazyTopK(q))
+  }
+
+  test("does not fire without a limit or on non-attribute sort keys") {
+    assert(!LazyTopK.usesLazyTopK(read().orderBy(col("ts"))))
+    assert(!LazyTopK.usesLazyTopK(
+      read().orderBy((col("ts") + 1).asc).limit(10)))
+  }
+
+  test("fewer matching rows than k still returns every match") {
+    val q = read().filter(col("id") < 3)
+      .orderBy(col("ts")).limit(50)
+    val got = q.select(col("id")).as[Long].collect().toSeq.sorted
+    assert(got == Seq(0L, 1L, 2L))
+  }
+
+  test("empty match set returns empty") {
+    val q = read().filter(col("tag") === "nope")
+      .orderBy(col("ts")).limit(10)
+    assert(q.count() == 0)
+  }
+}
