@@ -186,6 +186,35 @@ object Coverage extends QueryModule {
     // gate's DataFrame. The oracle aggregates the same source table
     // directly, so the whole HTTP/ingest/search path is hash-checked,
     // not just spec-asserted.
+    // Query result cache driven end to end INSIDE the gate: miss → hit →
+    // path invalidation → fresh recompute, reduced to deterministic proof
+    // columns next to the oracled query result — cache-served rows must be
+    // byte-identical to the uncached plan, and a stale entry must not
+    // survive invalidation. (The cache is an extension beyond the
+    // reference fork; /search serves it behind a flag — core/QueryCache.)
+    "q_query_cache" -> ((s, dir) => {
+      import graft.core.QueryCache
+      QueryCache.clear()
+      def q = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+      val h0 = QueryCache.hits
+      val m0 = QueryCache.misses
+      QueryCache.cached(q)
+      val served = QueryCache.cached(q)
+      val hitOk = QueryCache.hits == h0 + 1 && QueryCache.misses == m0 + 1
+      QueryCache.invalidatePath(s"$dir/orders.parquet")
+      val fresh = QueryCache.cached(q)
+      val recomputeOk = QueryCache.misses == m0 + 2
+      // row-level agreement between the hit-served and recomputed frames
+      val agree = served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty
+      fresh
+        .withColumn("cache_hit", lit(if (hitOk) 1 else 0))
+        .withColumn("recompute_after_invalidate", lit(if (recomputeOk) 1 else 0))
+        .withColumn("served_equals_fresh", lit(if (agree) 1 else 0))
+    }),
+
     "q_rest_pipeline" -> ((s, dir) => {
       val root = new org.apache.hadoop.fs.Path(
         System.getProperty("java.io.tmpdir"), "graft_q_rest").toString
@@ -907,6 +936,13 @@ object Coverage extends QueryModule {
         |       (SELECT count(*) FROM expired)::BIGINT AS expired_rows,
         |       (SELECT count(*) FROM rollup)::BIGINT AS rollup_rows
         |FROM final""".stripMargin,
+
+    "q_query_cache" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  1::INT AS cache_hit, 1::INT AS recompute_after_invalidate,
+        |  1::INT AS served_equals_fresh
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_rest_pipeline" ->
       """SELECT n_regionkey, count(*)::BIGINT AS n,
