@@ -113,10 +113,10 @@ object CorpusOps {
     *    "fraction of characters in the most frequent n-gram". Maximizing
     *    count×chars (not the count-maximal gram's chars) makes count
     *    ties deterministic; it is the same monotone signal.
-    *  - `dup5_toks` — token positions covered by 5-grams occurring ≥ 2
-    *    times within the document, overlap-merged so each position
+    *  - `dup{5..10}_toks` — token positions covered by n-grams occurring
+    *    ≥ 2 times within the document, overlap-merged so each position
     *    counts once (the "fraction of characters in duplicate n-grams"
-    *    family, token-resolution).
+    *    family, token-resolution, the paper's full n = 5..10 range).
     *
     * Shaped for scale, not per-row lambdas: grams explode once per n and
     * aggregate by (doc, gram) — O(L log L)-ish work per document instead
@@ -125,7 +125,7 @@ object CorpusOps {
     * Every shuffle and window is doc-keyed (bounded partitions). */
   def repetitionSignals(df: DataFrame, idCol: String, toksCol: Column,
                         topNs: Seq[Int] = Seq(2, 3, 4),
-                        dupN: Int = 5): DataFrame = {
+                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
     val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
     val ids = base.select(col("id"), col("n_toks"))
@@ -143,28 +143,38 @@ object CorpusOps {
     val coverCols = topNs.map(n => coalesce(col(s"`$n`"), lit(0L))
       .as(s"top${n}_chars"))
 
-    // duplicate-n-gram coverage: dup start positions, interval-merged by
-    // the same running-max-end fold as [[dupSpans]], summed per doc
-    val g5 = base.select(col("id"),
-      posexplode(ngrams(col("toks"), dupN)).as(Seq("pos", "g")))
-    val dupPos = g5
+    // duplicate-n-gram coverage, all n in one tagged pass: dup start
+    // positions, interval-merged per (doc, n) by the same
+    // running-max-end fold as [[dupSpans]], then pivoted wide
+    val taggedDup = dupNs.map { n =>
+        base.select(col("id"), lit(n).as("n"),
+          posexplode(ngrams(col("toks"), n)).as(Seq("pos", "g")))
+      }.reduce(_ unionByName _)
+    val dupPos = taggedDup
       .withColumn("cnt", count(lit(1)).over(
-        Window.partitionBy(col("id"), col("g"))))
+        Window.partitionBy(col("id"), col("n"), col("g"))))
       .filter(col("cnt") >= 2)
-      .select(col("id"), col("pos").cast("long").as("pos"))
-    val wPrev = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .select(col("id"), col("n"), col("pos").cast("long").as("pos"))
+    val wPrev = Window.partitionBy(col("id"), col("n")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val dupCov = dupPos
       .withColumn("prev_end",
-        coalesce(max(col("pos") + dupN).over(wPrev), lit(-1L)))
+        coalesce(max(col("pos") + col("n")).over(wPrev), lit(-1L)))
       .withColumn("c", greatest(
-        col("pos") + dupN - greatest(col("pos"), col("prev_end")), lit(0L)))
-      .groupBy(col("id")).agg(sum(col("c")).as("dup_toks"))
+        col("pos") + col("n") - greatest(col("pos"), col("prev_end")),
+        lit(0L)))
+      .groupBy(col("id")).pivot("n", dupNs)
+      .agg(sum(col("c")))
+    val dupCols = dupNs.map(n => coalesce(col(s"`$n`"), lit(0L))
+      .as(s"dup${n}_toks"))
 
-    ids.join(covers, Seq("id"), "left")
-      .join(dupCov, Seq("id"), "left")
-      .select(col("id") +: col("n_toks") +: (coverCols :+
-        coalesce(col("dup_toks"), lit(0L)).as(s"dup${dupN}_toks")): _*)
+    ids.join(covers.select(col("id") +: coverCols: _*), Seq("id"), "left")
+      .join(dupCov.select(col("id") +: dupCols: _*), Seq("id"), "left")
+      .select(col("id") +: col("n_toks") +:
+        (topNs.map(n => coalesce(col(s"top${n}_chars"), lit(0L))
+          .as(s"top${n}_chars")) ++
+         dupNs.map(n => coalesce(col(s"dup${n}_toks"), lit(0L))
+           .as(s"dup${n}_toks"))): _*)
   }
 
   // ----------------------------------------------------------- PII scrubbing

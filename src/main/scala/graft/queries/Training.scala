@@ -94,26 +94,36 @@ object Training extends QueryModule {
     }),
 
     // Full Gopher repetition-signal suite: most-covering-2/3/4-gram char
-    // coverage + overlap-merged duplicate-5-gram token coverage, with ppm
-    // fractions from floor over exact-integer double division (bit-stable
-    // per the mixTemperature argument) and the paper's 0.20/0.18/0.16/0.15
-    // thresholds as an integer pass flag.
+    // coverage + overlap-merged duplicate-n-gram token coverage for the
+    // paper's whole n = 5..10 range, with ppm fractions from floor over
+    // exact-integer double division (bit-stable per the mixTemperature
+    // argument) and the paper's thresholds (0.20/0.18/0.16 top;
+    // 0.15 → 0.10 dup) as an integer pass flag.
     "q_quality_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("norm", Dedup.normalized(col("text")))
         .withColumn("toks", split(col("norm"), " "))
         .withColumn("n_chars", length(col("norm")).cast("long"))
-      CorpusOps.repetitionSignals(docs, "doc_id", col("toks"))
-        .withColumnRenamed("id", "doc_id")
-        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-        .withColumn("top2_ppm", ppmOf(col("top2_chars"), col("n_chars")))
-        .withColumn("top3_ppm", ppmOf(col("top3_chars"), col("n_chars")))
-        .withColumn("top4_ppm", ppmOf(col("top4_chars"), col("n_chars")))
-        .withColumn("dup5_ppm", ppmOf(col("dup5_toks"), col("n_toks")))
-        .withColumn("pass",
-          (col("top2_ppm") <= 200000L && col("top3_ppm") <= 180000L &&
-           col("top4_ppm") <= 160000L && col("dup5_ppm") <= 150000L)
-            .cast("int"))
+      val withPpm = Seq(2, 3, 4).foldLeft(
+          Seq(5, 6, 7, 8, 9, 10).foldLeft(
+            CorpusOps.repetitionSignals(docs, "doc_id", col("toks"))
+              .withColumnRenamed("id", "doc_id")
+              .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          ) { (d, n) =>
+            d.withColumn(s"dup${n}_ppm",
+              ppmOf(col(s"dup${n}_toks"), col("n_toks")))
+          }
+        ) { (d, n) =>
+          d.withColumn(s"top${n}_ppm",
+            ppmOf(col(s"top${n}_chars"), col("n_chars")))
+        }
+      val dupPass = Seq(5, 6, 7, 8, 9, 10).zip(
+          Seq(150000L, 140000L, 130000L, 120000L, 110000L, 100000L))
+        .map { case (n, thr) => col(s"dup${n}_ppm") <= thr }
+        .reduce(_ && _)
+      withPpm.withColumn("pass",
+        (col("top2_ppm") <= 200000L && col("top3_ppm") <= 180000L &&
+         col("top4_ppm") <= 160000L && dupPass).cast("int"))
     }),
 
     // Hashed (uni+bi)gram linear classifier, micro-averaged per language:
@@ -149,41 +159,73 @@ object Training extends QueryModule {
   private def ppmSql(num: String, den: String): String =
     s"CASE WHEN $den = 0 THEN 0 ELSE floor(1000000.0 * $num / $den)::BIGINT END"
 
+  /** Positions of duplicated n-grams (0-based starts, ascending). */
+  private def dupPosSql(g: String): String =
+    s"""list_filter(list_transform($g, (x, i) ->
+       |      CASE WHEN len(list_filter($g, y -> y = x)) >= 2
+       |        THEN (i - 1)::BIGINT END), p -> p IS NOT NULL)""".stripMargin
+
+  private val dupNs = Seq(5, 6, 7, 8, 9, 10)
+  private val dupThr = Seq(150000L, 140000L, 130000L, 120000L, 110000L, 100000L)
+
+  /** The q_quality_repetition oracle: list-lambda replay of the gram
+    * coverage maxima plus the windowed interval-merge coverage fold for
+    * every dup n, pivoted back wide. */
+  private def repetitionOracle: String = {
+    val gramDefs = (Seq(2, 3, 4) ++ dupNs)
+      .map(n => s"${gramSql(n)} AS g$n").mkString(",\n    ")
+    val psDefs = dupNs.map(n => s"${dupPosSql(s"g$n")} AS ps$n")
+      .mkString(",\n    ")
+    val unions = dupNs
+      .map(n => s"SELECT doc_id, $n AS n, unnest(ps$n) AS pos FROM tc")
+      .mkString("\n  UNION ALL "
+        .stripMargin)
+    val dupSel = dupNs.map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN c END), 0)::BIGINT AS dup${n}_toks")
+      .mkString(",\n    ")
+    val dupPpms = dupNs.map(n =>
+      s"${ppmSql(s"dup${n}_toks", "n_toks")} AS dup${n}_ppm").mkString(",\n  ")
+    val passCond = (Seq("top2_ppm <= 200000", "top3_ppm <= 180000",
+      "top4_ppm <= 160000") ++
+      dupNs.zip(dupThr).map { case (n, t) => s"dup${n}_ppm <= $t" })
+      .mkString(" AND ")
+    s"""WITH tk AS (SELECT doc_id,
+       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+       |    strlen(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))::BIGINT AS n_chars
+       |  FROM documents),
+       |gr AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS n_toks,
+       |    $gramDefs FROM tk),
+       |tc AS (SELECT doc_id, n_chars, n_toks,
+       |    ${topCoverSql("g2")} AS top2_chars,
+       |    ${topCoverSql("g3")} AS top3_chars,
+       |    ${topCoverSql("g4")} AS top4_chars,
+       |    $psDefs
+       |  FROM gr),
+       |e AS ($unions),
+       |m AS (SELECT doc_id, n, greatest(pos + n - greatest(pos,
+       |    coalesce(max(pos + n) OVER (PARTITION BY doc_id, n ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)), 0) AS c
+       |  FROM e),
+       |cg AS (SELECT doc_id, n, sum(c)::BIGINT AS c FROM m GROUP BY doc_id, n),
+       |cov AS (SELECT doc_id, $dupSel FROM cg GROUP BY doc_id),
+       |fin AS (SELECT t.doc_id, t.n_toks, t.top2_chars, t.top3_chars,
+       |    t.top4_chars,
+       |    ${dupNs.map(n => s"coalesce(cov.dup${n}_toks, 0)::BIGINT AS dup${n}_toks")
+             .mkString(",\n    ")},
+       |    t.n_chars
+       |  FROM tc t LEFT JOIN cov ON t.doc_id = cov.doc_id),
+       |pp AS (SELECT *,
+       |  ${ppmSql("top2_chars", "n_chars")} AS top2_ppm,
+       |  ${ppmSql("top3_chars", "n_chars")} AS top3_ppm,
+       |  ${ppmSql("top4_chars", "n_chars")} AS top4_ppm,
+       |  $dupPpms
+       |  FROM fin)
+       |SELECT *, (CASE WHEN $passCond THEN 1 ELSE 0 END)::INT AS pass
+       |FROM pp""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    "q_quality_repetition" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks,
-         |    strlen(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))::BIGINT AS n_chars
-         |  FROM documents),
-         |gr AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS n_toks,
-         |    ${gramSql(2)} AS g2, ${gramSql(3)} AS g3,
-         |    ${gramSql(4)} AS g4, ${gramSql(5)} AS g5 FROM tk),
-         |tc AS (SELECT doc_id, n_chars, n_toks,
-         |    ${topCoverSql("g2")} AS top2_chars,
-         |    ${topCoverSql("g3")} AS top3_chars,
-         |    ${topCoverSql("g4")} AS top4_chars,
-         |    list_filter(list_transform(g5, (x, i) ->
-         |      CASE WHEN len(list_filter(g5, y -> y = x)) >= 2
-         |        THEN (i - 1)::BIGINT END), p -> p IS NOT NULL) AS ps
-         |  FROM gr),
-         |e AS (SELECT doc_id, unnest(ps) AS pos FROM tc),
-         |m AS (SELECT doc_id, greatest(pos + 5 - greatest(pos,
-         |    coalesce(max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)), 0) AS c
-         |  FROM e),
-         |cov AS (SELECT doc_id, sum(c)::BIGINT AS dup5_toks FROM m GROUP BY doc_id),
-         |fin AS (SELECT t.doc_id, t.n_toks, t.top2_chars, t.top3_chars,
-         |    t.top4_chars, coalesce(cov.dup5_toks, 0)::BIGINT AS dup5_toks,
-         |    t.n_chars,
-         |    ${ppmSql("t.top2_chars", "t.n_chars")} AS top2_ppm,
-         |    ${ppmSql("t.top3_chars", "t.n_chars")} AS top3_ppm,
-         |    ${ppmSql("t.top4_chars", "t.n_chars")} AS top4_ppm,
-         |    ${ppmSql("coalesce(cov.dup5_toks, 0)", "t.n_toks")} AS dup5_ppm
-         |  FROM tc t LEFT JOIN cov ON t.doc_id = cov.doc_id)
-         |SELECT *, (CASE WHEN top2_ppm <= 200000 AND top3_ppm <= 180000
-         |    AND top4_ppm <= 160000 AND dup5_ppm <= 150000
-         |    THEN 1 ELSE 0 END)::INT AS pass
-         |FROM fin""".stripMargin,
+    "q_quality_repetition" -> repetitionOracle,
 
     "q_dedup_paragraph" ->
       s"""WITH tk AS ($toksSql),

@@ -56,9 +56,11 @@ class TrainingOpsSpec extends AnyFunSuite {
       (2L, Seq("u", "v", "w", "x", "y", "z", "u", "v", "w", "x", "y"))
     ).toDF("doc_id", "toks")
     val out = CorpusOps.repetitionSignals(d, "doc_id", col("toks"))
-      .orderBy("id").select("n_toks", "dup5_toks")
-      .as[(Long, Long)].collect().toSeq
-    assert(out == Seq((15L, 15L), (11L, 10L)))
+      .orderBy("id").select("n_toks", "dup5_toks", "dup10_toks")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 10-grams of the period-5 doc still repeat (starts 0 and 5 overlap
+    // to cover all 15); the second doc has no repeated 10-gram.
+    assert(out == Seq((15L, 15L, 15L), (11L, 10L, 0L)))
   }
 
   test("repetitionSignals: short docs yield zero coverage, not nulls") {
