@@ -173,7 +173,10 @@ object BenchHits {
       "SELECT date_trunc('minute', EventTime) AS Minute, count(*) AS PageViews FROM hits WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-02' AND Refresh = 0 AND DontCountHits = 0 GROUP BY Minute ORDER BY Minute")
   }
 
-  final case class SuiteResult(total: Double, slowest: Double, json: String)
+  // `cold` reports the storage regime suite() ACTUALLY ran in — callers
+  // label their output from it rather than re-deriving the policy
+  final case class SuiteResult(total: Double, slowest: Double, json: String,
+                               cold: Boolean = false)
 
   /** The reference's published per-query best-of-3 at 10 M rows
     * (`/root/reference/website/benchmark/dbms/results/
@@ -450,6 +453,7 @@ object BenchHits {
       slowest = if (ok.nonEmpty) ok.map(_._2).max else -1.0,
       json = per.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}") +
-        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed,"hits_q16_routed":$q16Routed,"hits_q36_routed":$q36Routed,"hits_q24_lazy":$q24Lazy""")
+        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed,"hits_q16_routed":$q16Routed,"hits_q36_routed":$q36Routed,"hits_q24_lazy":$q24Lazy""",
+      cold = cold)
   }
 }

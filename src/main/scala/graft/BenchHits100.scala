@@ -38,11 +38,12 @@ object BenchHits100 {
       if (rows >= BenchHits.Rows1b)
         (BenchHits.Path1b, BenchHits.referenceBest1b, (1, 1), "hits1b")
       else (BenchHits.Path100m, BenchHits.referenceBest100m, (3, 2), "hits100m")
-    val cold = sys.env.get("SPARK_GRAFT_HITS_COLD").contains("1") ||
-      rows > BenchHits.Rows100m
     val r = BenchHits.suite(spark, path, rows, refBest, passRuns = passes)
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // label from the regime suite() actually ran, never a re-derived copy
+    // of its policy — the two must not be able to diverge
+    val cold = r.cold
     val regime = if (cold) "cold" else "cached"
     val line =
       s"""{"metric":"${label}_suite","value":${r.total},"unit":"sec","rows":$rows,"regime":"$regime","heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g","load_avg_ambient":$ambient,"load_avg":$loadEnd,"${label}_suite_sec":${r.total},"${label}_slowest_sec":${r.slowest},"${label}_queries":${r.json}}"""

@@ -18,14 +18,23 @@ import org.apache.spark.storage.StorageLevel
   * refusal of non-deterministic queries) but is graft's own addition,
   * with a stronger key and a stronger freshness story:
   *
-  *   - Entries are keyed by the CANONICALIZED OPTIMIZED logical plan with
-  *     alias names blanked — strictly stronger than an AST-text key: two
-  *     textually different queries that optimize to the same plan share
-  *     one entry, and alias/case differences never cause spurious misses.
-  *     (Alias names must be normalized explicitly: `Alias` equality
-  *     includes the name, so `sum(id) AS s` and `sum(id) AS s2` would
-  *     otherwise key apart. A hit therefore serves the FIRST query's
-  *     column names — same values, AST-cache semantics.)
+  *   - Entries are keyed by the CANONICALIZED ANALYZED logical plan
+  *     (subquery aliases eliminated, alias names blanked) — stronger
+  *     than an AST-text key: two textually different queries that
+  *     analyze to the same plan share one entry, and alias/case
+  *     differences never cause spurious misses. (Alias names must be
+  *     normalized explicitly: `Alias` equality includes the name, so
+  *     `sum(id) AS s` and `sum(id) AS s2` would otherwise key apart.)
+  *     Keying on the analyzed — not optimized — plan keeps the lookup
+  *     itself free of optimizer work: rules with a planning-time I/O
+  *     component (LazyTopK's bounded pre-pass) must not run just to
+  *     decide hit/miss, and a miss would otherwise pay full optimization
+  *     twice (once for the key, once for the recompute).
+  *   - A hit re-aliases the shared persisted result to the REQUESTING
+  *     query's output column names (`toDF(names)` — a zero-cost
+  *     projection over the persisted blocks), so a REST client always
+  *     reads back the aliases it asked for even when the entry was
+  *     populated by a differently-aliased twin.
   *   - The cached value is the result persisted as a Spark cached
   *     DataFrame (MEMORY_AND_DISK) — at cluster scale the result blocks
   *     live on the executors, not the driver, so a cached 100 GB
@@ -61,9 +70,11 @@ object QueryCache {
       paths: Set[String])                 // scanned file roots
 
   // access-ordered: get() on a hit moves the entry to the young end, so
-  // the iterator's first entry is always the LRU eviction victim.
+  // the iterator's first entry is always the LRU eviction victim. Keyed
+  // by the full Key (structural case-class equality), never by its Int
+  // hash — colliding queries must not evict each other.
   private val entries =
-    new java.util.LinkedHashMap[Int, Entry](16, 0.75f, true)
+    new java.util.LinkedHashMap[Key, Entry](16, 0.75f, true)
   private val lock = new Object
 
   @volatile private var hitCount = 0L
@@ -75,15 +86,19 @@ object QueryCache {
   def misses: Long = missCount
   def size: Int = lock.synchronized(entries.size)
 
-  /** Canonicalized optimized plan with alias names blanked
-    * (canonicalization normalizes exprIds but `Alias` equality still
-    * includes the name — see class doc) and file relations replaced by
-    * schema-only `LocalRelation` stand-ins + path/format tokens. */
+  /** Canonicalized ANALYZED plan (subquery aliases eliminated) with
+    * alias names blanked (canonicalization normalizes exprIds but
+    * `Alias` equality still includes the name — see class doc) and file
+    * relations replaced by schema-only `LocalRelation` stand-ins +
+    * path/format tokens. Analysis is memoized on the Dataset, so the
+    * lookup never runs the optimizer (see class doc). */
   private def normalizedKey(df: DataFrame): Key = {
+    import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val relTokens = Seq.newBuilder[String]
-    val plan = df.queryExecution.optimizedPlan.canonicalized.transformUp {
+    val plan = EliminateSubqueryAliases(df.queryExecution.analyzed)
+      .canonicalized.transformUp {
       case lr: LogicalRelation =>
         relTokens += (lr.relation match {
           case fs: HadoopFsRelation =>
@@ -118,15 +133,18 @@ object QueryCache {
     val deterministic = key.plan.collect { case n => n }
       .forall(_.expressions.forall(_.deterministic))
     if (!deterministic) return df
-    val hash = key.hashCode()
     val now = System.currentTimeMillis()
     lock.synchronized {
-      val hit = entries.get(hash)
-      if (hit != null && hit.key == key && now - hit.createdMs <= ttlMs) {
+      val hit = entries.get(key)
+      if (hit != null && now - hit.createdMs <= ttlMs) {
         hitCount += 1
-        return hit.result
+        // serve the REQUESTING query's output names over the shared
+        // persisted blocks (plans are value-identical, columns align
+        // positionally; the entry may have been keyed by an
+        // alias-blanked twin)
+        return hit.result.toDF(df.columns.toIndexedSeq: _*)
       }
-      if (hit != null) dropEntry(hash, hit) // expired or hash collision
+      if (hit != null) dropEntry(key, hit) // expired
     }
     // compute OUTSIDE the lock: a slow query must not serialize the cache.
     // NEVER re-run the caller's DataFrame — its memoized QueryExecution
@@ -142,13 +160,13 @@ object QueryCache {
     val entry = Entry(key, result, now, rootPathsOf(analyzed))
     lock.synchronized {
       missCount += 1
-      val race = entries.get(hash)
-      if (race != null && race.key == key && now - race.createdMs <= ttlMs) {
+      val race = entries.get(key)
+      if (race != null && now - race.createdMs <= ttlMs) {
         result.unpersist(false)
-        return race.result
+        return race.result.toDF(df.columns.toIndexedSeq: _*)
       }
-      if (race != null) dropEntry(hash, race)
-      entries.put(hash, entry)
+      if (race != null) dropEntry(key, race)
+      entries.put(key, entry)
       while (entries.size > maxEntries) {
         val eldest = entries.entrySet().iterator().next()
         dropEntry(eldest.getKey, eldest.getValue)
@@ -157,16 +175,22 @@ object QueryCache {
     result
   }
 
-  private def dropEntry(hash: Int, e: Entry): Unit = {
+  private def dropEntry(key: Key, e: Entry): Unit = {
     e.result.unpersist(false)
-    entries.remove(hash)
+    entries.remove(key)
   }
 
   /** Insert-triggered invalidation: drop every entry whose plan scanned
-    * `path` (called by the same ingest hooks that refresh projections). */
+    * `path` (called by the same ingest hooks that refresh projections).
+    * Entry paths come from FileIndex rootPaths (always absolute), so a
+    * relative caller path is absolutized before matching — same contract
+    * as `Projections.invalidatePath`. */
   def invalidatePath(path: String): Unit = lock.synchronized {
     if (entries.isEmpty) return
-    val target = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    val target = {
+      val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
+      if (p.startsWith("/")) p else new java.io.File(p).getAbsolutePath
+    }
     entries.entrySet().asScala
       .filter(_.getValue.paths.contains(target)).toSeq
       .foreach(e => dropEntry(e.getKey, e.getValue))

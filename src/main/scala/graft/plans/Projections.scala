@@ -208,6 +208,58 @@ object Projections {
         }
     }.flatten.toSet
 
+  /** Catalog table name for a bucketed disk projection: content-address
+    * the directory (64-bit md5 prefix) rather than `String.hashCode` —
+    * two dirs must never map to the same table name, since registration
+    * DROPs-and-CREATEs the name unconditionally. */
+  private def bucketTableName(dir: String): String =
+    "graft_bproj_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** Fingerprint of the base's file listing (path, size, mtime per
+    * file). A disk materialization records this at write time and is
+    * reused only when the recorded value still matches the live base —
+    * regenerating the base under the same path invalidates every
+    * on-disk copy instead of silently serving rows of the old data.
+    * The listing comes from the (memoized) FileIndex, so this costs no
+    * extra namenode round-trips at registration time. */
+  private def baseFingerprint(base: DataFrame): String = {
+    val lines = base.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fsr: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fsr.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+          case _ => Nil
+        }
+    }.flatten.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def fpPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir + "/_GRAFT_BASE_FP")
+
+  private def writeFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, fp: String): Unit = {
+    val out = fs.create(fpPath(dir), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** True iff `dir` holds a complete materialization of the CURRENT
+    * base: _SUCCESS present and the recorded base fingerprint matches.
+    * A pre-fingerprint directory (no marker) is treated as stale. */
+  private def reusableMaterialization(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      baseFp: String): Boolean = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))) return false
+    if (!fs.exists(fpPath(dir))) return false
+    val in = fs.open(fpPath(dir))
+    val recorded = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    recorded == baseFp
+  }
+
   /** Materialize one projection build: narrow select, hash-repartition
     * on the hot key, cache, and force so the captured optimized plan is
     * the cache scan. Shared by register() and the refresh path. */
@@ -242,11 +294,11 @@ object Projections {
     // and the write all name the same directory
     val dir = new java.io.File(dir0).getAbsolutePath
     val sel = base.select(columns.map(col): _*)
-    val table = "graft_bproj_" + java.lang.Integer.toHexString(dir.hashCode)
+    val table = bucketTableName(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val complete = reuseExisting &&
-      fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))
+    val baseFp = baseFingerprint(base)
+    val complete = reuseExisting && reusableMaterialization(fs, dir, baseFp)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     if (complete) {
       // bucket ids are encoded in the file names, so an external
@@ -265,6 +317,7 @@ object Projections {
         .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
         .option("path", dir)
         .saveAsTable(table)
+      writeFingerprint(fs, dir, baseFp)
     }
     val read = spark.table(table)
     val wanted = sel.queryExecution.analyzed.output
@@ -489,10 +542,13 @@ object Projections {
       val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
         .getOrElse(throw new IllegalArgumentException(
           "Projections.registerFiltered: base must scan a single relation"))
+      // diskDir participates in the dedupe: re-registering the same
+      // slice WITH disk materialization must build the parquet copy,
+      // not return an earlier memory-only entry
       filteredRegistry.asScala.find { p =>
         p.baseLeafCanonical == baseLeaf.canonicalized &&
           p.filterCol == fcLower && p.filterLit.semanticEquals(flit) &&
-          p.carried == carried
+          p.carried == carried && p.diskDir == diskDir
       }.foreach(p => return p.projDf)
       val (projPlan, proj) =
         buildFiltered(base, filterCol, filterValue, columns, diskDir)
@@ -517,14 +573,18 @@ object Projections {
         proj.count()
         (proj.queryExecution.optimizedPlan, proj)
       case Some(dir) =>
-        // a complete previous materialization (the filter of an
-        // immutable base is deterministic) is reused as-is; rebuilds
-        // after invalidatePath pass reuseExisting=false and rewrite
+        // a complete previous materialization OF THE SAME BASE (same
+        // recorded file-listing fingerprint — a regenerated base must
+        // not reuse the old slice) is reused as-is; rebuilds after
+        // invalidatePath pass reuseExisting=false and rewrite
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(base.sparkSession.sparkContext.hadoopConfiguration)
-        val complete = reuseExisting &&
-          fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))
-        if (!complete) sel.write.mode("overwrite").parquet(dir)
+        val baseFp = baseFingerprint(base)
+        val complete = reuseExisting && reusableMaterialization(fs, dir, baseFp)
+        if (!complete) {
+          sel.write.mode("overwrite").parquet(dir)
+          writeFingerprint(fs, dir, baseFp)
+        }
         val read = base.sparkSession.read.parquet(dir)
         // Routing substitutes projPlan under the query's ORIGINAL
         // attributes, so the fresh parquet relation's new exprIds must
@@ -760,7 +820,7 @@ object Projections {
       // drop the catalog entry of a bucketed disk projection (the files
       // stay — re-registration reuses them via the _SUCCESS check)
       p.bucketDisk.foreach { case (_, dir) =>
-        val table = "graft_bproj_" + java.lang.Integer.toHexString(dir.hashCode)
+        val table = bucketTableName(dir)
         try p.base.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
         catch { case _: Throwable => () }
       }

@@ -268,7 +268,7 @@ object Coverage extends QueryModule {
     // second ingest changes the result — and the gate hashes the final
     // state plus the emission count, so both the re-evaluation loop and
     // the change detection are oracled, not just spec-asserted.
-    "q_rest_watch" -> ((s, dir) => withRest(s, "graft_q_watch") { (post, _) =>
+    "q_rest_watch" -> ((s, dir) => withRest(s, "graft_q_watch") { (post, _, base) =>
       post("/ddl/tables",
         """{"name":"watch_t","columns":[
           |{"name":"k","type":"bigint"},{"name":"v","type":"bigint"},
@@ -286,16 +286,29 @@ object Coverage extends QueryModule {
       }
       val (batch1, batch2) = nation.toSeq.partition(_._1 % 2 == 0)
       ingest(batch1, "a")
-      // the second batch lands while the WATCH long-poll is pending: the
-      // first evaluation runs synchronously on request receipt, so a 2 s
-      // delay guarantees version 1 precedes it
-      val later = new Thread(() => { Thread.sleep(2000); ingest(batch2, "b") })
-      later.start()
-      val resp = post("/search",
+      // the second batch must land strictly BETWEEN the watch's version-1
+      // emission and its next re-evaluation. The server flushes each
+      // NDJSON line as it is produced, so reading the chunked stream
+      // line-by-line and ingesting batch2 only AFTER version 1 arrives
+      // makes the ordering structural — no timing assumption survives.
+      val conn = java.net.URI
+        .create(base + "/dae/v1/search").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.getOutputStream.write(
         """{"query":"SELECT count(*) AS n, sum(v) AS sv, sum(k) AS sk FROM watch_t",
-          |"watch":2,"watch_interval_ms":150,"watch_timeout_ms":30000}""".stripMargin)
-      later.join()
-      val lines = resp.trim.split("\n").filter(_.nonEmpty)
+          |"watch":2,"watch_interval_ms":150,"watch_timeout_ms":30000}"""
+          .stripMargin.getBytes("UTF-8"))
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      val first = rd.readLine() // version 1: batch1-only state
+      ingest(batch2, "b")
+      val rest = Iterator.continually(rd.readLine())
+        .takeWhile(_ != null).toVector
+      rd.close()
+      val lines = (first +: rest).filter(l => l != null && l.nonEmpty)
       val last = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(lines.last).get("rows")
       val jsons = (0 until last.size()).map(i => last.get(i).toString)
@@ -309,7 +322,7 @@ object Coverage extends QueryModule {
     // AST/SYNTAX/PLAN/PIPELINE modes): each /sqlanalyzer mode must
     // return the matching Catalyst stage — asserted structurally by the
     // stage's signature marker, reduced to a hashed (mode, ok) table.
-    "q_rest_explain" -> ((s, dir) => withRest(s, "graft_q_explain") { (post, _) =>
+    "q_rest_explain" -> ((s, dir) => withRest(s, "graft_q_explain") { (post, _, _) =>
       post("/ddl/tables",
         """{"name":"exp_t","columns":[
           |{"name":"g","type":"bigint"},{"name":"v","type":"bigint"},
@@ -338,7 +351,7 @@ object Coverage extends QueryModule {
     // formats server-side; the gate re-parses the CSV text into rows
     // and hashes them against the source table, with a TSV-agreement
     // flag — so the rendered bytes, not just the row count, are oracled.
-    "q_rest_render" -> ((s, dir) => withRest(s, "graft_q_render") { (post, _) =>
+    "q_rest_render" -> ((s, dir) => withRest(s, "graft_q_render") { (post, _, _) =>
       post("/ddl/tables",
         """{"name":"render_t","columns":[
           |{"name":"n_name","type":"string"},
@@ -370,7 +383,7 @@ object Coverage extends QueryModule {
     // endpoint must expose every session gauge as `# TYPE … gauge` +
     // a parseable value line — reduced to a hashed (metric, typed,
     // numeric) table over the stable metric set.
-    "q_rest_metrics" -> ((s, dir) => withRest(s, "graft_q_metrics") { (_, get) =>
+    "q_rest_metrics" -> ((s, dir) => withRest(s, "graft_q_metrics") { (_, get, _) =>
       val body = get("/metrics")
       val lines = body.split("\n")
       val expected = Seq("default_parallelism", "executor_count",
@@ -798,7 +811,7 @@ object Coverage extends QueryModule {
     * the q_rest_pipeline pattern), since the server stops before the
     * gate writes it. */
   private def withRest(s: org.apache.spark.sql.SparkSession, scratch: String)(
-      body: ((String, String) => String, String => String)
+      body: ((String, String) => String, String => String, String)
         => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val root = new org.apache.hadoop.fs.Path(
@@ -831,7 +844,7 @@ object Coverage extends QueryModule {
         require(r.statusCode() == 200, s"$path -> ${r.statusCode()}")
         r.body()
       }
-      body(post, get)
+      body(post, get, base)
     } finally server.stop()
   }
 

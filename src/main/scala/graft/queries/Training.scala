@@ -153,7 +153,7 @@ object Training extends QueryModule {
 
   private def topCoverSql(g: String): String =
     s"""coalesce(list_max(list_transform($g, x ->
-       |      len(list_filter($g, y -> y = x))::BIGINT * strlen(x))),
+       |      len(list_filter($g, y -> y = x))::BIGINT * length(x))),
        |      0)::BIGINT""".stripMargin
 
   private def ppmSql(num: String, den: String): String =
@@ -191,7 +191,7 @@ object Training extends QueryModule {
       .mkString(" AND ")
     s"""WITH tk AS (SELECT doc_id,
        |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks,
-       |    strlen(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))::BIGINT AS n_chars
+       |    length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))::BIGINT AS n_chars
        |  FROM documents),
        |gr AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS n_toks,
        |    $gramDefs FROM tk),

@@ -117,6 +117,63 @@ class FilteredProjectionSpec extends AnyFunSuite {
     } finally Projections.clear()
   }
 
+  test("a regenerated base invalidates the on-disk slice; an unchanged base reuses it") {
+    // A disk materialization records a fingerprint of the base's file
+    // listing at write time. Reuse is only legal when the live base
+    // still matches — deleting and regenerating the base under the same
+    // path must trigger a rebuild, never silently serve the old rows.
+    val dir = "target/filtered_fp_" + System.nanoTime()
+    val slice = dir + "_ctr62"
+    spark.range(1000)
+      .select((col("id") % 100).cast("int").as("ctr"), col("id").as("v"))
+      .write.parquet(dir)
+    val base1 = spark.read.parquet(dir)
+    Projections.registerFiltered(spark, base1, "ctr", 62,
+      Seq("ctr", "v"), diskDir = Some(slice))
+    def routed(b: DataFrame): Long = {
+      val q = b.filter(col("ctr") === 62).agg(sum(col("v")).as("sv"))
+      assert(Projections.usesFilteredProjection(q), "control: must route")
+      q.collect()(0).getLong(0)
+    }
+    try {
+      val v1 = routed(base1)
+      Projections.clear()
+
+      // unchanged base: the slice is reused as-is (fingerprint matches)
+      val sliceMtime = new java.io.File(slice + "/_GRAFT_BASE_FP").lastModified()
+      val base1b = spark.read.parquet(dir)
+      Projections.registerFiltered(spark, base1b, "ctr", 62,
+        Seq("ctr", "v"), diskDir = Some(slice))
+      assert(routed(base1b) == v1)
+      assert(new java.io.File(slice + "/_GRAFT_BASE_FP").lastModified() == sliceMtime,
+        "unchanged base must reuse the materialization, not rewrite it")
+      Projections.clear()
+
+      // regenerated base (same path, different data): stale slice must
+      // be rebuilt — the routed sum reflects the NEW rows
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(2000, 4000)
+        .select((col("id") % 100).cast("int").as("ctr"), col("id").as("v"))
+        .write.parquet(dir)
+      val base2 = spark.read.parquet(dir)
+      Projections.registerFiltered(spark, base2, "ctr", 62,
+        Seq("ctr", "v"), diskDir = Some(slice))
+      val expect2 = base2.filter(col("ctr") === 62)
+        .agg(sum(col("v"))).collect()(0).getLong(0)
+      assert(routed(base2) == expect2,
+        "stale disk slice served after the base was regenerated")
+      assert(routed(base2) != v1)
+    } finally {
+      Projections.clear()
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(slice), true)
+    }
+  }
+
   test("a wider-typed registration value coerces to the column type and SQL-path queries route") {
     // The first 1 B bench registered CounterID=62 as a Long over an int
     // column: the slice built fine but Literal(62L, Long) never

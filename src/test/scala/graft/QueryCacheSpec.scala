@@ -26,9 +26,14 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(QueryCache.misses == 1 && QueryCache.hits == 0)
     // a second, separately-built but semantically identical query
     val q2 = base.groupBy(col("k")).agg(sum(col("id")).as("s2"))
-    val r2 = QueryCache.cached(q2).collect().toSet
+    val served = QueryCache.cached(q2)
+    val r2 = served.collect().toSet
     assert(QueryCache.hits == 1, "plan-equal query missed the cache")
     assert(r1.map(_.getLong(1)) == r2.map(_.getLong(1)))
+    // the hit must carry the REQUESTING query's aliases, not the
+    // populating twin's — a REST client reads back what it asked for
+    assert(served.columns.toSeq == Seq("k", "s2"),
+      s"hit served the wrong column names: ${served.columns.toSeq}")
     QueryCache.clear()
   }
 
