@@ -102,6 +102,62 @@ object Coverage extends QueryModule {
           lit(read < total).as("pruned"))
     }),
 
+    // Filtered projection (the reference's PK-seek analogue,
+    // MergeTreeDataSelectExecutor.cpp:495-565, done as an MV-with-WHERE)
+    // as a checked end-to-end job: register the hot-key slice, run the
+    // equality-filtered aggregate, REQUIRE the optimizer routed it to
+    // the projection (the gate fails red otherwise), and hash the
+    // routed rows against a plain full-scan oracle — so both the
+    // routing fire and its result-identity are driver-checked, not just
+    // spec-asserted. Decimal-string sums keep the hash representation
+    // engine-stable.
+    "q_projection_filtered" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      graft.plans.Projections.registerFiltered(s, base, "o_orderstatus", "F",
+        Seq("o_orderstatus", "o_custkey", "o_totalprice"))
+      try {
+        val q = base.filter(col("o_orderstatus") === "F")
+          .groupBy((col("o_custkey") % 100).as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("string").as("rev"))
+        require(graft.plans.Projections.usesFilteredProjection(q),
+          "q_projection_filtered: query did not route to the projection")
+        val local = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(local: _*), q.schema)
+          .select(col("b"), col("n"), col("rev"), lit(true).as("routed"))
+      } finally graft.plans.Projections.clear()
+    }),
+
+    // Expression-keyed filtered aggregate projection (the reference's
+    // AggregatingMergeTree MV in general form,
+    // StorageMaterializedView.cpp — computed keys + a baked WHERE) as a
+    // checked end-to-end job: the grouped query must finish from the
+    // pre-merged state table (REQUIREd), and the re-merged
+    // count/sum/min/max over integer state is bit-exact against the
+    // full-scan oracle.
+    "q_projection_expragg" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      graft.plans.Projections.registerAggExpr(s, base,
+        keys = Seq(year(col("o_orderdate"))),
+        measures = Seq(col("o_custkey")),
+        where = Seq(col("o_orderstatus") === "F"))
+      try {
+        val q = base.filter(col("o_orderstatus") === "F")
+          .groupBy(year(col("o_orderdate")).as("y"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"),
+            min(col("o_custkey")).as("minc"), max(col("o_custkey")).as("maxc"))
+        require(graft.plans.Projections.usesExprAggProjection(q),
+          "q_projection_expragg: query did not finish from the state table")
+        val local = q.collect()
+        // cast AFTER aggregation: the groupBy key must stay the bare
+        // year() call to match the registered key expression
+        s.createDataFrame(java.util.Arrays.asList(local: _*), q.schema)
+          .select(col("y").cast("long").as("y"), col("n"), col("sc"),
+            col("minc"), col("maxc"), lit(true).as("routed"))
+      } finally graft.plans.Projections.clear()
+    }),
+
     // Wide-integer parity (reference: src/Core/Types.h:31-38 — UInt64
     // modular arithmetic, truncating casts). Spark has no unsigned
     // 64-bit type, so UInt64 semantics are explicit mod-2^64 decimal
@@ -887,6 +943,22 @@ object Coverage extends QueryModule {
         |       TRUE AS pruned
         |FROM documents
         |WHERE (text || ' origin' || source) LIKE '%originsrc7%'""".stripMargin,
+
+    "q_projection_filtered" ->
+      """SELECT o_custkey % 100 AS b, count(*)::BIGINT AS n,
+        |       sum(o_totalprice::DECIMAL(18,2))::VARCHAR AS rev,
+        |       TRUE AS routed
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
+
+    "q_projection_expragg" ->
+      """SELECT year(o_orderdate)::BIGINT AS y, count(*)::BIGINT AS n,
+        |       sum(o_custkey)::BIGINT AS sc,
+        |       min(o_custkey)::BIGINT AS minc,
+        |       max(o_custkey)::BIGINT AS maxc,
+        |       TRUE AS routed
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
 
     "q_type_wide_uint64" ->
       """WITH t AS (
