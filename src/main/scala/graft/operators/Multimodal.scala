@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * pattern: one iterator of rows per partition, decode amortized across
   * the batch).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `FakeCodec.decode` derives deterministic pseudo-features
-  * from the bytes. Everything around it — schema, partitioning, batch
-  * iteration, feature/frames output shape — is real and tested, so
-  * swapping in a real decoder is a one-function change.
+  * Decode is REAL for the two library-free formats: grayscale-8 PNG
+  * (zlib + all five scanline filters) and PCM16 WAV, via
+  * [[MediaDecode]] — see [[decodeUnits]], oracled end to end by
+  * q_media_decode. Formats that need an external codec (JPEG
+  * bitstreams, MP3, H.264) remain stubbed: `FakeCodec.decode` derives
+  * deterministic pseudo-features from the bytes, and everything around
+  * it — schema, partitioning, batch iteration, feature/frames output
+  * shape — is the same path the real decoders run, so swapping a codec
+  * in is a one-function change.
   */
 object Multimodal {
 
@@ -129,6 +133,69 @@ object Multimodal {
           png.map(_.width).orElse(jpg.map(_._1)),
           png.map(_.height).orElse(jpg.map(_._2)),
           wav.map(_.sampleRate), wav.map(_.channels), wav.map(_.durationMs))
+      }
+    }
+  }
+
+  /** Per-item decoded-unit statistics: the aggregate of a REAL decode
+    * (pixels for images, PCM samples for audio). `checksum` is the
+    * position-weighted sum Σ (k+1)·unit(k), so a decode that produced
+    * the right multiset in the wrong order still fails the gate. */
+  case class MediaUnits(id: Long, kind: String, n_units: Long,
+                        unit_sum: Long, unit_min: Long, unit_max: Long,
+                        checksum: Long)
+
+  /** Media table with fully DECODABLE payloads, synthesized from
+    * closed-form formulas over the doc id (see [[MediaDecode]]): even
+    * ids get a spec-correct grayscale-8 PNG (zlib-deflated, scanline
+    * filter y % 5 — all five filters exercised), odd ids a PCM16 WAV.
+    * The same formulas replay directly in the oracle SQL, closing the
+    * synthesize→decode→aggregate loop. */
+  def mediaWithCodecs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0) {
+        val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+        val pix = Array.tabulate(w * h) { k =>
+          val x = k % w; val y = k / w
+          ((x * 7 + y * 13 + id * 31) % 256).toInt
+        }
+        MediaRow(id, "image", w, h, MediaDecode.pngGray8(w, h, pix))
+      } else {
+        val n = (200 + (id % 50) * 2).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i * 17) % 65536) - 32768).toInt)
+        MediaRow(id, "audio", 0, 0, MediaDecode.wavPcm16(8000, samples))
+      }
+    }
+  }
+
+  /** REAL decode over partition batches — the same mapInPandas-shaped
+    * hot path as [[extractFeatures]], but running [[MediaDecode]]'s
+    * actual PNG/WAV codecs. Undecodable payloads drop out (flatMap), so
+    * a silent decode failure surfaces as a row-count mismatch at the
+    * gate rather than a fabricated row. */
+  def decodeUnits(media: Dataset[MediaRow]): Dataset[MediaUnits] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val units: Option[Array[Int]] = r.kind match {
+          case "image" => MediaDecode.decodePngGray8(r.payload)
+          case "audio" => MediaDecode.decodeWavPcm16(r.payload)
+          case _ => None
+        }
+        units.map { u =>
+          var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+          var checksum = 0L
+          var k = 0
+          while (k < u.length) {
+            val v = u(k).toLong
+            sum += v; if (v < min) min = v; if (v > max) max = v
+            checksum += (k + 1) * v
+            k += 1
+          }
+          MediaUnits(r.id, r.kind, u.length.toLong, sum, min, max, checksum)
+        }
       }
     }
   }

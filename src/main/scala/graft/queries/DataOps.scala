@@ -216,6 +216,23 @@ object DataOps extends QueryModule {
       Multimodal.extractFeatures(media).toDF()
     }),
 
+    // REAL pixel/PCM decoding, oracled end to end: payloads are
+    // spec-correct grayscale-8 PNGs (zlib-deflated, every scanline
+    // filter type exercised) and PCM16 WAVs synthesized from
+    // closed-form formulas over the id; the gate decodes them back
+    // through MediaDecode (inflate + 5-filter reconstruction / LE
+    // sample walk) and reduces each item to count/sum/min/max plus a
+    // position-weighted checksum, while the oracle replays the formulas
+    // directly — so the decode arithmetic itself is hash-checked, and a
+    // right-multiset-wrong-order decode still fails. An undecodable
+    // payload drops its row (count mismatch), never fabricates one.
+    "q_media_decode" -> ((s, dir) => {
+      val media = Multimodal.mediaWithCodecs(s, t(s, dir, "documents"))
+      Multimodal.decodeUnits(media).toDF()
+        .select(col("id"), col("kind"), col("n_units"), col("unit_sum"),
+          col("unit_min"), col("unit_max"), col("checksum"))
+    }),
+
     // REAL header-level metadata extraction: payloads carry spec-correct
     // PNG IHDR / PCM WAV headers built from id-derived parameters, so
     // the oracle replays the builder arithmetic and the byte-walk
@@ -603,6 +620,36 @@ object DataOps extends QueryModule {
         | round(list_cosine_similarity(r.rec, qr.qrec), 6) AS cosine
         |FROM r, qr
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    // mirrors Multimodal.mediaWithCodecs + MediaDecode: even ids are
+    // w×h = (8+id%9)×(8+id%7) gray-8 PNGs with pixel(x,y) =
+    // (7x+13y+31·id) mod 256; odd ids are 200+(id%50)·2 PCM16 samples
+    // s(i) = ((31·id+17i) mod 65536) − 32768. The decode gate must
+    // reproduce these exactly — the oracle IS the synthesis formula.
+    "q_media_decode" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+        |img AS (SELECT id, 'image' AS kind,
+        |    (8 + id % 9)::BIGINT AS w, (8 + id % 7)::BIGINT AS h
+        |  FROM d WHERE id % 2 = 0),
+        |imgu AS (SELECT id, kind, w * h AS n_units,
+        |    list_transform(range(w * h),
+        |      k -> ((k % w) * 7 + (k // w) * 13 + id * 31) % 256) AS u
+        |  FROM img),
+        |aud AS (SELECT id, 'audio' AS kind,
+        |    (200 + (id % 50) * 2)::BIGINT AS n_units
+        |  FROM d WHERE id % 2 = 1),
+        |audu AS (SELECT id, kind, n_units,
+        |    list_transform(range(n_units),
+        |      i -> ((id * 31 + i * 17) % 65536) - 32768) AS u
+        |  FROM aud),
+        |allu AS (SELECT * FROM imgu UNION ALL SELECT * FROM audu)
+        |SELECT id, kind, n_units,
+        |  list_sum(u)::BIGINT AS unit_sum,
+        |  list_min(u)::BIGINT AS unit_min,
+        |  list_max(u)::BIGINT AS unit_max,
+        |  list_sum(list_transform(range(len(u)),
+        |    k -> (k + 1) * u[k + 1]))::BIGINT AS checksum
+        |FROM allu""".stripMargin,
 
     // mirrors Multimodal.mediaWithHeaders: PNG dims 100+id%64 × 50+id%32
     // for id%3=0, WAV rate 8000+(id%8)*1000 (mono, 16-bit → byteRate =
