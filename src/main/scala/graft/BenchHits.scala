@@ -338,8 +338,13 @@ object BenchHits {
           "AdvEngineID", "Referer", "URLHash", "RefererHash",
           "WindowClientWidth", "WindowClientHeight", "EventTime"),
         // past 100 M the 15 % slice itself exceeds memory — parquet-
-        // materialize it (the reference's on-disk PK-organized part)
-        diskDir = if (rows > Rows100m) Some(path + "_ctr62") else None)
+        // materialize it (the reference's on-disk PK-organized part),
+        // range-laid-out on EventDate: the SECOND half of the
+        // reference's (CounterID, EventDate) key, so the July-window
+        // queries skip non-matching files/row-groups via parquet stats
+        // instead of scanning the whole slice
+        diskDir = if (rows > Rows100m) Some(path + "_ctr62") else None,
+        sortCol = if (rows > Rows100m) Some("EventDate") else None)
 
     // AGGREGATE projections (the reference's AggregatingMergeTree MVs):
     // per-key partial state — count/sum/min/max/HLL — that the global

@@ -139,7 +139,8 @@ object Projections {
       filterColOrdered: String,
       filterValueOrig: Any,               // as passed — for rebuilds
       basePaths: Set[String],
-      diskDir: Option[String])            // parquet-materialized when set
+      diskDir: Option[String],            // parquet-materialized when set
+      sortCol: Option[String])            // range-layout column of the copy
 
   private val filteredRegistry =
     new java.util.concurrent.CopyOnWriteArrayList[FilteredProjDef]()
@@ -488,10 +489,12 @@ object Projections {
   def registerFilteredByRegime(spark: SparkSession, base: DataFrame,
                                filterCol: String, filterValue: Any,
                                columns: Seq[String],
-                               diskDir: Option[String] = None): Boolean =
+                               diskDir: Option[String] = None,
+                               sortCol: Option[String] = None): Boolean =
     if (base.storageLevel.useMemory) false
     else {
-      registerFiltered(spark, base, filterCol, filterValue, columns, diskDir)
+      registerFiltered(spark, base, filterCol, filterValue, columns,
+        diskDir, sortCol)
       true
     }
 
@@ -506,11 +509,24 @@ object Projections {
     * part. That is the right storage at scales where the selected slice
     * itself exceeds executor memory (a 15 % slice of 1 B rows does):
     * routed queries then scan a selectivity-sized columnar file instead
-    * of the full base, which is the whole PK-seek win. */
+    * of the full base, which is the whole PK-seek win.
+    *
+    * `sortCol = Some(c)` lays the disk copy out range-partitioned and
+    * sorted on `c` — the SECOND half of the reference's primary key.
+    * A (CounterID, EventDate) MergeTree key does two prunes: the seek
+    * to CounterID=62 (the filter slice) and the range scan of the
+    * matching EventDate window (the sort order). With the copy
+    * range-laid-out on EventDate, parquet min/max footer stats skip
+    * whole files and row groups outside a queried date window, so a
+    * one-month query reads ~1/36 of the slice instead of all of it.
+    * Costs one shuffle of the (selectivity-sized) slice at build time —
+    * the same sort the reference pays in its merge — and nothing at
+    * query time. */
   def registerFiltered(spark: SparkSession, base: DataFrame,
                        filterCol: String, filterValue: Any,
                        columns: Seq[String],
-                       diskDir: Option[String] = None): DataFrame =
+                       diskDir: Option[String] = None,
+                       sortCol: Option[String] = None): DataFrame =
     lock.synchronized {
       val fcLower = filterCol.toLowerCase
       val carried = columns.map(_.toLowerCase).toSet
@@ -548,13 +564,13 @@ object Projections {
       filteredRegistry.asScala.find { p =>
         p.baseLeafCanonical == baseLeaf.canonicalized &&
           p.filterCol == fcLower && p.filterLit.semanticEquals(flit) &&
-          p.carried == carried && p.diskDir == diskDir
+          p.carried == carried && p.diskDir == diskDir && p.sortCol == sortCol
       }.foreach(p => return p.projDf)
       val (projPlan, proj) =
-        buildFiltered(base, filterCol, filterValue, columns, diskDir)
+        buildFiltered(base, filterCol, filterValue, columns, diskDir, sortCol)
       filteredRegistry.add(FilteredProjDef(baseLeaf.canonicalized, fcLower,
         flit, carried, projPlan, proj, base, columns, filterCol,
-        filterValue, rootPathsOf(base), diskDir))
+        filterValue, rootPathsOf(base), diskDir, sortCol))
       install(spark)
       proj
     }
@@ -562,6 +578,7 @@ object Projections {
   private def buildFiltered(base: DataFrame, filterCol: String,
                             filterValue: Any, columns: Seq[String],
                             diskDir: Option[String],
+                            sortCol: Option[String] = None,
                             reuseExisting: Boolean = true)
       : (LogicalPlan, DataFrame) = {
     val sel = base
@@ -579,10 +596,18 @@ object Projections {
         // invalidatePath pass reuseExisting=false and rewrite
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(base.sparkSession.sparkContext.hadoopConfiguration)
-        val baseFp = baseFingerprint(base)
+        // the layout is part of the recorded identity: changing sortCol
+        // must rebuild even when the base is unchanged
+        val baseFp = baseFingerprint(base) +
+          sortCol.map("|sort=" + _).getOrElse("")
         val complete = reuseExisting && reusableMaterialization(fs, dir, baseFp)
         if (!complete) {
-          sel.write.mode("overwrite").parquet(dir)
+          val laidOut = sortCol match {
+            case Some(sc) =>
+              sel.repartitionByRange(col(sc)).sortWithinPartitions(col(sc))
+            case None => sel
+          }
+          laidOut.write.mode("overwrite").parquet(dir)
           writeFingerprint(fs, dir, baseFp)
         }
         val read = base.sparkSession.read.parquet(dir)
@@ -765,7 +790,7 @@ object Projections {
         p.projDf.unpersist(false)
         refreshBase(p.base)
         val (projPlan, proj) = buildFiltered(p.base, p.filterColOrdered,
-          p.filterValueOrig, p.columnsOrdered, p.diskDir,
+          p.filterValueOrig, p.columnsOrdered, p.diskDir, p.sortCol,
           reuseExisting = false)
         filteredRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
