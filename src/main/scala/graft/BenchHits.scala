@@ -338,13 +338,18 @@ object BenchHits {
           "AdvEngineID", "Referer", "URLHash", "RefererHash",
           "WindowClientWidth", "WindowClientHeight", "EventTime"),
         // past 100 M the 15 % slice itself exceeds memory — parquet-
-        // materialize it (the reference's on-disk PK-organized part),
-        // range-laid-out on EventDate: the SECOND half of the
-        // reference's (CounterID, EventDate) key, so the July-window
-        // queries skip non-matching files/row-groups via parquet stats
-        // instead of scanning the whole slice
-        diskDir = if (rows > Rows100m) Some(path + "_ctr62") else None,
-        sortCol = if (rows > Rows100m) Some("EventDate") else None)
+        // materialize it (the reference's on-disk PK-organized part).
+        // sortCol stays None HERE because it was MEASURED both ways at
+        // 1 B: the generated base is monotone EventTime, so the filter
+        // inherits ~640 files each covering a narrow date window —
+        // finer footer-stats pruning than a fresh EventDate range
+        // shuffle, which AQE coalesced to 31 coarse files and which
+        // made the q37-q43 family 14-36 % SLOWER (suite 287.9 s vs
+        // 270.0 s, same-day ambient). sortCol is for bases that are NOT
+        // already time-laid-out (arrival-ordered ingest, backfills) —
+        // there the range layout is the difference between scanning the
+        // whole slice and the queried window.
+        diskDir = if (rows > Rows100m) Some(path + "_ctr62") else None)
 
     // AGGREGATE projections (the reference's AggregatingMergeTree MVs):
     // per-key partial state — count/sum/min/max/HLL — that the global
