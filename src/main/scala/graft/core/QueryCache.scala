@@ -132,7 +132,18 @@ object QueryCache {
     val key = normalizedKey(df)
     val deterministic = key.plan.collect { case n => n }
       .forall(_.expressions.forall(_.deterministic))
-    if (!deterministic) return df
+    // Time-dependent expressions are deterministic=true in Catalyst
+    // (ComputeCurrentTime pins them per-query AT OPTIMIZATION), and the
+    // key is built from the ANALYZED plan where the now()/current_date
+    // nodes are still symbolic — two calls seconds apart key identically
+    // but mean different instants. Refuse to cache them.
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, CurrentTimeZone, LocalTimestamp, Now}
+    val timeDependent = key.plan.exists(_.expressions.exists(_.exists {
+      case _: CurrentTimestamp | _: Now | _: CurrentDate |
+           _: LocalTimestamp | _: CurrentTimeZone => true
+      case _ => false
+    }))
+    if (!deterministic || timeDependent) return df
     val now = System.currentTimeMillis()
     lock.synchronized {
       val hit = entries.get(key)

@@ -101,6 +101,12 @@ object MediaDecode {
     val meta = MediaHeaders.parsePng(b).getOrElse(return None)
     if (meta.bitDepth != 8 || meta.colorType != 0) return None
     val w = meta.width; val h = meta.height
+    // a CRC-valid header can still declare absurd dims: cap the decoded
+    // size (64 M px) and keep the size arithmetic in Long — a crafted
+    // 65535×65535 must classify as None, not wrap Int and throw (or
+    // force a multi-GB allocation that kills the executor)
+    if (w.toLong * h > (1L << 26) || (1L + w) * h.toLong > Int.MaxValue)
+      return None
     // walk chunks after IHDR (sig 8 + IHDR chunk 25), concatenating IDAT
     def be32(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
@@ -125,7 +131,11 @@ object MediaDecode {
       var off = 0
       while (off < expect && !inflater.finished()) {
         val n = inflater.inflate(raw, off, expect - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 means no progress: truncated stream (needsInput) OR a
+        // zlib FDICT preset-dictionary header (needsDictionary) — both
+        // classify as undecodable; looping on either would spin forever
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None
         off += n
       }
       off

@@ -298,7 +298,11 @@ object Projections {
     val table = bucketTableName(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val baseFp = baseFingerprint(base)
+    // bucket spec + carried columns are part of the recorded identity
+    // (see the filtered variant's note)
+    val baseFp = baseFingerprint(base) +
+      s"|buckets=$numBuckets|on=${bucketCols.map(_.toLowerCase).mkString(",")}" +
+      s"|cols=${columns.map(_.toLowerCase).mkString(",")}"
     val complete = reuseExisting && reusableMaterialization(fs, dir, baseFp)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     if (complete) {
@@ -566,6 +570,15 @@ object Projections {
           p.filterCol == fcLower && p.filterLit.semanticEquals(flit) &&
           p.carried == carried && p.diskDir == diskDir && p.sortCol == sortCol
       }.foreach(p => return p.projDf)
+      // a LIVE entry already points its parquet relation at this dir
+      // with a different definition — rebuilding over it would delete
+      // the files that entry's captured plan lists (routed queries
+      // would then fail mid-scan). Refuse loudly instead.
+      if (diskDir.isDefined)
+        require(!filteredRegistry.asScala.exists(_.diskDir == diskDir),
+          s"registerFiltered: diskDir ${diskDir.get} is already backing a " +
+            "registered projection with a different definition; clear() or " +
+            "use a distinct directory")
       val (projPlan, proj) =
         buildFiltered(base, filterCol, filterValue, columns, diskDir, sortCol)
       filteredRegistry.add(FilteredProjDef(baseLeaf.canonicalized, fcLower,
@@ -596,9 +609,13 @@ object Projections {
         // invalidatePath pass reuseExisting=false and rewrite
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(base.sparkSession.sparkContext.hadoopConfiguration)
-        // the layout is part of the recorded identity: changing sortCol
-        // must rebuild even when the base is unchanged
+        // the SLICE DEFINITION is part of the recorded identity, not
+        // just the base: a directory that previously held a different
+        // filter value, column set/order, or layout must rebuild, never
+        // serve the other definition's rows under this one's schema
         val baseFp = baseFingerprint(base) +
+          s"|filter=${filterCol.toLowerCase}=${String.valueOf(filterValue)}" +
+          s"|cols=${columns.map(_.toLowerCase).mkString(",")}" +
           sortCol.map("|sort=" + _).getOrElse("")
         val complete = reuseExisting && reusableMaterialization(fs, dir, baseFp)
         if (!complete) {
@@ -843,7 +860,8 @@ object Projections {
     registry.forEach { p =>
       p.projDf.unpersist(false)
       // drop the catalog entry of a bucketed disk projection (the files
-      // stay — re-registration reuses them via the _SUCCESS check)
+      // stay — re-registration reuses them when _SUCCESS is present AND
+      // the recorded base/spec fingerprint still matches)
       p.bucketDisk.foreach { case (_, dir) =>
         val table = bucketTableName(dir)
         try p.base.sparkSession.sql(s"DROP TABLE IF EXISTS $table")

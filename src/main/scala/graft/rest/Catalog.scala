@@ -140,8 +140,14 @@ class Catalog(spark: SparkSession, root: String) {
     val strSchema = StructType(columns.map(StructField(_, StringType)))
     val rows = data.map(cells => Row.fromSeq(
       cells.padTo(columns.length, null)))
+    // ONE slice → one part file per insert block (the reference's
+    // MergeTree part-per-INSERT semantics, `Record.h` block framing) —
+    // and a single-file append commits atomically, so a concurrent
+    // WATCH re-evaluation sees all of the batch or none of it. REST
+    // JSON ingest is inherently a small-batch path; bulk loads go
+    // through the WAL/file routes.
     val raw = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toList), strSchema)
+      spark.sparkContext.parallelize(rows.toList, 1), strSchema)
     val deduped =
       if (columns.contains("_idem")) raw.dropDuplicates("_idem").drop("_idem")
       else raw
