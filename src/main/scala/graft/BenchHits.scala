@@ -211,80 +211,22 @@ object BenchHits {
   val Rows1b: Long = 1000000000L
   val Path1b = "target/hits_1b.parquet"
 
-  /** Generate-if-absent, register the view, run each query best-of-3
-    * through the noop sink, return per-query best + suite sum.
+  /** Register the scale-appropriate projection tier over `hits` — row
+    * projections (memory at <=100 M, bucketed disk past it), the
+    * CounterID=62 filtered slice (by storage regime), and the aggregate /
+    * expression-keyed state tables. One definition shared by suite() and
+    * BenchProbe so the profiler sees exactly the plans the suite times.
+    * Returns whether the filtered ctr62 projection registered.
     *
-    * Memory strategy by scale: at 10 M the table + all six projections
-    * fit a 24 g heap uncompressed. At 100 M (~30 GB cached + ~13 GB of
-    * row projections) the run needs the 100 g heap tools/run_bench100.sh
-    * provides (the box has 125 GB, same as the reference hardware);
-    * everything still registers MEMORY_AND_DISK, so an undersized heap
-    * degrades to local-disk reads instead of failing. */
-  def suite(spark: SparkSession, path: String = DefaultPath,
-            rows: Long = HitsRows,
-            refBest: Seq[Double] = referenceBest,
-            passRuns: (Int, Int) = (5, 3)): SuiteResult = {
-    generate(spark, path, rows)
-    // Aggregation fast path: the suite is dominated by high-cardinality
-    // group-bys; the codegen'd vectorized first-level hash map (off by
-    // default) front-loads the hot keys before the UnsafeRow map, on the
-    // final (post-shuffle) aggregate too.
-    spark.conf.set("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
-    // Uncompressed cache batches: scan speed over memory (10 M rows fits);
-    // the per-batch min/max stats that drive batch pruning are kept.
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
-    // Sub-second in-memory queries: AQE's stage-at-a-time materialization
-    // adds a scheduling round-trip per shuffle — at 10 M rows with 32
-    // fixed partitions it re-derives the same plan. Off for the timed
-    // suite only (library default keeps it on; at cluster scale AQE's
-    // coalescing/skew handling is the right trade).
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // Extra conf overrides for A/B runs: SPARK_GRAFT_HITS_CONF="k=v;k=v".
-    sys.env.get("SPARK_GRAFT_HITS_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
-    // Two storage regimes. CACHED (default): the table lives in executor
-    // memory before timing — the reference's best-of-3 numbers are
-    // page-cache-resident reads; Spark's columnar cache is the
-    // engine-native equivalent. COLD (SPARK_GRAFT_HITS_COLD=1): no
-    // persist — every timed query scans parquet, the regime a 100 TB
-    // base actually runs in (scan-bound, decode on the hot path).
-    // Past 100 M rows the table exceeds any cacheable size in the
-    // sandbox (1 B ≈ 300 GB columnar) — cold is forced, not chosen.
-    val cold = sys.env.get("SPARK_GRAFT_HITS_COLD").contains("1") ||
-      rows > Rows100m
-    // 1 B-scale shuffles: 32 reduce partitions put ~30 M-group hash maps
-    // in each task on the high-cardinality queries; 4× the partitions
-    // bounds per-task state (the cluster-scale default — partition count
-    // tracks data, not just cores).
-    if (rows > Rows100m) spark.conf.set("spark.sql.shuffle.partitions", "128")
-    val hits = {
-      val raw = spark.read.parquet(path)
-      if (cold) raw
-      else {
-        val h = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        h.count() // materialize outside the timed region
-        h
-      }
-    }
-    hits.createOrReplaceTempView("hits")
-    graft.functions.GraftScalar.register(spark) // domain_without_www (q29)
-
-    // ANALYZE pass (untimed): per-column NDV over the cached table feeds
-    // SkipPartialAgg's shuffle-first decision — UserID/URL-class keys
-    // plan Complete-mode agg, RegionID-class keys keep partial agg. The
-    // engine decision is stats-driven; no per-query lists.
-    graft.plans.TableStats.analyze(hits)
-    graft.plans.SkipPartialAgg.register(spark)
-
-    // Alternate-layout projections (untimed setup, like the cache): the
-    // UserID- and ClientIP-keyed group-bys are shuffle-bound on the
-    // date-ordered base layout; a narrow copy hash-partitioned on the
-    // hot key serves them without an exchange. Routing is automatic
-    // (Projections.RouteToProjection) — the SQL text still says `hits`.
-    // Memory-resident full-width copies only fit up to the 100 M scale
-    // (~13 GB); past that they are skipped — at cluster scale these are
-    // disk-backed bucketed tables, and the 1 B sandbox run measures the
-    // raw shuffle path instead.
+    * Alternate-layout row projections (untimed setup, like the cache):
+    * the UserID- and ClientIP-keyed group-bys are shuffle-bound on the
+    * date-ordered base layout; a narrow copy hash-partitioned on the
+    * hot key serves them without an exchange. Routing is automatic
+    * (Projections.RouteToProjection) — the SQL text still says `hits`.
+    * Memory-resident full-width copies only fit up to the 100 M scale
+    * (~13 GB); past that they go to disk as bucketed parquet. */
+  def registerProjections(spark: SparkSession, hits: DataFrame, rows: Long,
+                          path: String): Boolean = {
     if (rows <= Rows100m) {
       graft.plans.Projections.register(spark, hits,
         Seq("UserID"), Seq("UserID", "SearchPhrase", "EventTime"))
@@ -383,12 +325,151 @@ object BenchHits {
       measures = Seq(length(col("Referer")), col("Referer")),
       where = Seq(col("Referer") =!= ""))
 
-    // Plan-level proof that the regime policy took effect: does q37 (the
-    // hot CounterID=62 family's representative) route to the filtered
+    // PK-SEEK FINISH for the CounterID=62 family (q37-q43): the
+    // reference answers these point-ish queries from a few (CounterID,
+    // EventDate) primary-key granules (MergeTreeDataSelectExecutor.cpp:
+    // 495-565) — 0.02-0.46 s at 1 B — where even the routed filtered
+    // slice still AGGREGATES ~15 % of the table. The reference's own
+    // cure for "PK can't finish it" is an AggregatingMergeTree MV
+    // (StorageMaterializedView.cpp): per-family partial-state tables
+    // keyed on (group cols, EventDate) with every non-date predicate
+    // baked. The query's EventDate window applies to the STATE table
+    // (key-only residual conjuncts route — Projections.routeExprAgg),
+    // and the roll-up finishes from pre-merged counts: O(distinct keys)
+    // instead of O(slice) at any scale. clusterIdx lays the state out
+    // hash-partitioned on the query's grouping key, so the roll-up
+    // aggregates per-partition with no exchange.
+    val ctr62 = col("CounterID") === 62
+    val urlhashRu = col("URLHash") === xxhash64(lit("http://example.ru/"))
+    val refhashRu = col("RefererHash") === xxhash64(lit("http://example.ru/"))
+    // q37: GROUP BY URL (~30 M state rows at 1 B, clustered on URL)
+    graft.plans.Projections.registerAggExpr(spark, hits,
+      keys = Seq(col("URL"), col("EventDate")), measures = Nil,
+      where = Seq(ctr62, col("DontCountHits") === 0, col("Refresh") === 0,
+        col("URL") =!= ""),
+      clusterIdx = Seq(0))
+    // q38: GROUP BY Title (~15 M state rows at 1 B)
+    graft.plans.Projections.registerAggExpr(spark, hits,
+      keys = Seq(col("Title"), col("EventDate")), measures = Nil,
+      where = Seq(ctr62, col("DontCountHits") === 0, col("Refresh") === 0,
+        col("Title") =!= ""),
+      clusterIdx = Seq(0))
+    // q39: GROUP BY URL over the IsLink slice (~5 % of the 62-slice)
+    graft.plans.Projections.registerAggExpr(spark, hits,
+      keys = Seq(col("URL"), col("EventDate")), measures = Nil,
+      where = Seq(ctr62, col("Refresh") === 0, col("IsLink") === 1,
+        col("IsDownload") === 0),
+      clusterIdx = Seq(0))
+    // q40 is deliberately NOT registered: its key tuple (TraficSourceID,
+    // SearchEngineID, AdvEngineID, Src, Dst) is near-unique per row in
+    // this table (Src/Dst are high-cardinality strings), so the "state"
+    // would be ~the slice itself — pre-aggregation buys nothing and the
+    // build would double-cache the slice. It stays on the filtered
+    // projection path.
+    // q41: GROUP BY (URLHash, EventDate) under the RefererHash point
+    // filter — the full key set, tiny state
+    graft.plans.Projections.registerAggExpr(spark, hits,
+      keys = Seq(col("URLHash"), col("EventDate")), measures = Nil,
+      where = Seq(ctr62, col("Refresh") === 0,
+        col("TraficSourceID").isin(-1, 6), refhashRu))
+    // q42: GROUP BY (WindowClientWidth, WindowClientHeight) under the
+    // URLHash point filter — ~3 k state rows
+    graft.plans.Projections.registerAggExpr(spark, hits,
+      keys = Seq(col("WindowClientWidth"), col("WindowClientHeight"),
+        col("EventDate")), measures = Nil,
+      where = Seq(ctr62, col("Refresh") === 0, col("DontCountHits") === 0,
+        urlhashRu))
+    // q43: GROUP BY minute — one state row per minute of the month
+    graft.plans.Projections.registerAggExpr(spark, hits,
+      keys = Seq(date_trunc("minute", col("EventTime")), col("EventDate")),
+      measures = Nil,
+      where = Seq(ctr62, col("Refresh") === 0, col("DontCountHits") === 0))
+    filteredRegistered
+  }
+
+
+  /** Generate-if-absent, register the view, run each query best-of-3
+    * through the noop sink, return per-query best + suite sum.
+    *
+    * Memory strategy by scale: at 10 M the table + all six projections
+    * fit a 24 g heap uncompressed. At 100 M (~30 GB cached + ~13 GB of
+    * row projections) the run needs the 100 g heap tools/run_bench100.sh
+    * provides (the box has 125 GB, same as the reference hardware);
+    * everything still registers MEMORY_AND_DISK, so an undersized heap
+    * degrades to local-disk reads instead of failing. */
+  def suite(spark: SparkSession, path: String = DefaultPath,
+            rows: Long = HitsRows,
+            refBest: Seq[Double] = referenceBest,
+            passRuns: (Int, Int) = (5, 3)): SuiteResult = {
+    generate(spark, path, rows)
+    // Aggregation fast path: the suite is dominated by high-cardinality
+    // group-bys; the codegen'd vectorized first-level hash map (off by
+    // default) front-loads the hot keys before the UnsafeRow map, on the
+    // final (post-shuffle) aggregate too.
+    spark.conf.set("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
+    // Uncompressed cache batches: scan speed over memory (10 M rows fits);
+    // the per-batch min/max stats that drive batch pruning are kept.
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    // Sub-second in-memory queries: AQE's stage-at-a-time materialization
+    // adds a scheduling round-trip per shuffle — at 10 M rows with 32
+    // fixed partitions it re-derives the same plan. Off for the timed
+    // suite only (library default keeps it on; at cluster scale AQE's
+    // coalescing/skew handling is the right trade).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Extra conf overrides for A/B runs: SPARK_GRAFT_HITS_CONF="k=v;k=v".
+    sys.env.get("SPARK_GRAFT_HITS_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    // Two storage regimes. CACHED (default): the table lives in executor
+    // memory before timing — the reference's best-of-3 numbers are
+    // page-cache-resident reads; Spark's columnar cache is the
+    // engine-native equivalent. COLD (SPARK_GRAFT_HITS_COLD=1): no
+    // persist — every timed query scans parquet, the regime a 100 TB
+    // base actually runs in (scan-bound, decode on the hot path).
+    // Past 100 M rows the table exceeds any cacheable size in the
+    // sandbox (1 B ≈ 300 GB columnar) — cold is forced, not chosen.
+    val cold = sys.env.get("SPARK_GRAFT_HITS_COLD").contains("1") ||
+      rows > Rows100m
+    // 1 B-scale shuffles: 32 reduce partitions put ~30 M-group hash maps
+    // in each task on the high-cardinality queries; 4× the partitions
+    // bounds per-task state (the cluster-scale default — partition count
+    // tracks data, not just cores).
+    if (rows > Rows100m) spark.conf.set("spark.sql.shuffle.partitions", "128")
+    val hits = {
+      val raw = spark.read.parquet(path)
+      if (cold) raw
+      else {
+        val h = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        h.count() // materialize outside the timed region
+        h
+      }
+    }
+    hits.createOrReplaceTempView("hits")
+    graft.functions.GraftScalar.register(spark) // domain_without_www (q29)
+
+    // ANALYZE pass (untimed): per-column NDV over the cached table feeds
+    // SkipPartialAgg's shuffle-first decision — UserID/URL-class keys
+    // plan Complete-mode agg, RegionID-class keys keep partial agg. The
+    // engine decision is stats-driven; no per-query lists.
+    graft.plans.TableStats.analyze(hits)
+    graft.plans.SkipPartialAgg.register(spark)
+
+    val filteredRegistered = registerProjections(spark, hits, rows, path)
+
+    // Plan-level proof that the regime policy took effect: does q40 (the
+    // hot CounterID=62 family member that stays on the slice — see the
+    // deliberate non-registration above) route to the filtered
     // projection? Recorded in the suite JSON next to the timings.
-    val q37Routed = filteredRegistered &&
-      (try graft.plans.Projections.usesFilteredProjection(spark.sql(queries(36)))
+    // (q37 used to be the representative; it now finishes from the agg
+    // state table, proven separately below.)
+    val q40Routed = filteredRegistered &&
+      (try graft.plans.Projections.usesFilteredProjection(spark.sql(queries(39)))
        catch { case _: Throwable => false })
+    // Which of the six registered ctr62 family members finish from their
+    // (group cols, EventDate) aggregate state tables?
+    val ctr62AggRouted = Seq(36, 37, 38, 40, 41, 42).filter { i =>
+      try graft.plans.Projections.usesExprAggProjection(spark.sql(queries(i)))
+      catch { case _: Throwable => false }
+    }.map(i => s"q${i + 1}").mkString(",")
     // Same proof for the bucketed disk projection: does q16 (the
     // UserID-family representative) read the bucketed copy?
     val q16Routed =
@@ -463,7 +544,7 @@ object BenchHits {
       slowest = if (ok.nonEmpty) ok.map(_._2).max else -1.0,
       json = per.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}") +
-        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q37_routed":$q37Routed,"hits_q16_routed":$q16Routed,"hits_q36_routed":$q36Routed,"hits_q24_lazy":$q24Lazy""",
+        s""","hits_baseline_sec":${refBest.sum},"hits_ratios":$ratios,"hits_extra_passes":$extraPasses,"hits_regime":"${if (cold) "cold" else "cached"}","hits_filtered_projection":$filteredRegistered,"hits_q40_routed":$q40Routed,"hits_ctr62_agg_routed":"$ctr62AggRouted","hits_q16_routed":$q16Routed,"hits_q36_routed":$q36Routed,"hits_q24_lazy":$q24Lazy""",
       cold = cold)
   }
 }

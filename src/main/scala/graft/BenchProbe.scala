@@ -50,20 +50,17 @@ object BenchProbe {
     graft.functions.GraftScalar.register(spark)
     graft.plans.TableStats.analyze(hits)
     graft.plans.SkipPartialAgg.register(spark)
-    if (!sys.env.get("SPARK_GRAFT_PROJECTIONS").contains("0")) {
-      graft.plans.Projections.register(spark, hits,
-        Seq("UserID"), Seq("UserID", "SearchPhrase", "EventTime"))
-      graft.plans.Projections.register(spark, hits,
-        Seq("ClientIP"), Seq("ClientIP", "WatchID", "SearchEngineID",
-          "SearchPhrase", "Refresh", "ResolutionWidth"))
-      graft.plans.Projections.register(spark, hits,
-        Seq("URL"), Seq("URL"))
-    }
+    if (!sys.env.get("SPARK_GRAFT_PROJECTIONS").contains("0"))
+      BenchHits.registerProjections(spark, hits, BenchHits.HitsRows,
+        BenchHits.DefaultPath)
     sys.env.get("SPARK_GRAFT_HITS_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
 
     val sql = BenchHits.queries(qn - 1)
     println(s"=== q$qn: ${sql.take(120)}")
+    println(s"routes: rowProj=${graft.plans.Projections.usesRowProjection(spark.sql(sql))}" +
+      s" filtered=${graft.plans.Projections.usesFilteredProjection(spark.sql(sql))}" +
+      s" exprAgg=${graft.plans.Projections.usesExprAggProjection(spark.sql(sql))}")
     for (r <- 1 to runs) {
       stages.clear()
       val t0 = System.nanoTime()

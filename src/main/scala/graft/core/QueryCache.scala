@@ -92,26 +92,31 @@ object QueryCache {
     * relations replaced by schema-only `LocalRelation` stand-ins +
     * path/format tokens. Analysis is memoized on the Dataset, so the
     * lookup never runs the optimizer (see class doc). */
-  private def normalizedKey(df: DataFrame): Key = {
+  private def normalizedKey(df: DataFrame): Option[Key] = {
     import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val relTokens = Seq.newBuilder[String]
+    // A non-file BaseRelation (JDBC, custom source) has no reliable
+    // identity token here — toString could omit the state (url, table)
+    // that distinguishes two same-schema relations, aliasing their
+    // entries. Such plans are UNCACHEABLE rather than keyed loosely.
+    var uncacheable = false
     val plan = EliminateSubqueryAliases(df.queryExecution.analyzed)
       .canonicalized.transformUp {
       case lr: LogicalRelation =>
-        relTokens += (lr.relation match {
+        lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString).sorted.mkString(",") +
+            relTokens += fs.location.rootPaths.map(_.toString).sorted.mkString(",") +
               "|" + fs.fileFormat.getClass.getName +
               "|" + fs.dataSchema.catalogString
-          case other => other.toString // per-relation identity: TTL-only
-        })
+          case _ => uncacheable = true
+        }
         LocalRelation(lr.output)
     }.transformAllExpressions {
       case a: Alias if a.name.nonEmpty => Alias(a.child, "")(exprId = a.exprId)
     }
-    Key(plan, relTokens.result())
+    if (uncacheable) None else Some(Key(plan, relTokens.result()))
   }
 
   private def rootPathsOf(plan: LogicalPlan): Set[String] =
@@ -129,7 +134,7 @@ object QueryCache {
     * rows, no recomputation. Non-deterministic plans (rand(), current
     * timestamp) are never cached. */
   def cached(df: DataFrame): DataFrame = {
-    val key = normalizedKey(df)
+    val key = normalizedKey(df).getOrElse(return df)
     val deterministic = key.plan.collect { case n => n }
       .forall(_.expressions.forall(_.deterministic))
     // Time-dependent expressions are deterministic=true in Catalyst

@@ -80,6 +80,12 @@ object LazyTopK {
 
     private def rewrite(k: Int, sort: Sort, child: LogicalPlan,
                         orders: Seq[SortOrder]): Option[LogicalPlan] = {
+      // The pre-pass runs a REAL narrow scan during logical optimization,
+      // so plan-only inspection (EXPLAIN endpoints) of a matching query
+      // would do executor I/O at planning time. Explain paths disable it
+      // via this conf (sql/Search.scala does); default on.
+      if (conf.getConfString("spark.graft.lazyTopK.prePass", "true") != "true")
+        return None
       // first sort key must be a plain, parquet-stat-pushable attribute
       val key = orders.head.child match {
         case a: AttributeReference if pushable(a.dataType) => a
@@ -154,7 +160,12 @@ object LazyTopK {
           case Ascending => LessThanOrEqual(key, lit)
           case Descending => GreaterThanOrEqual(key, lit)
         })
-      } catch { case _: Throwable => None }
+      } catch {
+        // never swallow fatals or a cancellation: a cancelled query must
+        // not proceed through the planning-time pre-pass as if fine
+        case ie: InterruptedException => throw ie
+        case scala.util.control.NonFatal(_) => None
+      }
 
     private def pushable(dt: DataType): Boolean = dt match {
       case _: IntegerType | _: LongType | _: ShortType | _: ByteType |

@@ -171,7 +171,8 @@ object Projections {
       keyCols: Seq[org.apache.spark.sql.Column],      // for rebuilds
       measureCols: Seq[org.apache.spark.sql.Column],
       whereCols: Seq[org.apache.spark.sql.Column],
-      basePaths: Set[String])
+      basePaths: Set[String],
+      clusterIdx: Seq[Int] = Nil)         // state layout key indices
 
   private val exprAggRegistry =
     new java.util.concurrent.CopyOnWriteArrayList[ExprAggProjDef]()
@@ -465,7 +466,10 @@ object Projections {
       registry.asScala.find { p =>
         p.baseLeafCanonical == baseLeaf.canonicalized &&
           p.partitionCols == pcLower && p.carried == carried &&
-          p.bucketDisk.exists(_._2 == dirAbs)
+          // bucket count is part of the layout identity: the same dir
+          // re-registered with a different count must rebuild, not
+          // silently serve the old bucketing
+          p.bucketDisk.exists(bd => bd._1 == numBuckets && bd._2 == dirAbs)
       }.foreach(p => return p.projDf)
       val (projPlan, proj) =
         buildBucketed(base, bucketCols, columns, numBuckets, dirAbs,
@@ -536,6 +540,11 @@ object Projections {
       val carried = columns.map(_.toLowerCase).toSet
       require(carried.contains(fcLower),
         "registerFiltered: the filter column must be carried")
+      // Absolutize the disk dir ONCE so the dedupe lookup and the
+      // conflict guard below compare canonical paths — two spellings of
+      // the same directory (relative vs absolute) must collide, not
+      // bypass the guard and overwrite files a live entry still scans.
+      val diskDirAbs = diskDir.map(d => new java.io.File(d).getAbsolutePath)
       // Coerce the filter literal to the base column's type: routing
       // matches by Literal.semanticEquals, and a query writes
       // `CounterID = 62` with the literal in the COLUMN's type, so a
@@ -568,22 +577,22 @@ object Projections {
       filteredRegistry.asScala.find { p =>
         p.baseLeafCanonical == baseLeaf.canonicalized &&
           p.filterCol == fcLower && p.filterLit.semanticEquals(flit) &&
-          p.carried == carried && p.diskDir == diskDir && p.sortCol == sortCol
+          p.carried == carried && p.diskDir == diskDirAbs && p.sortCol == sortCol
       }.foreach(p => return p.projDf)
       // a LIVE entry already points its parquet relation at this dir
       // with a different definition — rebuilding over it would delete
       // the files that entry's captured plan lists (routed queries
       // would then fail mid-scan). Refuse loudly instead.
-      if (diskDir.isDefined)
-        require(!filteredRegistry.asScala.exists(_.diskDir == diskDir),
-          s"registerFiltered: diskDir ${diskDir.get} is already backing a " +
+      if (diskDirAbs.isDefined)
+        require(!filteredRegistry.asScala.exists(_.diskDir == diskDirAbs),
+          s"registerFiltered: diskDir ${diskDirAbs.get} is already backing a " +
             "registered projection with a different definition; clear() or " +
             "use a distinct directory")
       val (projPlan, proj) =
-        buildFiltered(base, filterCol, filterValue, columns, diskDir, sortCol)
+        buildFiltered(base, filterCol, filterValue, columns, diskDirAbs, sortCol)
       filteredRegistry.add(FilteredProjDef(baseLeaf.canonicalized, fcLower,
         flit, carried, projPlan, proj, base, columns, filterCol,
-        filterValue, rootPathsOf(base), diskDir, sortCol))
+        filterValue, rootPathsOf(base), diskDirAbs, sortCol))
       install(spark)
       proj
     }
@@ -688,7 +697,8 @@ object Projections {
   private def buildAggExpr(base: DataFrame,
       keyCols: Seq[org.apache.spark.sql.Column],
       measureCols: Seq[org.apache.spark.sql.Column],
-      whereCols: Seq[org.apache.spark.sql.Column])
+      whereCols: Seq[org.apache.spark.sql.Column],
+      clusterIdx: Seq[Int] = Nil)
       : (LogicalPlan, DataFrame, Seq[DataType]) = {
     val filtered = whereCols.foldLeft(base)((d, c) => d.filter(c))
     val withCols = filtered.select(
@@ -705,10 +715,18 @@ object Projections {
           (if (hllCapable(mTypes(i))) Seq(hll_sketch_agg(m).as(s"__hll_e$i"))
            else Nil)
       }
-    val proj = withCols
+    val grouped = withCols
       .groupBy(keyCols.indices.map(i => col(s"__key_$i")): _*)
       .agg(state.head, state.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // clusterIdx re-lays the state hash-partitioned on a key SUBSET (one
+    // cheap state-sized shuffle at build): a routed roll-up grouping by
+    // exactly that subset then aggregates per-partition with no exchange
+    // (HashPartitioning on the grouping keys satisfies the aggregate's
+    // ClusteredDistribution through the cache's preserved partitioning).
+    val laid =
+      if (clusterIdx.isEmpty) grouped
+      else grouped.repartition(clusterIdx.map(i => col(s"__key_$i")): _*)
+    val proj = laid.persist(StorageLevel.MEMORY_AND_DISK)
     proj.count()
     (proj.queryExecution.optimizedPlan, proj, mTypes)
   }
@@ -725,8 +743,11 @@ object Projections {
   def registerAggExpr(spark: SparkSession, base: DataFrame,
       keys: Seq[org.apache.spark.sql.Column],
       measures: Seq[org.apache.spark.sql.Column],
-      where: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+      where: Seq[org.apache.spark.sql.Column] = Nil,
+      clusterIdx: Seq[Int] = Nil): DataFrame =
     lock.synchronized {
+      require(clusterIdx.forall(keys.indices.contains),
+        "registerAggExpr: clusterIdx must index into keys")
       val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
         .getOrElse(throw new IllegalArgumentException(
           "Projections.registerAggExpr: base must scan a single relation"))
@@ -739,12 +760,14 @@ object Projections {
       val whereN = resolveConjuncts(base, where).map(norm).toSet
       exprAggRegistry.asScala.find { p =>
         p.baseLeafCanonical == baseLeaf.canonicalized && p.keyNorms == keyN &&
-          p.measureNorms == mN && p.whereNorms == whereN
+          p.measureNorms == mN && p.whereNorms == whereN &&
+          p.clusterIdx == clusterIdx
       }.foreach(p => return p.projDf)
-      val (projPlan, proj, mTypes) = buildAggExpr(base, keys, measures, where)
+      val (projPlan, proj, mTypes) =
+        buildAggExpr(base, keys, measures, where, clusterIdx)
       exprAggRegistry.add(ExprAggProjDef(baseLeaf.canonicalized, keyN, mN,
         mTypes, whereN, projPlan, proj, base, keys, measures, where,
-        rootPathsOf(base)))
+        rootPathsOf(base), clusterIdx))
       install(spark)
       proj
     }
@@ -817,7 +840,8 @@ object Projections {
         p.projDf.unpersist(false)
         refreshBase(p.base)
         val (projPlan, proj, _) =
-          buildAggExpr(p.base, p.keyCols, p.measureCols, p.whereCols)
+          buildAggExpr(p.base, p.keyCols, p.measureCols, p.whereCols,
+            p.clusterIdx)
         exprAggRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }
@@ -1008,11 +1032,17 @@ object Projections {
       * computing `_groupingexpression = f(x)`, so the real expressions
       * live in the Projects), collect the Filter conjuncts, and match
       * both against a registered definition by rebased canonicalized
-      * equality. Conjuncts must match EXACTLY (the baked filter defines
-      * the state's row population; both sides pass the same optimizer,
-      * so inferred IsNotNulls appear on both), grouping expressions must
-      * be a subset of the keys (roll-up over state is exact), and every
-      * aggregate call must rewrite onto a measure's state. */
+      * equality. The registered (baked) conjuncts must all be present in
+      * the query (the baked filter defines the state's row population;
+      * both sides pass the same optimizer, so inferred IsNotNulls appear
+      * on both); RESIDUAL query conjuncts are allowed when they reference
+      * only key expressions — a key-only predicate is constant within
+      * each state group, so filtering state rows is exactly filtering
+      * base rows (the reference's MV date-window pattern: state keyed on
+      * (group cols, EventDate), query's EventDate range applied to the
+      * state table). Grouping expressions must be a subset of the keys
+      * (roll-up over state is exact), and every aggregate call must
+      * rewrite onto a measure's state. */
     private def routeExprAgg(agg: Aggregate): Option[LogicalPlan] = {
       if (exprAggRegistry.isEmpty) return None
       var gExprs: Seq[Expression] = agg.groupingExpressions
@@ -1047,21 +1077,29 @@ object Projections {
       val leafOut = node.output
       val leafC = node.canonicalized
       val dbg = java.lang.Boolean.getBoolean("graft.proj.debug")
-      val condNorms = conds
-        .map(c => normEx(c, leafOut).getOrElse(return None)).toSet
+      val condPairs = conds
+        .map(c => (c, normEx(c, leafOut).getOrElse(return None)))
+      val condNorms = condPairs.map(_._2).toSet
       val gStripped = gExprs.map { case Alias(e, _) => e; case e => e }
       val gNorms = gStripped
         .map(e => normEx(e, leafOut).getOrElse(return None))
       exprAggRegistry.asScala.foreach { p =>
         if (dbg) {
           println(s"[proj-debug] leaf match: ${p.baseLeafCanonical == leafC}")
-          println(s"[proj-debug] where reg=${p.whereNorms} in=$condNorms eq=${p.whereNorms == condNorms}")
+          println(s"[proj-debug] where reg=${p.whereNorms} in=$condNorms sub=${p.whereNorms.subsetOf(condNorms)}")
           println(s"[proj-debug] keys reg=${p.keyNorms} in=$gNorms sub=${gNorms.forall(p.keyNorms.contains)}")
         }
-        if (p.baseLeafCanonical == leafC && p.whereNorms == condNorms &&
-            gNorms.forall(p.keyNorms.contains))
-          rewriteExprAgg(agg, gExprs, aExprs, p, leafOut)
+        if (p.baseLeafCanonical == leafC && p.whereNorms.subsetOf(condNorms) &&
+            gNorms.forall(p.keyNorms.contains)) {
+          // conjuncts beyond the baked set stay as a Filter over the
+          // state table — valid only if they rewrite onto key columns
+          // (checked inside rewriteExprAgg)
+          val residual = condPairs.collect {
+            case (c, n) if !p.whereNorms.contains(n) => c
+          }
+          rewriteExprAgg(agg, gExprs, aExprs, residual, p, leafOut)
             .foreach(r => return Some(r))
+        }
       }
       None
     }
@@ -1072,7 +1110,8 @@ object Projections {
       * level names and exprIds are preserved, so parents (HAVING, ORDER
       * BY, LIMIT) are untouched. */
     private def rewriteExprAgg(agg: Aggregate, gExprs: Seq[Expression],
-        aExprs: Seq[NamedExpression], p: ExprAggProjDef,
+        aExprs: Seq[NamedExpression], residual: Seq[Expression],
+        p: ExprAggProjDef,
         leafOut: Seq[Attribute]): Option[LogicalPlan] = {
       val out = p.projPlan.output
       def attr(n: String): Option[Attribute] = out.find(_.name == n)
@@ -1169,10 +1208,27 @@ object Projections {
         case e => Alias(e, ne.name)(exprId = ne.exprId)
       })
       if (!ok) return None
-      val needed = AttributeSet(newAggExprs.flatMap(_.references) ++ newGrouping)
+      // residual conjuncts: every key subexpression becomes the state
+      // table's key attribute; anything left referencing base columns
+      // means the predicate needs base ROWS (it would filter within a
+      // group) — not routable through pre-merged state
+      val newResidual = residual.map { c =>
+        val r = c.transformDown {
+          case e if keyAttr(e).isDefined => keyAttr(e).get
+        }
+        if (!r.references.subsetOf(outSet)) {
+          if (dbg) println(s"[proj-debug] residual not key-only: $c")
+          return None
+        }
+        r
+      }
+      val needed = AttributeSet(newAggExprs.flatMap(_.references) ++
+        newGrouping ++ newResidual.flatMap(_.references))
       val projected = Project(out.filter(needed.contains), p.projPlan)
+      val child = newResidual.foldLeft(projected: LogicalPlan)(
+        (acc, c) => Filter(c, acc))
       Some(agg.copy(groupingExpressions = newGrouping,
-        aggregateExpressions = newAggExprs, child = projected))
+        aggregateExpressions = newAggExprs, child = child))
     }
 
     /** Per-function state rewrite; None if any aggregate in the list is

@@ -77,9 +77,23 @@ object Search {
   /** EXPLAIN/analyzer endpoint analogue (daisy
     * `SQLAnalyzerRestRouterHandler.cpp:207`): returns the analyzed +
     * physical plan for a SQL string without executing it. */
-  def analyze(spark: SparkSession, sql: String): String = {
+  def analyze(spark: SparkSession, sql: String): String = withoutPrePass(spark) {
     val qe = spark.sql(sql).queryExecution
     s"== Optimized ==\n${qe.optimizedPlan}\n== Physical ==\n${qe.executedPlan}"
+  }
+
+  /** Explain-only paths must not do executor I/O: LazyTopK's bounded
+    * pre-pass is a real (narrow) scan at optimization time, so it is
+    * disabled while a plan is rendered for inspection. */
+  private def withoutPrePass[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.graft.lazyTopK.prePass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** EXPLAIN levels, mapping the reference's modes (EXPLAIN AST / SYNTAX
@@ -88,7 +102,7 @@ object Search {
     * plan→optimized, pipeline→physical (the executed plan IS the
     * pipeline here), codegen→generated code. Default = [[analyze]]'s
     * optimized+physical pair. */
-  def explain(spark: SparkSession, sql: String, mode: String): String = {
+  def explain(spark: SparkSession, sql: String, mode: String): String = withoutPrePass(spark) {
     val qe = spark.sql(sql).queryExecution
     mode.toLowerCase match {
       case "ast" | "parsed" => qe.logical.toString

@@ -120,6 +120,48 @@ class ExprAggProjectionSpec extends AnyFunSuite {
     } finally Projections.clear()
   }
 
+  test("residual key-only filter routes as a state-table filter (MV date-window shape)") {
+    val base = makeBase()
+    // state keyed on (key, v): a query's extra range filter on v is
+    // constant within each state group — filtering state rows == filtering
+    // base rows, the reference's (group cols, EventDate) MV pattern
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(substring(col("url"), 8, 3), col("v")),
+      measures = Seq(length(col("ref"))),
+      where = Seq(col("ref") =!= ""))
+    try {
+      def q: DataFrame = base
+        .filter(col("ref") =!= "" && col("v") >= 10 && col("v") <= 50)
+        .groupBy(substring(col("url"), 8, 3).as("key"))
+        .agg(count(lit(1)).as("c"), avg(length(col("ref"))).as("l"))
+      assert(routed(q), "residual key-range query did not route")
+      Projections.clear()
+      val exact = rows(q) // same query, unrouted
+      Projections.registerAggExpr(spark, base,
+        keys = Seq(substring(col("url"), 8, 3), col("v")),
+        measures = Seq(length(col("ref"))),
+        where = Seq(col("ref") =!= ""))
+      assert(routed(q))
+      assert(rows(q) == exact, "routed result diverges under residual filter")
+    } finally Projections.clear()
+  }
+
+  test("residual filter on a non-key must not route (needs base rows)") {
+    val base = makeBase()
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(substring(col("url"), 8, 3)),
+      measures = Seq(col("v")),
+      where = Nil)
+    try {
+      // v is a measure, not a key: a v-predicate filters WITHIN groups,
+      // which pre-merged state cannot express
+      val q = base.filter(col("v") > 50)
+        .groupBy(substring(col("url"), 8, 3).as("key"))
+        .agg(sum(col("v")).as("s"))
+      assert(!routed(q), "routed a residual filter on a non-key column")
+    } finally Projections.clear()
+  }
+
   test("ingest-path invalidation rebuilds the expression state") {
     val dir = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"), "graft_expragg_inv").toString
