@@ -15,11 +15,12 @@ package graft.operators
   * spec-correct containers from a closed-form pixel/sample formula,
   * decodes them back through this module, and the DuckDB oracle replays
   * the formula directly — so the decode arithmetic itself is
-  * hash-checked end to end, not just spec-asserted. Formats that need a
-  * licensed/entropy-coded codec (JPEG bitstreams, MP3, H.264) stay out
-  * of scope in this container; they slot into the same per-partition
-  * batch path ([[Multimodal.extractFeatures]]' mapPartitions shape)
-  * when a codec is on the executor classpath.
+  * hash-checked end to end, not just spec-asserted. The entropy-coded
+  * family (baseline JPEG) lives in [[JpegCodec]], built the same way;
+  * formats needing a licensed codec (MP3, H.264) stay out of scope in
+  * this container and slot into the same per-partition batch path
+  * ([[Multimodal.extractFeatures]]' mapPartitions shape) when a codec
+  * is on the executor classpath.
   *
   * Reference behavior mirrored: the reference treats media payloads as
   * opaque String/FixedString columns and leaves decoding to UDF-side

@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   * pattern: one iterator of rows per partition, decode amortized across
   * the batch).
   *
-  * Decode is REAL for the two library-free formats: grayscale-8 PNG
-  * (zlib + all five scanline filters) and PCM16 WAV, via
-  * [[MediaDecode]] — see [[decodeUnits]], oracled end to end by
-  * q_media_decode. Formats that need an external codec (JPEG
-  * bitstreams, MP3, H.264) remain stubbed: `FakeCodec.decode` derives
-  * deterministic pseudo-features from the bytes, and everything around
-  * it — schema, partitioning, batch iteration, feature/frames output
-  * shape — is the same path the real decoders run, so swapping a codec
-  * in is a one-function change.
+  * Decode is REAL for three format families: grayscale-8 PNG (zlib +
+  * all five scanline filters) and PCM16 WAV via [[MediaDecode]], and
+  * baseline-sequential grayscale JPEG — the entropy-coded path:
+  * canonical Huffman build, DC prediction, AC run-length, IDCT — via
+  * [[JpegCodec]]; see [[decodeUnits]], oracled end to end by
+  * q_media_decode and q_multimodal_decode. Formats whose codecs are
+  * not reimplementable library-free here (MP3, H.264) remain stubbed:
+  * `FakeCodec.decode` derives deterministic pseudo-features from the
+  * bytes, and everything around it — schema, partitioning, batch
+  * iteration, feature/frames output shape — is the same path the real
+  * decoders run, so swapping a codec in is a one-function change.
   */
 object Multimodal {
 
@@ -38,8 +40,9 @@ object Multimodal {
   val FrameSize = 256
 
   /** STUB decode — deterministic pseudo-decoder standing in for a real
-    * image/audio codec (??? boundary). Byte histogram statistics play the
-    * role of decoded features. */
+    * entropy-coded image/audio codec (the declared library-free stand-in
+    * boundary). Byte histogram statistics play the role of decoded
+    * features. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Double, Double) = {
       if (payload.isEmpty) return (0.0, 0.0)
@@ -170,17 +173,50 @@ object Multimodal {
     }
   }
 
+  /** Media table of baseline grayscale JPEGs — the ENTROPY-CODED format
+    * family ([[JpegCodec]]). Each doc id gets a (8+id%9)×(8+id%7) image
+    * whose quantized coefficients come from a closed-form formula: per
+    * 8×8 block (bx, by), DC = ((id%97)·7 + bx·31 + by·53) % 201 − 100
+    * and the (v=4,u=0) AC (zigzag 10) = ((id%89)·5 + bx·17 + by·29) %
+    * 41 − 20, under a uniform quant table of 8 — so the decoded pixel
+    * is exactly DC + s(y%8)·AC + 128 with s = +1 for y%8 ∈ {0,3,4,7}
+    * (the IDCT's two active basis functions are exactly ±1/8 there).
+    * The oracle replays that formula; Huffman/DC-prediction/run-length/
+    * IDCT arithmetic is hash-checked end to end. */
+  def mediaWithJpeg(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val blocks = Array.tabulate(bw * bh) { bi =>
+        val bx = bi % bw; val by = bi / bw
+        val zz = new Array[Int](64)
+        zz(0) = (((id % 97) * 7 + bx * 31 + by * 53) % 201 - 100).toInt
+        zz(10) = (((id % 89) * 5 + bx * 17 + by * 29) % 41 - 20).toInt
+        zz
+      }
+      MediaRow(id, "image", w, h,
+        JpegCodec.encodeGrayFromCoeffs(w, h, JpegCodec.QUniform8, blocks))
+    }
+  }
+
   /** REAL decode over partition batches — the same mapInPandas-shaped
-    * hot path as [[extractFeatures]], but running [[MediaDecode]]'s
-    * actual PNG/WAV codecs. Undecodable payloads drop out (flatMap), so
-    * a silent decode failure surfaces as a row-count mismatch at the
-    * gate rather than a fabricated row. */
+    * hot path as [[extractFeatures]], but running the actual codecs:
+    * PNG gray-8 / baseline JPEG for images (dispatched by container
+    * signature, as a real pipeline must), PCM16 WAV for audio.
+    * Undecodable payloads drop out (flatMap), so a silent decode
+    * failure surfaces as a row-count mismatch at the gate rather than a
+    * fabricated row. */
   def decodeUnits(media: Dataset[MediaRow]): Dataset[MediaUnits] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val units: Option[Array[Int]] = r.kind match {
-          case "image" => MediaDecode.decodePngGray8(r.payload)
+          case "image" =>
+            val p = r.payload
+            if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+              JpegCodec.decodeGray(p)
+            else MediaDecode.decodePngGray8(p)
           case "audio" => MediaDecode.decodeWavPcm16(r.payload)
           case _ => None
         }

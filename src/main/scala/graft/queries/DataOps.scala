@@ -211,9 +211,19 @@ object DataOps extends QueryModule {
                 col("n_frames").cast("long").as("n_frames"))
     }),
 
+    // ENTROPY-CODED decode, oracled end to end (was the declared stub
+    // through round 10): payloads are baseline grayscale JPEGs whose
+    // quantized coefficients come from a closed-form formula under a
+    // uniform quant table of 8, so the decoded pixel is exactly
+    // dc + s(y)·ac + 128 (JpegCodec scaladoc). The gate runs the REAL
+    // decoder — marker walk, canonical Huffman build, DC prediction,
+    // AC run-length, byte unstuffing, dequant + IDCT — and the oracle
+    // replays the formula, hash-checking the decode arithmetic.
     "q_multimodal_decode" -> ((s, dir) => {
-      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
-      Multimodal.extractFeatures(media).toDF()
+      val media = Multimodal.mediaWithJpeg(s, t(s, dir, "documents"))
+      Multimodal.decodeUnits(media).toDF()
+        .select(col("id"), col("kind"), col("n_units"), col("unit_sum"),
+          col("unit_min"), col("unit_max"), col("checksum"))
     }),
 
     // REAL pixel/PCM decoding, oracled end to end: payloads are
@@ -650,6 +660,31 @@ object DataOps extends QueryModule {
         |  list_sum(list_transform(range(len(u)),
         |    k -> (k + 1) * u[k + 1]))::BIGINT AS checksum
         |FROM allu""".stripMargin,
+
+    // mirrors Multimodal.mediaWithJpeg + JpegCodec.decodeGray: every doc
+    // is a (8+id%9)×(8+id%7) baseline grayscale JPEG; per 8×8 block
+    // (bx, by) the decoded pixel is dc + s(y%8)·ac + 128 with
+    // dc = ((id%97)·7 + bx·31 + by·53) % 201 − 100,
+    // ac = ((id%89)·5 + bx·17 + by·29) % 41 − 20, and s = +1 for
+    // y%8 ∈ {0,3,4,7} else −1. The oracle IS the synthesis formula —
+    // the Huffman/IDCT pipeline must reproduce it exactly.
+    "q_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id AS id, (8 + doc_id % 9)::BIGINT AS w,
+        |    (8 + doc_id % 7)::BIGINT AS h FROM documents),
+        |u AS (SELECT id, 'image' AS kind, w * h AS n_units,
+        |  list_transform(range(w * h), k ->
+        |    ((id % 97) * 7 + ((k % w) // 8) * 31 + ((k // w) // 8) * 53) % 201 - 100
+        |    + (CASE WHEN ((k // w) % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |      * (((id % 89) * 5 + ((k % w) // 8) * 17 + ((k // w) // 8) * 29) % 41 - 20)
+        |    + 128) AS u
+        |  FROM d)
+        |SELECT id, kind, n_units,
+        |  list_sum(u)::BIGINT AS unit_sum,
+        |  list_min(u)::BIGINT AS unit_min,
+        |  list_max(u)::BIGINT AS unit_max,
+        |  list_sum(list_transform(range(len(u)),
+        |    k -> (k + 1) * u[k + 1]))::BIGINT AS checksum
+        |FROM u""".stripMargin,
 
     // mirrors Multimodal.mediaWithHeaders: PNG dims 100+id%64 × 50+id%32
     // for id%3=0, WAV rate 8000+(id%8)*1000 (mono, 16-bit → byteRate =
