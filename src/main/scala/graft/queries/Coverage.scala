@@ -158,6 +158,38 @@ object Coverage extends QueryModule {
       } finally graft.plans.Projections.clear()
     }),
 
+    // Residual key-only window over an aggregate-state projection (the
+    // reference's MV date-window pattern, the same registration shape
+    // that serves the hits q37-q43 family at 1 B): state keyed on
+    // (group col, date col) with the equality predicate baked; the
+    // query carries an EXTRA date-range filter, which must be applied
+    // to the STATE table (key-only residual conjuncts are constant
+    // within each state group, so filtering state rows is exact). The
+    // route is REQUIREd and the roll-up is hashed vs a full-scan
+    // oracle.
+    "q_projection_aggwindow" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      graft.plans.Projections.registerAggExpr(s, base,
+        keys = Seq(col("o_orderpriority"), col("o_orderdate")),
+        measures = Seq(col("o_custkey")),
+        where = Seq(col("o_orderstatus") === "F"))
+      try {
+        val q = base.filter(col("o_orderstatus") === "F" &&
+            col("o_orderdate") >= lit("1994-01-01").cast("date") &&
+            col("o_orderdate") <= lit("1995-12-31").cast("date"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"),
+            min(col("o_custkey")).as("minc"), max(col("o_custkey")).as("maxc"))
+        require(graft.plans.Projections.usesExprAggProjection(q),
+          "q_projection_aggwindow: residual-window query did not finish " +
+            "from the state table")
+        val local = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(local: _*), q.schema)
+          .select(col("o_orderpriority"), col("n"), col("sc"),
+            col("minc"), col("maxc"), lit(true).as("routed"))
+      } finally graft.plans.Projections.clear()
+    }),
+
     // Wide-integer parity (reference: src/Core/Types.h:31-38 — UInt64
     // modular arithmetic, truncating casts). Spark has no unsigned
     // 64-bit type, so UInt64 semantics are explicit mod-2^64 decimal
@@ -958,6 +990,17 @@ object Coverage extends QueryModule {
         |       max(o_custkey)::BIGINT AS maxc,
         |       TRUE AS routed
         |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
+
+    "q_projection_aggwindow" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |       sum(o_custkey)::BIGINT AS sc,
+        |       min(o_custkey)::BIGINT AS minc,
+        |       max(o_custkey)::BIGINT AS maxc,
+        |       TRUE AS routed
+        |FROM orders WHERE o_orderstatus = 'F'
+        |  AND o_orderdate >= DATE '1994-01-01'
+        |  AND o_orderdate <= DATE '1995-12-31'
         |GROUP BY 1""".stripMargin,
 
     "q_type_wide_uint64" ->
