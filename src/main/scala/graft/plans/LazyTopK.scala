@@ -13,19 +13,28 @@ import org.apache.spark.sql.types._
   * FROM t [WHERE p] ORDER BY k LIMIT n` over a parquet relation.
   *
   * The naive plan decodes EVERY projected column of EVERY matching row
-  * just to keep n of them. This rule runs a bounded pre-pass over the
-  * narrow column set (the sort key + filter references), takes the
-  * k-th sort-key value, and injects `key <= bound` (resp. `>=` for
-  * DESC) directly above the relation. The bound is an ordinary literal
+  * just to keep n of them. This rule discovers a bound for the k-th
+  * sort-key value and injects `key <= bound` (resp. `>=` for DESC)
+  * directly above the relation. The bound is an ordinary literal
   * predicate, so the parquet reader's row-group statistics prune the
   * wide phase: on a time-ordered table a `ORDER BY EventTime LIMIT 10`
   * touches the first slice of the table instead of all of it — at
   * 100 TB the difference between one executor-minute and a full-fleet
   * scan. Semantics are exact: every row of the true top-k has a
   * first-key value within the bound (the k-th smallest first-key over
-  * the same row set bounds them all, ties included), and the final
-  * Sort + Limit is left in place, so the rewrite only removes rows the
-  * limit was about to discard.
+  * ANY row subset with k passing rows bounds them all, ties included),
+  * and the final Sort + Limit is left in place, so the rewrite only
+  * removes rows the limit was about to discard.
+  *
+  * Bound discovery is STAGED when the key column has parquet footer
+  * statistics: files are ordered by their key min (max for DESC) and
+  * scanned a few at a time — on a key the layout is clustered by, the
+  * k-th key surfaces in the first file or two, making the pre-pass
+  * O(k) I/O instead of a full narrow-column scan. The same footer
+  * stats gate NARROW queries (no columns saved) through a clustering
+  * heuristic ([[minDisjointFraction]]): for them the win is the bound
+  * pruning the main scan itself, which only happens on a clustered
+  * key.
   *
   * The same idea ships in modern columnar engines as "lazy
   * materialization" (ClickHouse 25.4's query-condition-from-top-k; the
@@ -45,14 +54,37 @@ import org.apache.spark.sql.types._
   */
 object LazyTopK {
 
-  /** Minimum columns saved (output width minus narrow set) to fire. */
+  /** Minimum columns saved (output width minus narrow set) to fire when
+    * the key column has no usable footer statistics (the pre-pass then
+    * scans the full narrow column set — it must save wide-phase decode
+    * to pay for itself). With footer stats the pre-pass is STAGED (a
+    * few files), so the width guard is replaced by the clustering
+    * heuristic below. */
   @volatile var minSavedCols: Int = 8
 
   /** Largest LIMIT the pre-pass will collect. */
   @volatile var maxK: Int = 100000
 
+  /** Minimum fraction of adjacent (min-ordered) file pairs whose key
+    * ranges are disjoint for a NARROW query (savedCols < minSavedCols)
+    * to stage: on a key the layout is clustered by, the fraction is ~1
+    * and the bound prunes almost everything; on an unclustered key it
+    * is ~0 and the rewrite would only add planning I/O. */
+  @volatile var minDisjointFraction: Double = 0.5
+
   /** Marks an injected bound so the fixpoint batch cannot re-fire. */
   private val BoundedTag = TreeNodeTag[Boolean]("graft.lazyTopK.bounded")
+
+  /** Re-entrancy guard: the staged pre-pass executes a Sort+Limit plan
+    * that this rule would otherwise match again. */
+  private val inPrePass = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Per-file (min, max) of one column, normalized to an ordering-
+    * comparable value; None = no stat in that file's footers. */
+  private final case class FileStat(path: String, min: Option[Any],
+                                    max: Option[Any])
 
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(Rewrite))
@@ -67,16 +99,18 @@ object LazyTopK {
     }
 
   object Rewrite extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-      case gl @ GlobalLimit(IntegerLiteral(k),
-          ll @ LocalLimit(_, s @ Sort(orders, true, child, _)))
-          if k > 0 && k <= maxK && orders.nonEmpty =>
-        rewrite(k, s, child, orders) match {
-          case Some(newChild) =>
-            gl.copy(child = ll.copy(child = s.copy(child = newChild)))
-          case None => gl
-        }
-    }
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (inPrePass.get()) plan // the pre-pass plan must not re-fire the rule
+      else plan.transformDown {
+        case gl @ GlobalLimit(IntegerLiteral(k),
+            ll @ LocalLimit(_, s @ Sort(orders, true, child, _)))
+            if k > 0 && k <= maxK && orders.nonEmpty =>
+          rewrite(k, s, child, orders) match {
+            case Some(newChild) =>
+              gl.copy(child = ll.copy(child = s.copy(child = newChild)))
+            case None => gl
+          }
+      }
 
     private def rewrite(k: Int, sort: Sort, child: LogicalPlan,
                         orders: Seq[SortOrder]): Option[LogicalPlan] = {
@@ -114,21 +148,48 @@ object LazyTopK {
       if (conds.exists(c => !c.deterministic ||
           c.exists(_.isInstanceOf[PlanExpression[_]]))) return None
 
-      // width guard: the wide phase must read substantially more than
-      // the pre-pass needs
       val narrow = AttributeSet(conds.flatMap(_.references) :+ key)
-      if (child.output.size - narrow.size < minSavedCols) return None
+      val saved = child.output.size - narrow.size
+      val fsRel = rel.relation.asInstanceOf[HadoopFsRelation]
+      // Footer statistics of the key column drive two upgrades over the
+      // full-table narrow pre-pass: (a) the pre-pass becomes STAGED —
+      // files ordered by their key min/max, scanned a few at a time
+      // until k filter-passing keys are found, O(k) I/O on a clustered
+      // key instead of a full narrow scan; (b) the width guard drops for
+      // narrow queries when the layout is clustered on the key (the
+      // bound then prunes the main scan itself, which IS the win — e.g.
+      // `SELECT SearchPhrase ... ORDER BY EventTime LIMIT 10` on a
+      // time-laid-out table reads ~2 files instead of all of them; at
+      // 100 TB that is the difference between touching one partition
+      // and the whole fleet scanning).
+      val stats =
+        if (fsRel.partitionSchema.isEmpty) fileStats(fsRel, key) else None
+      stats match {
+        case Some(st) if st.size > 1 =>
+          val go = saved >= minSavedCols ||
+            disjointFraction(st, key.dataType) >= minDisjointFraction
+          if (!go) return None
+          stagedBoundOf(k, key, orders.head, conds, fsRel, st)
+            .map(inject(_, key, child, rel))
+        case _ =>
+          // no usable stats (e.g. no footers, nested/decimal key):
+          // the original full narrow pre-pass, width-gated
+          if (saved < minSavedCols) return None
+          boundOf(k, sort, child, key, orders.head)
+            .map(inject(_, key, child, rel))
+      }
+    }
 
-      boundOf(k, sort, child, key, orders.head).map { bound =>
-        val pred =
-          if (key.nullable) Or(bound, IsNull(key))
-          else bound
-        child.transformUp {
-          case lr: LogicalRelation if lr eq rel =>
-            val f = Filter(pred, lr)
-            f.setTagValue(BoundedTag, true)
-            f
-        }
+    private def inject(bound: Expression, key: AttributeReference,
+                       child: LogicalPlan, rel: LogicalRelation): LogicalPlan = {
+      val pred =
+        if (key.nullable) Or(bound, IsNull(key))
+        else bound
+      child.transformUp {
+        case lr: LogicalRelation if lr eq rel =>
+          val f = Filter(pred, lr)
+          f.setTagValue(BoundedTag, true)
+          f
       }
     }
 
@@ -146,8 +207,7 @@ object LazyTopK {
             Sort(Seq(SortOrder(key, order.direction, order.nullOrdering,
                 Seq.empty)), global = true,
               Project(Seq(key), child), None)))
-        val rows = new org.apache.spark.sql.execution.QueryExecution(
-          spark, narrowPlan).executedPlan.executeCollect()
+        val rows = execCollect(spark, narrowPlan)
         if (rows.isEmpty) return None
         // ties and secondary keys are safe: the k-th smallest (largest
         // for DESC) first-key value over the same rows bounds every
@@ -155,14 +215,99 @@ object LazyTopK {
         val vals = rows.toSeq.filterNot(_.isNullAt(0))
           .map(_.get(0, key.dataType))
         if (vals.isEmpty) return None // nulls-first top-k is all-null
-        val lit = Literal(vals.last, key.dataType)
-        Some(order.direction match {
-          case Ascending => LessThanOrEqual(key, lit)
-          case Descending => GreaterThanOrEqual(key, lit)
-        })
+        Some(mkBound(key, order, vals.last))
       } catch {
         // never swallow fatals or a cancellation: a cancelled query must
         // not proceed through the planning-time pre-pass as if fine
+        case ie: InterruptedException => throw ie
+        case scala.util.control.NonFatal(_) => None
+      }
+
+    private def mkBound(key: AttributeReference, order: SortOrder,
+                        v: Any): Expression = {
+      val lit = Literal(v, key.dataType)
+      order.direction match {
+        case Ascending => LessThanOrEqual(key, lit)
+        case Descending => GreaterThanOrEqual(key, lit)
+      }
+    }
+
+    private def execCollect(spark: org.apache.spark.sql.classic.SparkSession,
+                            plan: LogicalPlan)
+        : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+      inPrePass.set(true)
+      try new org.apache.spark.sql.execution.QueryExecution(spark, plan)
+        .executedPlan.executeCollect()
+      finally inPrePass.set(false)
+    }
+
+    /** STAGED pre-pass: scan the `order.direction`-first files (by
+      * footer min/max) a few at a time until k non-null filter-passing
+      * keys surface; the k-th over ANY subset with k passing rows is >=
+      * (ASC; <= for DESC) the true k-th over the whole table, so the
+      * bound is always sound — staging only affects tightness, and the
+      * file ordering only affects how fast it is found. The final stage
+      * is the whole file set, which reproduces the full pre-pass
+      * semantics (including the fewer-than-k-non-null case). */
+    private def stagedBoundOf(k: Int, key: AttributeReference,
+        order: SortOrder, conds: Seq[Expression],
+        fsRel: HadoopFsRelation, st: Seq[FileStat]): Option[Expression] =
+      try {
+        val spark = fsRel.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val asc = order.direction == Ascending
+        // missing-stat files first: they can hold anything, so they are
+        // always candidates for the extreme k
+        val ordered = st.sortWith { (a, b) =>
+          val (sa, sb) = if (asc) (a.min, b.min) else (b.max, a.max)
+          (sa, sb) match {
+            case (None, Some(_)) => true
+            case (Some(_), None) => false
+            case (Some(x), Some(y)) => cmp(x, y) < 0
+            case _ => false
+          }
+        }
+        val n = ordered.size
+        val stages = (Iterator.iterate(1)(_ * 8).takeWhile(_ < n).toSeq :+ n)
+          .distinct
+        for (sz <- stages) {
+          val paths = ordered.take(sz).map(_.path)
+          val reader = spark.read.schema(fsRel.dataSchema).parquet(paths: _*)
+          val out = reader.queryExecution.analyzed.output
+          val byName = out.map(a => a.name -> a).toMap
+          def remap(e: Expression): Option[Expression] = {
+            var allResolved = true
+            val r = e.transformUp {
+              case a: AttributeReference => byName.get(a.name) match {
+                case Some(x) => x
+                case None => allResolved = false; a
+              }
+            }
+            if (allResolved) Some(r) else None
+          }
+          val key2 = byName.getOrElse(key.name, return None)
+          val remapped = conds.map(remap)
+          if (remapped.exists(_.isEmpty)) return None
+          val filtered = remapped.flatten.foldLeft(
+            reader.queryExecution.analyzed: LogicalPlan)((p, c) => Filter(c, p))
+          val narrowPlan = GlobalLimit(Literal(k),
+            LocalLimit(Literal(k),
+              Sort(Seq(SortOrder(key2, order.direction, order.nullOrdering,
+                  Seq.empty)), global = true,
+                Project(Seq(key2), filtered), None)))
+          val rows = execCollect(spark, narrowPlan)
+          val vals = rows.toSeq.filterNot(_.isNullAt(0))
+            .map(_.get(0, key.dataType))
+          if (sz >= n) { // full set: the original pre-pass semantics
+            if (rows.isEmpty || vals.isEmpty) return None
+            return Some(mkBound(key, order, vals.last))
+          }
+          // a SUBSET bound is sound only when k non-null keys passed
+          if (vals.lengthCompare(k) == 0)
+            return Some(mkBound(key, order, vals.last))
+        }
+        None
+      } catch {
         case ie: InterruptedException => throw ie
         case scala.util.control.NonFatal(_) => None
       }
@@ -172,6 +317,126 @@ object LazyTopK {
            _: FloatType | _: DoubleType | _: StringType | _: DateType |
            _: TimestampType | _: DecimalType | _: BooleanType => true
       case _ => false
+    }
+
+    // ------------------------------------------- footer statistics layer
+
+    /** Ordering-comparable (min, max) per file from parquet FOOTERS only
+      * (KBs each, planning-time, driver-side — the same metadata class
+      * as partition listing). Values are normalized to Long / Double /
+      * Array[Byte]; ordering mistakes here can only cost tightness,
+      * never correctness (the bound itself always comes from executing
+      * a real scan). Cached per (path-set hash, column): a same-paths
+      * rewrite can serve stale stats, which again only affects staging
+      * order. */
+    private val statsCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[FileStat]]()
+
+    private def fileStats(fsRel: HadoopFsRelation,
+                          key: AttributeReference): Option[Seq[FileStat]] = {
+      if (!statSupported(key.dataType)) return None
+      val files = fsRel.location.inputFiles
+      if (files.isEmpty) return None
+      val cacheKey = java.util.Arrays.hashCode(
+        files.asInstanceOf[Array[AnyRef]]) + "|" + files.length + "|" + key.name
+      val hit = statsCache.get(cacheKey)
+      if (hit != null) return Some(hit)
+      try {
+        val conf = fsRel.sparkSession.sessionState.newHadoopConf()
+        val st = files.toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            val chunks = r.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == key.name)
+            val mms = chunks.map(c => normalizeStats(c.getStatistics, key.dataType))
+            if (mms.isEmpty || mms.exists(_.isEmpty)) FileStat(f, None, None)
+            else {
+              val defined = mms.flatten
+              FileStat(f,
+                Some(defined.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b)),
+                Some(defined.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+            }
+          } finally r.close()
+        }
+        statsCache.put(cacheKey, st)
+        if (statsCache.size > 256) statsCache.clear() // bound the cache
+        Some(st)
+      } catch {
+        case ie: InterruptedException => throw ie
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    private def statSupported(dt: DataType): Boolean = dt match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: DateType | _: TimestampType | _: FloatType | _: DoubleType |
+           _: StringType | _: BooleanType => true
+      case _ => false
+    }
+
+    private def normalizeStats(
+        s: org.apache.parquet.column.statistics.Statistics[_],
+        dt: DataType): Option[(Any, Any)] = {
+      if (s == null || !s.hasNonNullValue) return None
+      def norm(v: Any): Option[Any] = (v, dt) match {
+        case (n: Number, _: IntegerType | _: LongType | _: ShortType |
+                         _: ByteType | _: DateType | _: TimestampType) =>
+          Some(n.longValue())
+        case (n: Number, _: FloatType | _: DoubleType) =>
+          Some(n.doubleValue())
+        case (b: java.lang.Boolean, _: BooleanType) =>
+          Some(if (b) 1L else 0L)
+        case (b: org.apache.parquet.io.api.Binary, _: StringType) =>
+          Some(b.getBytes)
+        case _ => None
+      }
+      for (mn <- norm(s.genericGetMin()); mx <- norm(s.genericGetMax()))
+        yield (mn, mx)
+    }
+
+    /** Normalized-value comparison: Long/Double numerically, byte arrays
+      * unsigned-lexicographically (parquet's UTF8 column order, which is
+      * also UTF8String's). */
+    private def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: Array[Byte], y: Array[Byte]) =>
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      case _ => 0
+    }
+
+    /** How clustered is the layout on the key: fraction of adjacent
+      * min-ordered file pairs with disjoint [min, max] ranges. ~1 on a
+      * key the files are laid out by (time-ordered tables), ~0 on an
+      * uncorrelated key (every file spans the domain). Missing stats
+      * count as overlap. */
+    private def disjointFraction(st: Seq[FileStat], dt: DataType): Double = {
+      if (st.size < 2) return 0.0
+      val sorted = st.sortWith { (a, b) =>
+        (a.min, b.min) match {
+          case (Some(x), Some(y)) => cmp(x, y) < 0
+          case (None, Some(_)) => true
+          case _ => false
+        }
+      }
+      val disjoint = sorted.sliding(2).count {
+        case Seq(a, b) => (a.max, b.min) match {
+          case (Some(x), Some(y)) => cmp(x, y) <= 0
+          case _ => false
+        }
+        case _ => false
+      }
+      disjoint.toDouble / (st.size - 1)
     }
   }
 }

@@ -108,6 +108,15 @@ object TokenBloomIndex {
   def prunedFiles(spark: SparkSession, tablePath: String, column: String,
                   pattern: String): (Seq[String], Int) = {
     val tableFiles = spark.read.parquet(tablePath).inputFiles.toSeq
+    // SCALE BOUNDARY: this collect holds one bloom per file on the
+    // driver — fine to ~10^4 files (a few hundred MB), but a 100 TB
+    // table at ~10^6 files × 512 KiB is ~50 GB of driver heap. Past
+    // ~10^5 files the membership test must move off the driver: keep
+    // the sidecar distributed and ANTI-JOIN the file list against
+    // per-file bloom probes computed executor-side (one task per
+    // sidecar partition, shipping only the gram hashes), then collect
+    // just the surviving file names — same output, driver holds only
+    // the file list it already holds for planning.
     val side = spark.read.parquet(sidecarPath(tablePath))
       .filter(col("column") === column)
       .select(col("file"), col("n"), col("bloom")).collect()

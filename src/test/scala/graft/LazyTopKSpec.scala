@@ -62,10 +62,62 @@ class LazyTopKSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
-  test("does not fire on narrow projections (the pre-pass would be the query)") {
+  test("does not fire on narrow projections over an UNCLUSTERED key " +
+      "(no columns saved, no files prunable - the rewrite cannot win)") {
     val q = read().select(col("ts"), col("id"))
       .orderBy(col("ts")).limit(10)
     assert(!LazyTopK.usesLazyTopK(q))
+  }
+
+  /** Key-clustered table: 8 files, each a contiguous ts range — footer
+    * stats make adjacent ranges disjoint, the staged pre-pass territory. */
+  private lazy val clustered: String = {
+    val d = "target/lazytopk_clustered"
+    spark.range(0, 8000, 1, 8).toDF("id")
+      .withColumn("ts", col("id"))
+      .withColumn("tag", concat(lit("t"), col("id") % 7))
+      // a tag that only exists LATE in the ts order: the first staged
+      // file holds no match, forcing stage growth
+      .withColumn("late", (col("id") >= 6000).cast("int"))
+      .select(Seq(col("id"), col("ts"), col("tag"), col("late")) ++
+        (1 to 12).map(i => (col("id") * i).as(s"m$i")): _*)
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("narrow top-k on a clustered key fires and matches (staged bound)") {
+    val q = spark.read.parquet(clustered).select(col("ts"), col("id"))
+      .orderBy(col("ts")).limit(10)
+    assert(LazyTopK.usesLazyTopK(q),
+      "clustered-key narrow top-k did not fire")
+    val got = q.as[(Long, Long)].collect().toSeq
+    assert(got == (0L until 10L).map(i => (i, i)))
+    // DESC reads from the other end
+    val qd = spark.read.parquet(clustered).select(col("ts"), col("id"))
+      .orderBy(col("ts").desc).limit(3)
+    assert(LazyTopK.usesLazyTopK(qd))
+    assert(qd.as[(Long, Long)].collect().toSeq ==
+      (7999L to 7997L by -1).map(i => (i, i)))
+  }
+
+  test("staged pre-pass grows past empty early files and stays exact") {
+    // every match lives in the last quarter of the ts order: stage 1
+    // (first file) yields zero rows, the bound must come from a wider
+    // stage (or the full set) and the result must equal the plain sort
+    val q = spark.read.parquet(clustered).filter(col("late") === 1)
+      .orderBy(col("ts")).limit(10)
+    val got = q.select(col("id")).as[Long].collect().toSeq
+    assert(got == (6000L until 6010L).toSeq)
+  }
+
+  test("wide top-k on a clustered key: staged bound, exact result") {
+    val q = spark.read.parquet(clustered).filter(col("tag") === "t3")
+      .orderBy(col("ts"), col("id")).limit(10)
+    assert(LazyTopK.usesLazyTopK(q))
+    val got = q.collect().map(_.getLong(0)).toSeq
+    val exp = spark.read.parquet(clustered).filter(col("tag") === "t3")
+      .select(col("id")).as[Long].collect().toSeq.sorted.take(10)
+    assert(got == exp)
   }
 
   test("does not fire without a limit or on non-attribute sort keys") {
