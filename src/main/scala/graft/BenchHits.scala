@@ -380,17 +380,30 @@ object BenchHits {
       where = Seq(ctr62, col("Refresh") === 0,
         col("TraficSourceID").isin(-1, 6), refhashRu))
     // q42: GROUP BY (WindowClientWidth, WindowClientHeight) under the
-    // URLHash point filter — ~3 k state rows
+    // URLHash point filter — the key domain is BOUNDED (~3 k rows at any
+    // base scale: resolutions x 31 dates), so the state lives in ONE
+    // partition. SinglePartition satisfies every distribution, making
+    // the routed roll-up exchange-free even though it groups by a strict
+    // key subset.
     graft.plans.Projections.registerAggExpr(spark, hits,
       keys = Seq(col("WindowClientWidth"), col("WindowClientHeight"),
         col("EventDate")), measures = Nil,
       where = Seq(ctr62, col("Refresh") === 0, col("DontCountHits") === 0,
-        urlhashRu))
-    // q43: GROUP BY minute — one state row per minute of the month
+        urlhashRu),
+      coalesceTo = Some(1))
+    // q43: GROUP BY minute — <= 44640 state rows (minutes in the month)
+    // at ANY base scale, another bounded-key state. Without coalesceTo
+    // the subset roll-up + global ORDER BY planned TWO exchanges and a
+    // range-sampling job over those 44 k rows; stack-sampling showed the
+    // whole 0.5 s was shuffle-file open/commit churn across 4 stages of
+    // 32 tasks, zero real work (round-12 q43 regression diagnosis). As a
+    // single partition the query is one exchange-free stage: local
+    // roll-up, local sort.
     graft.plans.Projections.registerAggExpr(spark, hits,
       keys = Seq(date_trunc("minute", col("EventTime")), col("EventDate")),
       measures = Nil,
-      where = Seq(ctr62, col("Refresh") === 0, col("DontCountHits") === 0))
+      where = Seq(ctr62, col("Refresh") === 0, col("DontCountHits") === 0),
+      coalesceTo = Some(1))
     filteredRegistered
   }
 

@@ -35,7 +35,12 @@ object BenchProbe {
           f"execMs=${m.executorRunTime}%6d cpuMs=${m.executorCpuTime / 1000000}%6d " +
           f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1024 / 1024}%4dMB " +
           f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024 / 1024}%4dMB " +
-          f"gcMs=${m.jvmGCTime}%5d  ${si.name.takeWhile(_ != '\n').take(60)}")
+          f"gcMs=${m.jvmGCTime}%5d deserMs=${m.executorDeserializeTime}%6d " +
+          f"deserCpuMs=${m.executorDeserializeCpuTime / 1000000}%6d " +
+          f"${si.name.takeWhile(_ != '\n').take(60)}" +
+          (if (sys.env.get("SPARK_GRAFT_PROBE_RDDS").contains("1"))
+             si.rddInfos.map(r => s"\n        rdd=${r.id} ${r.name} [${r.scope.map(_.name).getOrElse("")}]").mkString
+           else ""))
       }
     })
 
@@ -58,6 +63,25 @@ object BenchProbe {
 
     val sql = BenchHits.queries(qn - 1)
     println(s"=== q$qn: ${sql.take(120)}")
+    if (sys.env.get("SPARK_GRAFT_PROBE_EXPLAIN").contains("1")) {
+      val qe = spark.sql(sql).queryExecution
+      println("=== OPTIMIZED ===\n" + qe.optimizedPlan)
+      println("=== PHYSICAL ===\n" + qe.executedPlan)
+    }
+    if (sys.env.get("SPARK_GRAFT_PROBE_STATE").contains("1")) {
+      graft.plans.Projections.exprAggDfs.zipWithIndex.foreach { case ((df, pl), i) =>
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val t1 = System.nanoTime()
+        val n2 = df.count()
+        val t2 = System.nanoTime()
+        val imrs = pl.collect {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+        println(f"state[$i]: rows=$n count1=${(t1 - t0) / 1e9}%.3f s " +
+          f"count2=${(t2 - t1) / 1e9}%.3f s imrInPlan=${imrs.size} " +
+          s"builderMaterialized=${imrs.headOption.map(_.cacheBuilder.isCachedColumnBuffersLoaded)}")
+      }
+    }
     println(s"routes: rowProj=${graft.plans.Projections.usesRowProjection(spark.sql(sql))}" +
       s" filtered=${graft.plans.Projections.usesFilteredProjection(spark.sql(sql))}" +
       s" exprAgg=${graft.plans.Projections.usesExprAggProjection(spark.sql(sql))}")

@@ -301,13 +301,17 @@ object JpegCodec {
             o += 17 + n
           }
         case 0xc0 => // SOF0 baseline
-          if (bodyLen < 8) return None
+          if (bodyLen < 9) return None // 6 frame bytes + 3 per component
           if ((b(body) & 0xff) != 8) return None
           h = ((b(body + 1) & 0xff) << 8) | (b(body + 2) & 0xff)
           w = ((b(body + 3) & 0xff) << 8) | (b(body + 4) & 0xff)
           val ncomp = b(body + 5) & 0xff
           if (ncomp != 1) return None // grayscale only
           if ((b(body + 7) & 0xff) != 0x11) return None // no subsampling
+          // component quant-table selector: only table 0 is parsed, so a
+          // frame selecting table 1 must classify as None, not silently
+          // dequantize with table 0 (same rule as the DC/AC selectors)
+          if ((b(body + 8) & 0xff) != 0) return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
           return None // extended/progressive/lossless/arithmetic

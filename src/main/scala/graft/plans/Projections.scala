@@ -172,7 +172,8 @@ object Projections {
       measureCols: Seq[org.apache.spark.sql.Column],
       whereCols: Seq[org.apache.spark.sql.Column],
       basePaths: Set[String],
-      clusterIdx: Seq[Int] = Nil)         // state layout key indices
+      clusterIdx: Seq[Int] = Nil,         // state layout key indices
+      coalesceTo: Option[Int] = None)     // state partition count override
 
   private val exprAggRegistry =
     new java.util.concurrent.CopyOnWriteArrayList[ExprAggProjDef]()
@@ -471,6 +472,15 @@ object Projections {
           // silently serve the old bucketing
           p.bucketDisk.exists(bd => bd._1 == numBuckets && bd._2 == dirAbs)
       }.foreach(p => return p.projDf)
+      // a LIVE entry already points its bucketed relation at this dir
+      // with a different definition (other bucket count / columns / base)
+      // — rebuilding would DROP/recreate the catalog table and overwrite
+      // files that entry's captured plan still scans. Refuse loudly,
+      // mirroring registerFiltered's guard.
+      require(!registry.asScala.exists(_.bucketDisk.exists(_._2 == dirAbs)),
+        s"registerBucketed: dir $dirAbs is already backing a registered " +
+          "projection with a different definition; clear() or use a " +
+          "distinct directory")
       val (projPlan, proj) =
         buildBucketed(base, bucketCols, columns, numBuckets, dirAbs,
           reuseExisting = true)
@@ -698,7 +708,8 @@ object Projections {
       keyCols: Seq[org.apache.spark.sql.Column],
       measureCols: Seq[org.apache.spark.sql.Column],
       whereCols: Seq[org.apache.spark.sql.Column],
-      clusterIdx: Seq[Int] = Nil)
+      clusterIdx: Seq[Int] = Nil,
+      coalesceTo: Option[Int] = None)
       : (LogicalPlan, DataFrame, Seq[DataType]) = {
     val filtered = whereCols.foldLeft(base)((d, c) => d.filter(c))
     val withCols = filtered.select(
@@ -723,9 +734,18 @@ object Projections {
     // exactly that subset then aggregates per-partition with no exchange
     // (HashPartitioning on the grouping keys satisfies the aggregate's
     // ClusteredDistribution through the cache's preserved partitioning).
-    val laid =
-      if (clusterIdx.isEmpty) grouped
-      else grouped.repartition(clusterIdx.map(i => col(s"__key_$i")): _*)
+    // coalesceTo collapses the state to a fixed partition count instead —
+    // for BOUNDED-key states (a minute-of-month key is <= 44640 rows at
+    // ANY base scale) coalesceTo=1 yields SinglePartition, which
+    // satisfies EVERY distribution: a routed roll-up AND its ORDER BY
+    // both plan exchange-free, one stage, no range-sampling job. The
+    // contract is the caller's: only coalesce a state whose key domain
+    // is bounded, never one that grows with the data.
+    val laid = coalesceTo match {
+      case Some(n) => grouped.coalesce(n)
+      case None if clusterIdx.isEmpty => grouped
+      case None => grouped.repartition(clusterIdx.map(i => col(s"__key_$i")): _*)
+    }
     val proj = laid.persist(StorageLevel.MEMORY_AND_DISK)
     proj.count()
     (proj.queryExecution.optimizedPlan, proj, mTypes)
@@ -744,10 +764,12 @@ object Projections {
       keys: Seq[org.apache.spark.sql.Column],
       measures: Seq[org.apache.spark.sql.Column],
       where: Seq[org.apache.spark.sql.Column] = Nil,
-      clusterIdx: Seq[Int] = Nil): DataFrame =
+      clusterIdx: Seq[Int] = Nil,
+      coalesceTo: Option[Int] = None): DataFrame =
     lock.synchronized {
       require(clusterIdx.forall(keys.indices.contains),
         "registerAggExpr: clusterIdx must index into keys")
+      require(coalesceTo.forall(_ > 0), "registerAggExpr: coalesceTo must be > 0")
       val baseLeaf = leafOf(base.queryExecution.optimizedPlan)
         .getOrElse(throw new IllegalArgumentException(
           "Projections.registerAggExpr: base must scan a single relation"))
@@ -761,13 +783,13 @@ object Projections {
       exprAggRegistry.asScala.find { p =>
         p.baseLeafCanonical == baseLeaf.canonicalized && p.keyNorms == keyN &&
           p.measureNorms == mN && p.whereNorms == whereN &&
-          p.clusterIdx == clusterIdx
+          p.clusterIdx == clusterIdx && p.coalesceTo == coalesceTo
       }.foreach(p => return p.projDf)
       val (projPlan, proj, mTypes) =
-        buildAggExpr(base, keys, measures, where, clusterIdx)
+        buildAggExpr(base, keys, measures, where, clusterIdx, coalesceTo)
       exprAggRegistry.add(ExprAggProjDef(baseLeaf.canonicalized, keyN, mN,
         mTypes, whereN, projPlan, proj, base, keys, measures, where,
-        rootPathsOf(base), clusterIdx))
+        rootPathsOf(base), clusterIdx, coalesceTo))
       install(spark)
       proj
     }
@@ -841,7 +863,7 @@ object Projections {
         refreshBase(p.base)
         val (projPlan, proj, _) =
           buildAggExpr(p.base, p.keyCols, p.measureCols, p.whereCols,
-            p.clusterIdx)
+            p.clusterIdx, p.coalesceTo)
         exprAggRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }
@@ -873,6 +895,10 @@ object Projections {
     exprAggRegistry.asScala.exists(p =>
       leafOf(p.projPlan).exists(pl => leaves.contains(pl.canonicalized)))
   }
+
+  /** Debug hook: the registered expression-keyed state DataFrames. */
+  private[graft] def exprAggDfs: Seq[(DataFrame, LogicalPlan)] =
+    exprAggRegistry.asScala.toSeq.map(p => (p.projDf, p.projPlan))
 
   /** Number of registered projections (spec hook). */
   private[graft] def registeredCount: Int =
@@ -1172,7 +1198,13 @@ object Projections {
               if routeNondeterministic =>
             measureIdx(f.child).flatMap(i => attr(s"__min_e$i"))
               .map(a => complete(Min(a)): Expression).getOrElse(fail(ae))
-          case a: Average =>
+          // the replacement is Double-typed; an Average whose result type
+          // differs (DecimalType measures — avg over decimal returns
+          // decimal) must NOT route, or the routed query would silently
+          // change result type/precision. (Decimal measures carry no
+          // __sum state either — summable() excludes them — so this
+          // guard is belt-and-braces on top of that.)
+          case a: Average if ae.dataType == DoubleType =>
             (for (i <- measureIdx(a.child);
                   sa <- attr(s"__sum_e$i"); ca <- attr(s"__cntnn_e$i"))
               yield {
@@ -1275,7 +1307,9 @@ object Projections {
             case m: Max =>
               measureAttr(m.child).flatMap(a => st("max", a.name))
                 .map(ma => complete(Max(ma)): Expression).getOrElse(fail(ae))
-            case a: Average =>
+            // Double-typed replacement only (see rewriteExprAgg's guard):
+            // a decimal-typed avg must keep its decimal result unrouted
+            case a: Average if ae.dataType == DoubleType =>
               (for (ma <- measureAttr(a.child);
                     sa <- st("sum", ma.name); ca <- st("cntnn", ma.name))
                 yield {

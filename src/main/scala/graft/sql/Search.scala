@@ -84,17 +84,12 @@ object Search {
 
   /** Explain-only paths must not do executor I/O: LazyTopK's bounded
     * pre-pass is a real (narrow) scan at optimization time, so it is
-    * disabled while a plan is rendered for inspection. */
-  private def withoutPrePass[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.graft.lazyTopK.prePass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+    * disabled while a plan is rendered for inspection. Thread-local
+    * (Catalyst plans lazily on the accessing thread), so interleaved
+    * explain calls cannot strand the session conf and concurrent query
+    * planning on other threads keeps the rewrite. */
+  private def withoutPrePass[T](spark: SparkSession)(body: => T): T =
+    graft.plans.LazyTopK.withoutPrePass(body)
 
   /** EXPLAIN levels, mapping the reference's modes (EXPLAIN AST / SYNTAX
     * / PLAN / PIPELINE, `src/Interpreters/InterpreterExplainQuery.cpp`)

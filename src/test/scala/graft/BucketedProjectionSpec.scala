@@ -102,4 +102,24 @@ class BucketedProjectionSpec extends AnyFunSuite {
         s"rebuilt copy does not see the appended rows: ${after.get(77L)}")
     } finally Projections.clear()
   }
+
+  test("re-registering the same dir with a different definition is refused") {
+    val (baseDir, copyDir) = freshDirs()
+    val base = writeBase(baseDir)
+    Projections.registerBucketed(spark, base, Seq("uid"),
+      Seq("uid", "phrase", "v"), numBuckets = 8, dir = copyDir)
+    try {
+      // a LIVE entry scans copyDir with 8 buckets; rebuilding it with a
+      // different bucket count would overwrite the files mid-scan —
+      // must refuse loudly, never drop/recreate under the live plan
+      val e = intercept[IllegalArgumentException] {
+        Projections.registerBucketed(spark, base, Seq("uid"),
+          Seq("uid", "phrase", "v"), numBuckets = 16, dir = copyDir)
+      }
+      assert(e.getMessage.contains("already backing"))
+      // the original registration keeps routing
+      def q: DataFrame = base.groupBy(col("uid")).agg(count(lit(1)).as("c"))
+      assert(Projections.usesRowProjection(q))
+    } finally Projections.clear()
+  }
 }

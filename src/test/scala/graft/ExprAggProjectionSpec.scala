@@ -188,4 +188,55 @@ class ExprAggProjectionSpec extends AnyFunSuite {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
+
+  test("coalesceTo=1 state routes exchange-free: subset roll-up + ORDER BY in one stage") {
+    val base = makeBase()
+    // bounded-key state (13 urls x 7 refs); subset grouping + a global
+    // sort would otherwise plan a hash exchange AND a range exchange
+    def q: DataFrame = base
+      .filter(col("ref") =!= "")
+      .groupBy(substring(col("url"), 8, 3).as("key"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("key"))
+    val exact = q.collect().map(_.toString).toSeq
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(substring(col("url"), 8, 3), col("ref")),
+      measures = Nil,
+      where = Seq(col("ref") =!= ""),
+      coalesceTo = Some(1))
+    try {
+      assert(routed(q), "subset roll-up did not route")
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"SinglePartition state must satisfy every distribution; found: $exchanges")
+      assert(q.collect().map(_.toString).toSeq == exact,
+        "single-partition routed result diverges")
+    } finally Projections.clear()
+  }
+
+  test("avg over a decimal measure must not route (result type would change)") {
+    val base = spark.range(1000).select(
+      (col("id") % 5).as("g"),
+      (col("id") % 97).cast("decimal(38,2)").as("d"))
+      .persist()
+    base.count()
+    def q: DataFrame = base.groupBy(col("g")).agg(avg(col("d")).as("a"))
+    val exact = q.collect().map(_.toString).toSet
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(col("g")), measures = Seq(col("d")))
+    try {
+      // count/min/max over the decimal measure still route...
+      val qOk = base.groupBy(col("g"))
+        .agg(count(col("d")).as("c"), min(col("d")).as("mn"))
+      assert(routed(qOk), "count/min over decimal measure should route")
+      // ...but avg must NOT: Spark's avg(decimal) returns decimal, and the
+      // state rewrite would emit a Double — silent type/precision change
+      assert(!routed(q), "decimal avg routed: result type would change")
+      assert(q.schema("a").dataType.isInstanceOf[
+        org.apache.spark.sql.types.DecimalType])
+      assert(q.collect().map(_.toString).toSet == exact)
+    } finally Projections.clear()
+  }
 }

@@ -123,6 +123,14 @@ class JpegCodecSpec extends AnyFunSuite {
     big(sofAt + 5) = 0xff.toByte; big(sofAt + 6) = 0xff.toByte // h = 65535
     big(sofAt + 7) = 0xff.toByte; big(sofAt + 8) = 0xff.toByte // w = 65535
     assert(JpegCodec.decodeGray(big).isEmpty)
+    // component quant-table selector Tq != 0: only table 0 is parsed, so
+    // selecting table 1 must classify as None (decoding with table 0
+    // would be silently wrong pixels). SOF0 body: marker(2)+len(2), then
+    // prec, h16, w16, ncomp, compId, HV, Tq -> Tq at body offset 8.
+    val tq1 = good.clone()
+    assert((tq1(sofAt + 12) & 0xff) == 0, "fixture component Tq should be 0")
+    tq1(sofAt + 12) = 1
+    assert(JpegCodec.decodeGray(tq1).isEmpty, "Tq=1 frame must be rejected")
   }
 
   test("decoder accepts APPn/COM segments in the walk (real-file shape)") {

@@ -138,4 +138,46 @@ class LazyTopKSpec extends AnyFunSuite {
       .orderBy(col("ts")).limit(10)
     assert(q.count() == 0)
   }
+
+  test("footer stats: many-file table plans bounded, caches by path digest, " +
+      "and same-size tables never share an entry") {
+    // 64 files: the parallel footer pool (16 threads) must read each
+    // footer exactly once, then serve repeats from the LRU cache
+    val dA = "target/lazytopk_manyA"
+    val dB = "target/lazytopk_manyB"
+    spark.range(0, 6400, 1, 64).toDF("id").withColumn("ts", col("id"))
+      .select(Seq(col("id"), col("ts")) ++
+        (1 to 12).map(i => (col("id") * i).as(s"m$i")): _*)
+      .write.mode("overwrite").parquet(dA)
+    // same file COUNT and schema, DIFFERENT data range: under a weak
+    // (32-bit) cache key these two tables could collide and B's pre-pass
+    // would scan A's files — B's result must still be exact
+    spark.range(100000, 106400, 1, 64).toDF("id").withColumn("ts", col("id"))
+      .select(Seq(col("id"), col("ts")) ++
+        (1 to 12).map(i => (col("id") * i).as(s"m$i")): _*)
+      .write.mode("overwrite").parquet(dB)
+    val before = LazyTopK.Rewrite.footerReads.get()
+    val t0 = System.nanoTime()
+    val qa = spark.read.parquet(dA).orderBy(col("ts")).limit(5)
+    assert(LazyTopK.usesLazyTopK(qa))
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(qa.select(col("ts")).as[Long].collect().toSeq == (0L until 5L))
+    val afterA = LazyTopK.Rewrite.footerReads.get()
+    assert(afterA - before <= 64 + 64, // usesLazyTopK plans once, the
+      s"A read ${afterA - before} footers")       // collect may re-plan
+    // bounded planning: 64 parallel footer reads must be well under the
+    // serial worst case (64 x open+parse); generous wall bound
+    assert(planSec < 30.0, s"pre-pass planning took $planSec s")
+    // B: distinct digest -> its own stats, exact result from ITS files
+    val qb = spark.read.parquet(dB).orderBy(col("ts")).limit(5)
+    assert(LazyTopK.usesLazyTopK(qb))
+    assert(qb.select(col("ts")).as[Long].collect().toSeq ==
+      (100000L until 100005L))
+    // repeat on A: served from cache, no new footer reads at plan time
+    val beforeRepeat = LazyTopK.Rewrite.footerReads.get()
+    val qa2 = spark.read.parquet(dA).orderBy(col("ts")).limit(5)
+    assert(LazyTopK.usesLazyTopK(qa2))
+    assert(LazyTopK.Rewrite.footerReads.get() == beforeRepeat,
+      "repeat plan on the same table re-read footers (cache miss)")
+  }
 }
