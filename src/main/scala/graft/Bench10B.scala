@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10 B-row single-query probe (VERDICT r10/r11 stretch): one order of
+  * magnitude past the committed 1 B suite, on a NARROW slice of the hits
+  * generator — the four columns the probe queries touch (CounterID,
+  * RegionID, AdvEngineID, EventDate ≈ 32 GB snappy parquet; the full
+  * 25-column table would be ~520 GB and cannot fit the sandbox volume,
+  * recorded in ATTEMPTS.md). The probe demonstrates the three scale
+  * mechanisms the suite relies on, at 10×:
+  *
+  *   p1  count(*)                  — footer-stat row count, no data read
+  *   p2  GROUP BY AdvEngineID     — the bounded-key single-partition
+  *       (filter != 0, ORDER BY)    aggregate state: answers in the same
+  *                                  tens of ms as at 10 M (state build
+  *                                  cost = one 10 B scan, reported)
+  *   p3  GROUP BY RegionID        — a REAL 10 B-row scan + two-phase
+  *       count/sum, top-10          aggregation over ~5 k groups
+  *   p4  CounterID=62, 2-day      — parquet min/max footer pruning on
+  *       date window count          the monotone EventDate layout: reads
+  *                                  ~2/31 of the files
+  *
+  * EventTime is MONOTONE in the row id (same layout rule the 1 B
+  * generator uses past 100 M — id-range partitions ARE date ranges, so
+  * the clustered layout costs no shuffle at generation). Every other
+  * column hash-derives from the id with the 1 B generator's seeds and
+  * marginal distributions, so per-row work is ~1/6 of the full table's.
+  *
+  * Usage: Bench10B [rows]; writes target/BENCH_hits10b.json and prints
+  * the JSON line. Needs ~35 GB free in target/ and a 60 g heap.
+  */
+object Bench10B {
+  val Rows: Long = 10000000000L
+  val Path = "target/hits_10b_narrow.parquet"
+
+  def generate(spark: SparkSession, path: String, rows: Long): Double = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"))) return 0.0
+    val t0 = System.nanoTime()
+    def h(seed: Int) = xxhash64(lit(seed), col("id"))
+    def hm(seed: Int, m: Long) = pmod(h(seed), lit(m))
+    // same file-count rule as the 1 B table: ~90 MB of the FULL-width
+    // table per file keeps per-file footer stats granular; the narrow
+    // projection lands ~5 MB/file at 6400 files, so halve to 3200 —
+    // still day-granular date ranges (31 days / 3200 files)
+    val nFiles = math.max(32L, rows / 3125000L).toInt
+    spark.range(0, rows, 1, nFiles)
+      .withColumn("CounterID",
+        when(hm(3, 100) < 15, lit(62L)).otherwise(hm(31, 2000)).cast("int"))
+      .withColumn("RegionID",
+        when(hm(5, 100) < 40, hm(51, 20)).otherwise(hm(52, 5000)).cast("int"))
+      .withColumn("AdvEngineID",
+        when(hm(6, 100) < 5, (hm(61, 20) + 1)).otherwise(lit(0L)).cast("int"))
+      .withColumn("EventDate", to_date(timestamp_seconds(lit(1372636800L) +
+        (col("id") * lit(31L * 86400) / lit(rows)).cast("long"))))
+      .drop("id")
+      .write.mode("overwrite").parquet(path)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  val queries: Seq[(String, String)] = Seq(
+    "p1_count" -> "SELECT count(*) FROM hits10",
+    "p2_adv_state" -> ("SELECT AdvEngineID, count(*) FROM hits10 " +
+      "WHERE AdvEngineID != 0 GROUP BY AdvEngineID ORDER BY count(*) DESC"),
+    "p3_region_scan" -> ("SELECT RegionID, count(*) AS c, sum(AdvEngineID) " +
+      "FROM hits10 GROUP BY RegionID ORDER BY c DESC LIMIT 10"),
+    "p4_date_prune" -> ("SELECT count(*) FROM hits10 WHERE CounterID = 62 " +
+      "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-02'"))
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(Rows)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        s"/dev/shm/spark-graft-${ProcessHandle.current().pid()}")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.tune(spark)
+    val ambient = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    val genSec = generate(spark, Path, rows)
+    val hits = spark.read.parquet(Path) // cold: 32 GB cannot cache
+    hits.createOrReplaceTempView("hits10")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    // the bounded-key aggregate state (the suite's q8 mechanism): build
+    // cost is ONE full scan, amortized over every later point query —
+    // timed separately so the probe reports the MV economics honestly
+    val t0 = System.nanoTime()
+    graft.plans.Projections.registerAgg(spark, hits,
+      Seq("AdvEngineID"), Nil, coalesceTo = Some(1))
+    val stateBuildSec = (System.nanoTime() - t0) / 1e9
+
+    def once(sql: String): Double = {
+      val t = System.nanoTime()
+      spark.sql(sql).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    val per = queries.map { case (name, sql) =>
+      name -> (0 until 2).map(_ => once(sql)).min // best-of-2, cold files
+    }
+    graft.plans.Projections.clear()
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val qJson = per.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"hits10b_probe","value":${per.map(_._2).sum},"unit":"sec","rows":$rows,"regime":"cold","heap":"${Runtime.getRuntime.maxMemory() / (1L << 30)}g","load_avg_ambient":$ambient,"load_avg":$loadEnd,"gen_sec":$genSec,"state_build_sec":$stateBuildSec,"hits10b_queries":$qJson}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/BENCH_hits10b.json"), line)
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

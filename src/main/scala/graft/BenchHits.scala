@@ -288,17 +288,24 @@ object BenchHits {
           "WindowClientWidth", "WindowClientHeight", "EventTime"),
         // past 100 M the 15 % slice itself exceeds memory — parquet-
         // materialize it (the reference's on-disk PK-organized part).
-        // sortCol stays None HERE because it was MEASURED both ways at
-        // 1 B: the generated base is monotone EventTime, so the filter
-        // inherits ~640 files each covering a narrow date window —
-        // finer footer-stats pruning than a fresh EventDate range
-        // shuffle, which AQE coalesced to 31 coarse files and which
-        // made the q37-q43 family 14-36 % SLOWER (suite 287.9 s vs
-        // 270.0 s, same-day ambient). sortCol is for bases that are NOT
-        // already time-laid-out (arrival-ordered ingest, backfills) —
-        // there the range layout is the difference between scanning the
-        // whole slice and the queried window.
-        diskDir = if (rows > Rows100m) Some(path + "_ctr62") else None)
+        diskDir = if (rows > Rows100m) Some(path + "_ctr62") else None,
+        // LAYOUT: hash-clustered on URL, not date-ordered. Since the six
+        // (group, EventDate) aggregate-state tables below took over
+        // q37-q39 and q41-q43, the slice's ONLY consumer is q40 — whose
+        // date window is the whole month (no pruning to lose) and whose
+        // near-unique grouping tuple includes URL (the old date layout
+        // made it shuffle every slice row; r11 1 B: q40 11.7 s, 25×, the
+        // suite's worst ratio while every sibling routed). With the
+        // slice bucketed/hash-partitioned on URL, the aggregation's
+        // ClusteredDistribution is satisfied scan-side and the ORDER BY
+        // ... LIMIT is a TakeOrdered — the whole query is one
+        // exchange-free pass over the slice. This is the reference's
+        // projection-with-its-own-ORDER-BY (`src/Storages/MergeTree/
+        // MergeTreeDataPartWriter*` — a projection part may sort by a
+        // different key than its parent). An earlier sortCol=EventDate
+        // variant was measured 14-36 % SLOWER at 1 B when the family
+        // still scanned the slice; that note moves to BENCH_1B.md.
+        clusterBy = Some((Seq("URL"), if (rows > Rows100m) 128 else 32)))
 
     // AGGREGATE projections (the reference's AggregatingMergeTree MVs):
     // per-key partial state — count/sum/min/max/HLL — that the global
@@ -306,6 +313,15 @@ object BenchHits {
     // instead of re-scanning 10 M rows. Registration order is
     // smallest-state-first: routing takes the first match, so global
     // aggregates finish from the ~10 k-row phone table, not a wider one.
+    // q8/q2 (GROUP BY AdvEngineID / count under AdvEngineID != 0): the
+    // key domain is BOUNDED (~21 engines at ANY base scale), so the
+    // state coalesces to ONE partition — SinglePartition satisfies every
+    // distribution, so the routed roll-up AND its ORDER BY plan
+    // exchange-free (the q43 mechanism). Before this, q8 routed to the
+    // ~100 k-row (RegionID, AdvEngineID) state through two exchanges of
+    // pure shuffle-file churn: 0.28 s at 1 B vs the reference's 0.061.
+    graft.plans.Projections.registerAgg(spark, hits,
+      Seq("AdvEngineID"), Nil, coalesceTo = Some(1))
     graft.plans.Projections.registerAgg(spark, hits,
       Seq("MobilePhone", "MobilePhoneModel"),
       Seq("UserID", "AdvEngineID", "ResolutionWidth", "SearchPhrase",

@@ -112,7 +112,8 @@ object Projections {
       base: DataFrame,
       groupColsOrdered: Seq[String],      // register() args, for rebuilds
       measuresOrdered: Seq[String],
-      basePaths: Set[String])
+      basePaths: Set[String],
+      coalesceTo: Option[Int] = None)     // state partition count override
 
   private val aggRegistry =
     new java.util.concurrent.CopyOnWriteArrayList[AggProjDef]()
@@ -140,7 +141,8 @@ object Projections {
       filterValueOrig: Any,               // as passed — for rebuilds
       basePaths: Set[String],
       diskDir: Option[String],            // parquet-materialized when set
-      sortCol: Option[String])            // range-layout column of the copy
+      sortCol: Option[String],            // range-layout column of the copy
+      clusterBy: Option[(Seq[String], Int)] = None) // hash layout (cols, n)
 
   private val filteredRegistry =
     new java.util.concurrent.CopyOnWriteArrayList[FilteredProjDef]()
@@ -289,7 +291,8 @@ object Projections {
     * the routed aggregate's distribution is satisfied scan-side. */
   private def buildBucketed(base: DataFrame, bucketCols: Seq[String],
                             columns: Seq[String], numBuckets: Int,
-                            dir0: String, reuseExisting: Boolean)
+                            dir0: String, reuseExisting: Boolean,
+                            extraFp: String = "")
       : (LogicalPlan, DataFrame) = {
     val spark = base.sparkSession
     // a relative `path` table option resolves against the WAREHOUSE dir,
@@ -304,7 +307,7 @@ object Projections {
     // (see the filtered variant's note)
     val baseFp = baseFingerprint(base) +
       s"|buckets=$numBuckets|on=${bucketCols.map(_.toLowerCase).mkString(",")}" +
-      s"|cols=${columns.map(_.toLowerCase).mkString(",")}"
+      s"|cols=${columns.map(_.toLowerCase).mkString(",")}" + extraFp
     val complete = reuseExisting && reusableMaterialization(fs, dir, baseFp)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     if (complete) {
@@ -345,7 +348,9 @@ object Projections {
     * by the cache, so exact-key routed re-aggregation needs no
     * exchange. */
   private def buildAgg(base: DataFrame, groupCols: Seq[String],
-                       measures: Seq[String]): (LogicalPlan, DataFrame) = {
+                       measures: Seq[String],
+                       coalesceTo: Option[Int] = None)
+      : (LogicalPlan, DataFrame) = {
     def typeOf(m: String): DataType =
       base.schema.fields.find(_.name.equalsIgnoreCase(m)).getOrElse(
         throw new IllegalArgumentException(
@@ -361,10 +366,19 @@ object Projections {
           (if (hllCapable(dt)) Seq(hll_sketch_agg(col(m)).as(s"__hll_$ml"))
            else Nil)
       }
-    val proj = base
+    val grouped = base
       .groupBy(groupCols.map(col): _*)
       .agg(state.head, state.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // coalesceTo collapses a BOUNDED-key state (an AdvEngineID domain is
+    // ~20 rows at ANY base scale) to a fixed partition count; at 1,
+    // SinglePartition satisfies every distribution, so a routed subset
+    // roll-up AND its ORDER BY plan exchange-free — the same contract as
+    // buildAggExpr's coalesceTo (caller guarantees a bounded key domain).
+    val laid = coalesceTo match {
+      case Some(n) => grouped.coalesce(n)
+      case None => grouped
+    }
+    val proj = laid.persist(StorageLevel.MEMORY_AND_DISK)
     proj.count()
     (proj.queryExecution.optimizedPlan, proj)
   }
@@ -379,8 +393,10 @@ object Projections {
     * Re-registering the same (base, keys, measures) returns the
     * existing one. */
   def registerAgg(spark: SparkSession, base: DataFrame,
-                  groupCols: Seq[String], measures: Seq[String]): DataFrame =
+                  groupCols: Seq[String], measures: Seq[String],
+                  coalesceTo: Option[Int] = None): DataFrame =
     lock.synchronized {
+      require(coalesceTo.forall(_ > 0), "registerAgg: coalesceTo must be > 0")
       val gLower = groupCols.map(_.toLowerCase)
       val mTypes = measures.map(m => m.toLowerCase ->
         base.schema.fields.find(_.name.equalsIgnoreCase(m)).getOrElse(
@@ -391,11 +407,13 @@ object Projections {
           "Projections.registerAgg: base must scan a single relation"))
       aggRegistry.asScala.find { p =>
         p.baseLeafCanonical == baseLeaf.canonicalized &&
-          p.groupCols == gLower && p.measures.keySet == mTypes.keySet
+          p.groupCols == gLower && p.measures.keySet == mTypes.keySet &&
+          p.coalesceTo == coalesceTo
       }.foreach(p => return p.projDf)
-      val (projPlan, proj) = buildAgg(base, groupCols, measures)
+      val (projPlan, proj) = buildAgg(base, groupCols, measures, coalesceTo)
       aggRegistry.add(AggProjDef(baseLeaf.canonicalized, gLower, mTypes,
-        projPlan, proj, base, groupCols, measures, rootPathsOf(base)))
+        projPlan, proj, base, groupCols, measures, rootPathsOf(base),
+        coalesceTo))
       install(spark)
       proj
     }
@@ -477,7 +495,8 @@ object Projections {
       // — rebuilding would DROP/recreate the catalog table and overwrite
       // files that entry's captured plan still scans. Refuse loudly,
       // mirroring registerFiltered's guard.
-      require(!registry.asScala.exists(_.bucketDisk.exists(_._2 == dirAbs)),
+      require(!registry.asScala.exists(_.bucketDisk.exists(_._2 == dirAbs)) &&
+          !filteredRegistry.asScala.exists(_.diskDir.contains(dirAbs)),
         s"registerBucketed: dir $dirAbs is already backing a registered " +
           "projection with a different definition; clear() or use a " +
           "distinct directory")
@@ -508,11 +527,13 @@ object Projections {
                                filterCol: String, filterValue: Any,
                                columns: Seq[String],
                                diskDir: Option[String] = None,
-                               sortCol: Option[String] = None): Boolean =
+                               sortCol: Option[String] = None,
+                               clusterBy: Option[(Seq[String], Int)] = None)
+      : Boolean =
     if (base.storageLevel.useMemory) false
     else {
       registerFiltered(spark, base, filterCol, filterValue, columns,
-        diskDir, sortCol)
+        diskDir, sortCol, clusterBy)
       true
     }
 
@@ -544,12 +565,19 @@ object Projections {
                        filterCol: String, filterValue: Any,
                        columns: Seq[String],
                        diskDir: Option[String] = None,
-                       sortCol: Option[String] = None): DataFrame =
+                       sortCol: Option[String] = None,
+                       clusterBy: Option[(Seq[String], Int)] = None)
+      : DataFrame =
     lock.synchronized {
       val fcLower = filterCol.toLowerCase
       val carried = columns.map(_.toLowerCase).toSet
       require(carried.contains(fcLower),
         "registerFiltered: the filter column must be carried")
+      require(clusterBy.forall { case (cCols, n) =>
+        n > 0 && cCols.nonEmpty && cCols.forall(c => carried(c.toLowerCase))
+      }, "registerFiltered: clusterBy columns must be carried, count > 0")
+      require(clusterBy.isEmpty || sortCol.isEmpty,
+        "registerFiltered: clusterBy and sortCol are alternative layouts")
       // Absolutize the disk dir ONCE so the dedupe lookup and the
       // conflict guard below compare canonical paths — two spellings of
       // the same directory (relative vs absolute) must collide, not
@@ -587,22 +615,26 @@ object Projections {
       filteredRegistry.asScala.find { p =>
         p.baseLeafCanonical == baseLeaf.canonicalized &&
           p.filterCol == fcLower && p.filterLit.semanticEquals(flit) &&
-          p.carried == carried && p.diskDir == diskDirAbs && p.sortCol == sortCol
+          p.carried == carried && p.diskDir == diskDirAbs &&
+          p.sortCol == sortCol && p.clusterBy == clusterBy
       }.foreach(p => return p.projDf)
       // a LIVE entry already points its parquet relation at this dir
       // with a different definition — rebuilding over it would delete
       // the files that entry's captured plan lists (routed queries
       // would then fail mid-scan). Refuse loudly instead.
       if (diskDirAbs.isDefined)
-        require(!filteredRegistry.asScala.exists(_.diskDir == diskDirAbs),
+        require(!filteredRegistry.asScala.exists(_.diskDir == diskDirAbs) &&
+            !registry.asScala.exists(
+              _.bucketDisk.exists(bd => diskDirAbs.contains(bd._2))),
           s"registerFiltered: diskDir ${diskDirAbs.get} is already backing a " +
             "registered projection with a different definition; clear() or " +
             "use a distinct directory")
       val (projPlan, proj) =
-        buildFiltered(base, filterCol, filterValue, columns, diskDirAbs, sortCol)
+        buildFiltered(base, filterCol, filterValue, columns, diskDirAbs,
+          sortCol, clusterBy)
       filteredRegistry.add(FilteredProjDef(baseLeaf.canonicalized, fcLower,
         flit, carried, projPlan, proj, base, columns, filterCol,
-        filterValue, rootPathsOf(base), diskDirAbs, sortCol))
+        filterValue, rootPathsOf(base), diskDirAbs, sortCol, clusterBy))
       install(spark)
       proj
     }
@@ -611,17 +643,40 @@ object Projections {
                             filterValue: Any, columns: Seq[String],
                             diskDir: Option[String],
                             sortCol: Option[String] = None,
+                            clusterBy: Option[(Seq[String], Int)] = None,
                             reuseExisting: Boolean = true)
       : (LogicalPlan, DataFrame) = {
     val sel = base
       .filter(col(filterCol) === lit(filterValue))
       .select(columns.map(col): _*)
-    diskDir match {
-      case None =>
-        val proj = sel.persist(StorageLevel.MEMORY_AND_DISK)
+    (diskDir, clusterBy) match {
+      case (None, _) =>
+        // clusterBy on the MEMORY slice: one slice-sized repartition at
+        // build time; the cache preserves HashPartitioning(cols, n), so
+        // a routed aggregate whose grouping keys cover the cluster
+        // columns runs with NO exchange — the win when the slice's only
+        // consumer is exchange-bound rather than scan-bound (a near-
+        // unique-key group-by shuffles ~every slice row otherwise).
+        val laid = clusterBy match {
+          case Some((cCols, n)) => sel.repartition(n, cCols.map(col): _*)
+          case None => sel
+        }
+        val proj = laid.persist(StorageLevel.MEMORY_AND_DISK)
         proj.count()
         (proj.queryExecution.optimizedPlan, proj)
-      case Some(dir) =>
+      case (Some(dir), Some((cCols, n))) =>
+        // BUCKETED parquet slice — the reference's projection with its
+        // own ORDER BY inside the part (`src/Storages/MergeTree/
+        // MergeTreeDataPartWriter*` write projections whose sort key
+        // differs from the parent's): the filter bakes the row subset,
+        // the bucket layout bakes the distribution a routed aggregation
+        // needs. The filter identity joins the recorded fingerprint so
+        // a dir that previously held a different slice must rebuild.
+        buildBucketed(base.filter(col(filterCol) === lit(filterValue)),
+          cCols, columns, n, dir, reuseExisting,
+          extraFp = s"|filter=${filterCol.toLowerCase}=" +
+            String.valueOf(filterValue))
+      case (Some(dir), None) =>
         // a complete previous materialization OF THE SAME BASE (same
         // recorded file-listing fingerprint — a regenerated base must
         // not reuse the old slice) is reused as-is; rebuilds after
@@ -843,7 +898,7 @@ object Projections {
         p.projDf.unpersist(false)
         refreshBase(p.base)
         val (projPlan, proj) =
-          buildAgg(p.base, p.groupColsOrdered, p.measuresOrdered)
+          buildAgg(p.base, p.groupColsOrdered, p.measuresOrdered, p.coalesceTo)
         aggRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }
@@ -853,7 +908,7 @@ object Projections {
         refreshBase(p.base)
         val (projPlan, proj) = buildFiltered(p.base, p.filterColOrdered,
           p.filterValueOrig, p.columnsOrdered, p.diskDir, p.sortCol,
-          reuseExisting = false)
+          p.clusterBy, reuseExisting = false)
         filteredRegistry.set(i, p.copy(projPlan = projPlan, projDf = proj))
       }
     }
@@ -921,7 +976,17 @@ object Projections {
     registry.clear()
     aggRegistry.forEach(p => p.projDf.unpersist(false): Unit)
     aggRegistry.clear()
-    filteredRegistry.forEach(p => p.projDf.unpersist(false): Unit)
+    filteredRegistry.forEach { p =>
+      p.projDf.unpersist(false)
+      // a clusterBy+diskDir slice lives behind a catalog bucketed table —
+      // drop the entry (files stay; re-registration reuses them when the
+      // recorded fingerprint still matches)
+      if (p.clusterBy.isDefined) p.diskDir.foreach { dir =>
+        val table = bucketTableName(dir)
+        try p.base.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+        catch { case _: Throwable => () }
+      }
+    }
     filteredRegistry.clear()
     exprAggRegistry.forEach(p => p.projDf.unpersist(false): Unit)
     exprAggRegistry.clear()

@@ -16,6 +16,8 @@ import graft.streaming.WalCommitter
   * approx_count_distinct), refuse everything outside it, and refresh
   * with the insert path like any projection. */
 class AggProjectionSpec extends AnyFunSuite {
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
   import TestSpark._
 
   private def physical(df: DataFrame): String =
@@ -172,6 +174,38 @@ class AggProjectionSpec extends AnyFunSuite {
       assert(routed(q), "rebuilt agg projection no longer routes")
       assert(result == Map(1L -> 15L, 2L -> 42L, 3L -> 30L),
         "WAL-committed rows not visible through the aggregate state")
+    } finally Projections.clear()
+  }
+
+  test("coalesceTo=1 bounded-key state: routed roll-up + ORDER BY plan exchange-free") {
+    val base = makeBase()
+    // the q8 shape: bounded key domain (7 values), key-column filter,
+    // global sort on the count — two exchanges on a 32-partition state,
+    // zero on a single-partition one
+    def q: DataFrame = base.filter(col("k1") =!= 0)
+      .groupBy(col("k1")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"))
+    val exact = q.collect().map(_.toString).toSeq
+    Projections.registerAgg(spark, base, Seq("k1"), Nil,
+      coalesceTo = Some(1))
+    try {
+      assert(routed(q), "bounded-key state did not route")
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"SinglePartition state must satisfy every distribution; found: $exchanges")
+      assert(q.collect().map(_.toString).toSeq == exact,
+        "single-partition routed result diverges")
+      // a GLOBAL aggregate with the same key-column filter (the q2
+      // shape) finishes from the same state
+      val g = base.filter(col("k1") =!= 0).agg(count(lit(1)).as("n"))
+      assert(routed(g), "global aggregate did not route to the state")
+      assert(g.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        "global roll-up over a single-partition state planned an exchange")
+      assert(g.collect().head.getLong(0) ==
+        base.filter(col("k1") =!= 0).count())
     } finally Projections.clear()
   }
 }

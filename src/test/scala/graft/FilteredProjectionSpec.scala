@@ -281,4 +281,68 @@ class FilteredProjectionSpec extends AnyFunSuite {
         s"routed through a Window:\n${physical(q)}")
     } finally Projections.clear()
   }
+
+  test("clusterBy memory slice: grouping that covers the cluster key aggregates exchange-free") {
+    val base = makeBase()
+    // near-unique grouping tuple including the cluster column — on the
+    // un-clustered slice this shuffles every slice row (the q40 shape)
+    def q: DataFrame = base.filter(col("ctr") === 62)
+      .groupBy(col("u"), col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("u"), col("k")).limit(100)
+    val exact = q.collect().map(_.toString).sorted.toSeq
+    Projections.registerFiltered(spark, base, "ctr", 62,
+      Seq("ctr", "k", "u", "v"), clusterBy = Some((Seq("u"), 8)))
+    try {
+      assert(Projections.usesFilteredProjection(q),
+        s"did not route to the clustered slice:\n${physical(q)}")
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"HashPartitioning(u) must satisfy the (u, k) aggregation; found: $exchanges")
+      assert(q.collect().map(_.toString).sorted.toSeq == exact,
+        "clustered-slice routed result diverges from the base scan")
+    } finally Projections.clear()
+  }
+
+  test("clusterBy disk slice: bucketed parquet routes and aggregates exchange-free; fingerprint separates filter values") {
+    val base0 = makeBase()
+    val dir0 = "target/filtered_bucketed_" + System.nanoTime()
+    base0.write.parquet(dir0)
+    val coldBase = spark.read.parquet(dir0)
+    def q: DataFrame = coldBase.filter(col("ctr") === 62)
+      .groupBy(col("u"), col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("u"), col("k")).limit(100)
+    val exact = q.collect().map(_.toString).sorted.toSeq
+    val slice = dir0 + "_s62"
+    Projections.registerFiltered(spark, coldBase, "ctr", 62,
+      Seq("ctr", "k", "u", "v"), diskDir = Some(slice),
+      clusterBy = Some((Seq("u"), 8)))
+    try {
+      assert(Projections.usesFilteredProjection(q),
+        s"did not route to the bucketed slice:\n${physical(q)}")
+      assert(physical(q).contains("_s62"),
+        s"routed plan does not scan the bucketed slice:\n${physical(q)}")
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed scan must satisfy the aggregation distribution; found: $exchanges")
+      assert(q.collect().map(_.toString).sorted.toSeq == exact,
+        "bucketed-slice routed result diverges from the base scan")
+      // a dir holding THIS slice must not be reused for a different
+      // filter value: clear, re-register ctr=63 at the same dir — the
+      // fingerprint (which bakes the filter identity) forces a rebuild
+      Projections.clear()
+      Projections.registerFiltered(spark, coldBase, "ctr", 63,
+        Seq("ctr", "k", "u", "v"), diskDir = Some(slice),
+        clusterBy = Some((Seq("u"), 8)))
+      val q63 = coldBase.filter(col("ctr") === 63)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val base63 = coldBase.filter(col("ctr") === 63).count()
+      assert(Projections.usesFilteredProjection(q63))
+      assert(q63.collect().map(_.getAs[Long]("n")).sum == base63,
+        "dir reused across filter values: ctr=63 slice serves ctr=62 rows")
+    } finally Projections.clear()
+  }
 }
