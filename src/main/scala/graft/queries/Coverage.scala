@@ -129,6 +129,70 @@ object Coverage extends QueryModule {
       } finally graft.plans.Projections.clear()
     }),
 
+    // CLUSTERED filtered projection (the reference's projection with
+    // its own ORDER BY inside the part — a projection part may sort by
+    // a different key than its parent, MergeTreeDataPartWriter*): the
+    // slice is laid out hash-partitioned on a carried column, so a
+    // routed aggregation whose grouping keys cover the cluster column
+    // is satisfied scan-side. Both the route AND the exchange-free
+    // plan are REQUIREd (red otherwise), and the routed rows hash
+    // against a plain full-scan oracle. This is the layout that makes
+    // the hits q40-class near-unique-key aggregation one pass.
+    "q_projection_clustered" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      graft.plans.Projections.registerFiltered(s, base, "o_orderstatus", "F",
+        Seq("o_orderstatus", "o_custkey", "o_orderpriority", "o_totalprice"),
+        clusterBy = Some((Seq("o_custkey"), 8)))
+      try {
+        val q = base.filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("string").as("rev"))
+        require(graft.plans.Projections.usesFilteredProjection(q),
+          "q_projection_clustered: query did not route to the projection")
+        require(q.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty,
+          "q_projection_clustered: the clustered slice must satisfy the " +
+            "aggregation's distribution scan-side (no exchange)")
+        val local = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(local: _*), q.schema)
+          .select(col("o_custkey"), col("o_orderpriority"), col("n"),
+            col("rev"), lit(true).as("routed"),
+            lit(true).as("exchange_free"))
+      } finally graft.plans.Projections.clear()
+    }),
+
+    // Single-partition bounded-key aggregate state (registerAgg
+    // coalesceTo=1 — the hits q8 mechanism): the key domain is bounded
+    // (5 order priorities at any scale), so the state collapses to ONE
+    // partition and the routed roll-up + its ORDER BY plan as a single
+    // exchange-free stage. Route (state columns in the plan), the
+    // zero-exchange property AND result identity are all driver-checked.
+    "q_projection_aggsingle" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      graft.plans.Projections.registerAgg(s, base,
+        Seq("o_orderpriority"), Seq("o_custkey"), coalesceTo = Some(1))
+      try {
+        val q = base.filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"))
+          .orderBy(desc("n"))
+        require(q.queryExecution.executedPlan.toString.contains("__cnt"),
+          "q_projection_aggsingle: query did not finish from the state")
+        require(q.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty,
+          "q_projection_aggsingle: SinglePartition state must plan the " +
+            "roll-up and ORDER BY exchange-free")
+        val local = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(local: _*), q.schema)
+          .select(col("o_orderpriority"), col("n"), col("sc"),
+            lit(true).as("routed"), lit(true).as("exchange_free"))
+      } finally graft.plans.Projections.clear()
+    }),
+
     // Expression-keyed filtered aggregate projection (the reference's
     // AggregatingMergeTree MV in general form,
     // StorageMaterializedView.cpp — computed keys + a baked WHERE) as a
@@ -982,6 +1046,20 @@ object Coverage extends QueryModule {
         |       TRUE AS routed
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1""".stripMargin,
+
+    "q_projection_aggsingle" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |       sum(o_custkey)::BIGINT AS sc,
+        |       TRUE AS routed, TRUE AS exchange_free
+        |FROM orders WHERE o_orderpriority != '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "q_projection_clustered" ->
+      """SELECT o_custkey, o_orderpriority, count(*)::BIGINT AS n,
+        |       sum(o_totalprice::DECIMAL(18,2))::VARCHAR AS rev,
+        |       TRUE AS routed, TRUE AS exchange_free
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_projection_expragg" ->
       """SELECT year(o_orderdate)::BIGINT AS y, count(*)::BIGINT AS n,
