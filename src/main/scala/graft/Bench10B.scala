@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Bench10B {
   val Rows: Long = 10000000000L
-  val Path = "target/hits_10b_narrow.parquet"
+
+  /** Row count is part of the dataset path: generate() reuses a complete
+    * prior write via the _SUCCESS probe, so a FIXED path would silently
+    * bench a stale row count when invoked with a different `rows`
+    * argument while stamping the requested value into the JSON
+    * (advisor r12). */
+  def pathFor(rows: Long): String = s"target/hits_10b_narrow_$rows.parquet"
 
   def generate(spark: SparkSession, path: String, rows: Long): Double = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -86,8 +92,9 @@ object Bench10B {
     val ambient = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    val genSec = generate(spark, Path, rows)
-    val hits = spark.read.parquet(Path) // cold: 32 GB cannot cache
+    val path = pathFor(rows)
+    val genSec = generate(spark, path, rows)
+    val hits = spark.read.parquet(path) // cold: 32 GB cannot cache
     hits.createOrReplaceTempView("hits10")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 

@@ -943,6 +943,18 @@ object Projections {
   }
 
   /** Spec hook: does `df`'s optimized plan finish from a registered
+    * (column-keyed) aggregate projection? Structural — the state table's
+    * leaf must appear in the plan, not just a state-column NAME in the
+    * plan string (a string match goes vacuous if the naming changes and
+    * can false-positive on an unrelated mention). */
+  private[graft] def usesAggProjection(df: DataFrame): Boolean = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.canonicalized)
+    aggRegistry.asScala.exists(p =>
+      leafOf(p.projPlan).exists(pl => leaves.contains(pl.canonicalized)))
+  }
+
+  /** Spec hook: does `df`'s optimized plan finish from a registered
     * expression-keyed aggregate projection? */
   private[graft] def usesExprAggProjection(df: DataFrame): Boolean = {
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()

