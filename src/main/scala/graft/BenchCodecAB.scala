@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-codec A/B for the scan-bound string queries (the 1 B suite's
+  * q21-q27 residue: URL/Title LIKE scans and SearchPhrase top-k reads).
+  * The reference wins these cells with its LZ4 column store
+  * (`/root/reference/src/Compression/CompressionFactory.cpp:324-332` —
+  * LZ4 is the default codec, picked for decompression speed); parquet's
+  * Spark default is snappy. This bench writes the SAME string-heavy
+  * column subset (URL, Title, SearchPhrase, EventTime — the exact
+  * columns those queries touch) once per codec from the deterministic
+  * hits generator, then times the four query shapes per variant.
+  *
+  * Regime note: at 1 B the "cold" suite's 52 GB base fits the 125 GB
+  * page cache after one pass, so these queries are DECODE-bound, not
+  * IO-bound — which is exactly what this A/B measures (the files are
+  * page-cache-resident after the untimed warm pass). A genuinely
+  * IO-bound cluster would weight the size column higher.
+  *
+  * Variants: snappy (current base), zstd (best ratio), lz4_raw (the
+  * reference's trade: fastest decode), uncompressed (decode floor), and
+  * snappy with an 8 MB dictionary page (does a bigger dict keep the
+  * ~1 M-distinct URL column dictionary-encoded?).
+  *
+  * Usage: runMain graft.BenchCodecAB [rows]  (default 10^8)
+  * Writes target/BENCH_codec_ab.json; ~2.5 GB/variant at 10^8 rows.
+  */
+object BenchCodecAB {
+
+  private val variants: Seq[(String, String, Map[String, String])] = Seq(
+    ("snappy", "snappy", Map.empty),
+    ("zstd", "zstd", Map.empty),
+    ("lz4_raw", "lz4_raw", Map.empty),
+    ("uncompressed", "uncompressed", Map.empty),
+    ("snappy_bigdict", "snappy",
+      Map("parquet.dictionary.page.size" -> (8 * 1024 * 1024).toString)))
+
+  private val queries: Seq[(String, String)] = Seq(
+    "c1_like_count" ->
+      "SELECT count(*) FROM t WHERE URL LIKE '%metrika%'",
+    "c2_like_group" ->
+      ("SELECT SearchPhrase, count(*) AS c FROM t WHERE URL LIKE '%metrika%' " +
+        "AND SearchPhrase != '' GROUP BY SearchPhrase ORDER BY c DESC LIMIT 10"),
+    "c3_topk_read" ->
+      ("SELECT SearchPhrase FROM t WHERE SearchPhrase != '' " +
+        "ORDER BY EventTime LIMIT 10"),
+    "c4_title_like" ->
+      "SELECT count(*) FROM t WHERE Title LIKE '%Yandex%'")
+
+  /** The hits generator's URL/Title/SearchPhrase/EventTime columns,
+    * verbatim (same seeds, same marginals — BenchHits.generate). */
+  private def subset(spark: SparkSession, rows: Long): DataFrame = {
+    def h(seed: Int) = xxhash64(lit(seed), col("id"))
+    def hm(seed: Int, m: Long) = pmod(h(seed), lit(m))
+    val nFiles = math.max(32L, rows / 6250000L).toInt
+    spark.range(0, rows, 1, nFiles)
+      .withColumn("SearchPhrase",
+        when(hm(9, 100) < 20, concat(lit("search phrase "), hm(91, 100000)))
+          .otherwise(lit("")))
+      .withColumn("URL",
+        when(hm(12, 1000) < 3, lit("http://example.ru/"))
+          .when(hm(12, 1000) < 11,
+            concat(lit("http://example.com/metrika/page"), hm(121, 10000)))
+          .otherwise(concat(lit("http://example.com/p"), hm(122, 1000000))))
+      .withColumn("Title",
+        when(hm(13, 1000) < 5, concat(lit("Yandex news "), hm(131, 1000)))
+          .otherwise(concat(lit("Title "), hm(132, 500000))))
+      .withColumn("EventTime",
+        timestamp_seconds(lit(1372636800L) +
+          (col("id") * lit(31L * 86400) / lit(rows)).cast("long")))
+      .drop("id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(100000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.tune(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val ambient = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    val results = variants.map { case (name, codec, opts) =>
+      val dir = s"target/codec_ab_${name}_$rows.parquet"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_SUCCESS"))) {
+        val w = subset(spark, rows).write.mode("overwrite")
+          .option("compression", codec)
+        opts.foldLeft(w) { case (ww, (k, v)) => ww.option(k, v) }.parquet(dir)
+      }
+      val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+      val t = spark.read.parquet(dir)
+      t.createOrReplaceTempView("t")
+      // untimed warm pass (page-cache residency, codegen) then best-of-3
+      def once(sql: String): Double = {
+        val t0 = System.nanoTime()
+        spark.sql(sql).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try once(queries.head._2) catch { case _: Throwable => () }
+      val per = queries.map { case (qn, sql) =>
+        qn -> (0 until 3).map(_ => once(sql)).min
+      }
+      val total = per.map(_._2).sum
+      println(f"[codec] $name%-15s ${bytes / 1e9}%6.2f GB total=$total%7.3f s " +
+        per.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+      (name, bytes, per, total)
+    }
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val json = results.map { case (name, bytes, per, total) =>
+      s""""$name":{"bytes":$bytes,"total_sec":$total,"queries":{""" +
+        per.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}"
+    }.mkString(
+      s"""{"metric":"codec_ab","rows":$rows,"load_avg_ambient":$ambient,"load_avg":$loadEnd,"variants":{""",
+      ",", "}}")
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/BENCH_codec_ab.json"), json)
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

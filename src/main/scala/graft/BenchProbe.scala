@@ -84,7 +84,8 @@ object BenchProbe {
     }
     println(s"routes: rowProj=${graft.plans.Projections.usesRowProjection(spark.sql(sql))}" +
       s" filtered=${graft.plans.Projections.usesFilteredProjection(spark.sql(sql))}" +
-      s" exprAgg=${graft.plans.Projections.usesExprAggProjection(spark.sql(sql))}")
+      s" exprAgg=${graft.plans.Projections.usesExprAggProjection(spark.sql(sql))}" +
+      s" agg=${graft.plans.Projections.usesAggProjection(spark.sql(sql))}")
     for (r <- 1 to runs) {
       stages.clear()
       val t0 = System.nanoTime()
