@@ -32,7 +32,12 @@ object BenchHitsCheck {
     // q36: pure per-ClientIP — the copy's original consumer
     "q36_clientip" ->
       ("SELECT ClientIP, count(*) AS cnt, sum(Refresh) AS sr, " +
-        "avg(ResolutionWidth) AS ar FROM hits GROUP BY ClientIP"))
+        "avg(ResolutionWidth) AS ar FROM hits GROUP BY ClientIP"),
+    // q21: global count under a LIKE filter on the state's KEY column —
+    // routeAgg applies the predicate to state rows (a key-column filter
+    // partitions whole groups, so sum(cnt) over matching keys is exact)
+    "q21_like_count" ->
+      "SELECT count(*) AS cnt FROM hits WHERE URL LIKE '%metrika%'")
 
   private def checksum(spark: SparkSession, sql: String): String = {
     // order-independent whole-result digest: group count, total count,
