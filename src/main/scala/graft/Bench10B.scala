@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** 10 B-row single-query probe (VERDICT r10/r11 stretch): one order of
-  * magnitude past the committed 1 B suite, on a NARROW slice of the hits
-  * generator — the four columns the probe queries touch (CounterID,
-  * RegionID, AdvEngineID, EventDate ≈ 32 GB snappy parquet; the full
-  * 25-column table would be ~520 GB and cannot fit the sandbox volume,
-  * recorded in ATTEMPTS.md). The probe demonstrates the three scale
-  * mechanisms the suite relies on, at 10×:
+/** 10 B-row single-query probe (VERDICT r10/r11 stretch, widened to six
+  * probes in r13): one order of magnitude past the committed 1 B suite,
+  * on a NARROW slice of the hits generator — the five columns the probe
+  * queries touch (CounterID, RegionID, AdvEngineID, EventDate, and a
+  * short dict-encoded Tag string ≈ 45 GB parquet; the full 25-column
+  * table would be ~520 GB and cannot fit the sandbox volume, recorded
+  * in ATTEMPTS.md). The probe demonstrates the scale mechanisms the
+  * suite relies on, at 10×:
   *
   *   p1  count(*)                  — footer-stat row count, no data read
   *   p2  GROUP BY AdvEngineID     — the bounded-key single-partition
@@ -45,6 +46,10 @@ object Bench10B {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"))) return 0.0
+    // LZ4_RAW: measured -13% decode time at identical size vs snappy on
+    // this generator's string/int mix (BENCH_codec_ab.json, r13) — the
+    // reference's own default-codec trade (CompressionFactory.cpp:324)
+    spark.conf.set("spark.sql.parquet.compression.codec", "lz4_raw")
     val t0 = System.nanoTime()
     def h(seed: Int) = xxhash64(lit(seed), col("id"))
     def hm(seed: Int, m: Long) = pmod(h(seed), lit(m))
@@ -62,6 +67,13 @@ object Bench10B {
         when(hm(6, 100) < 5, (hm(61, 20) + 1)).otherwise(lit(0L)).cast("int"))
       .withColumn("EventDate", to_date(timestamp_seconds(lit(1372636800L) +
         (col("id") * lit(31L * 86400) / lit(rows)).cast("long"))))
+      // one SHORT string column (≈1.3 B/row dict-encoded) so the probe
+      // can exercise the LIKE scan layer at 3 200-file scale without the
+      // full table's ~26 B/row URL (r12 verdict stretch ask); same
+      // hash-seed scheme as the full generator's Title (seed 13)
+      .withColumn("Tag",
+        when(hm(13, 1000) < 5, concat(lit("yx"), hm(131, 1000)))
+          .otherwise(concat(lit("t"), hm(132, 500))))
       .drop("id")
       .write.mode("overwrite").parquet(path)
     (System.nanoTime() - t0) / 1e9
@@ -74,7 +86,16 @@ object Bench10B {
     "p3_region_scan" -> ("SELECT RegionID, count(*) AS c, sum(AdvEngineID) " +
       "FROM hits10 GROUP BY RegionID ORDER BY c DESC LIMIT 10"),
     "p4_date_prune" -> ("SELECT count(*) FROM hits10 WHERE CounterID = 62 " +
-      "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-02'"))
+      "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-02'"),
+    // staged top-k over the monotone-date layout: the footer-stat layer
+    // must order 3 200 files by min(EventDate) and stop after the bound
+    // admits k rows — not scan 10 B rows (r12 verdict stretch shape 1)
+    "p5_topk_time" -> ("SELECT RegionID, EventDate FROM hits10 " +
+      "WHERE AdvEngineID != 0 ORDER BY EventDate LIMIT 10"),
+    // LIKE substring scan over the dict-encoded Tag column: a REAL
+    // 10 B-row string-predicate scan (r12 verdict stretch shape 2)
+    "p6_like_scan" ->
+      "SELECT count(*) FROM hits10 WHERE Tag LIKE '%yx7%'")
 
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(Rows)

@@ -48,6 +48,13 @@ object BenchHits {
     // plain UInt32 seconds for the same reason. 4 fewer bytes per value
     // too.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // LZ4_RAW over the default snappy: measured on this table's exact
+    // string-heavy scan family (BENCH_codec_ab.json, r13) — same bytes,
+    // -13% decode time best-of-3; zstd was -45% bytes but only -3% time,
+    // so the cold-scan regime (page-cache-resident, decode-bound) picks
+    // the reference's own trade: LZ4 for decompression speed
+    // (reference `src/Compression/CompressionFactory.cpp:324-332`).
+    spark.conf.set("spark.sql.parquet.compression.codec", "lz4_raw")
 
     def h(seed: Int) = xxhash64(lit(seed), col("id"))
     def hm(seed: Int, m: Long) = pmod(h(seed), lit(m))
@@ -459,6 +466,10 @@ object BenchHits {
             refBest: Seq[Double] = referenceBest,
             passRuns: (Int, Int) = (5, 3)): SuiteResult = {
     generate(spark, path, rows)
+    // artifact writes (bucketed copies, slices) inherit the adopted
+    // codec even when the base already exists and generate() returned
+    // before setting it
+    spark.conf.set("spark.sql.parquet.compression.codec", "lz4_raw")
     // Aggregation fast path: the suite is dominated by high-cardinality
     // group-bys; the codegen'd vectorized first-level hash map (off by
     // default) front-loads the hot keys before the UnsafeRow map, on the
