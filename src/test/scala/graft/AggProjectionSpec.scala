@@ -103,6 +103,26 @@ class AggProjectionSpec extends AnyFunSuite {
     } finally { Projections.clear(); base.unpersist(false) }
   }
 
+  test("global count under a LIKE filter on a string KEY column rolls up the state exactly") {
+    // the hits q21 shape: `count(*) WHERE URL LIKE '%x%'` finishes from
+    // the URL count state — the LIKE references only the key column, so
+    // it partitions whole groups and sum(__cnt) over matching keys is
+    // exact (answers a 1 B-row LIKE count from a ~1 M-row state)
+    val base = makeBase()
+    def q: DataFrame = base.filter(col("s").like("%s1%"))
+      .agg(count(lit(1)).as("n"))
+    val exact = q.collect().head.getLong(0)
+    assert(exact > 0, "fixture must match some rows")
+    Projections.registerAgg(spark, base, Seq("s"), Nil)
+    try {
+      assert(routed(q), "LIKE key filter blocked routing")
+      assert(Projections.usesAggProjection(q),
+        "state leaf not in the optimized plan")
+      assert(q.collect().head.getLong(0) == exact,
+        "state roll-up under the LIKE filter diverges from the base scan")
+    } finally { Projections.clear(); base.unpersist(false) }
+  }
+
   test("unsupported aggregates refuse the rewrite and stay correct") {
     val base = makeBase()
     // count(NULL) never reaches the rule — Spark constant-folds it to 0
