@@ -45,11 +45,14 @@ object Bench10B {
   def generate(spark: SparkSession, path: String, rows: Long): Double = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"))) return 0.0
+    // row count is in the path; the codec marker guards the other
+    // regeneration axis (advisor r13: a codec switch must not silently
+    // re-bench a stale base written under the old codec)
+    if (BenchHits.fresh(fs, path)) return 0.0
     // LZ4_RAW: measured -13% decode time at identical size vs snappy on
     // this generator's string/int mix (BENCH_codec_ab.json, r13) — the
     // reference's own default-codec trade (CompressionFactory.cpp:324)
-    spark.conf.set("spark.sql.parquet.compression.codec", "lz4_raw")
+    spark.conf.set("spark.sql.parquet.compression.codec", BenchHits.Codec)
     val t0 = System.nanoTime()
     def h(seed: Int) = xxhash64(lit(seed), col("id"))
     def hm(seed: Int, m: Long) = pmod(h(seed), lit(m))
@@ -76,6 +79,7 @@ object Bench10B {
           .otherwise(concat(lit("t"), hm(132, 500))))
       .drop("id")
       .write.mode("overwrite").parquet(path)
+    BenchHits.stampCodec(fs, path)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -115,7 +119,7 @@ object Bench10B {
 
     val path = pathFor(rows)
     val genSec = generate(spark, path, rows)
-    val hits = spark.read.parquet(path) // cold: 32 GB cannot cache
+    val hits = spark.read.parquet(path) // cold: the slice exceeds the heap
     hits.createOrReplaceTempView("hits10")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 

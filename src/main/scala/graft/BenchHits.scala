@@ -36,11 +36,30 @@ object BenchHits {
 
   /** Deterministic hits-like table. Every column derives from xxhash64 of
     * the row id with a distinct seed — reproducible across runs/JVMs. */
+  /** The adopted storage codec (BENCH_CODEC_AB.json adjudication). Part
+    * of the generated datasets' reuse fingerprint: a bare _SUCCESS probe
+    * would silently re-bench a stale base written under a different
+    * codec while labeling the run with this one (advisor r13). */
+  val Codec = "lz4_raw"
+
+  /** True iff `path` holds a COMPLETE dataset written under [[Codec]] —
+    * the reuse gate for every generate-if-absent dataset here and in
+    * Bench10B. The codec marker is a dot-file (invisible to parquet). */
+  private[graft] def fresh(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(path + s"/.graft_codec_$Codec"))
+
+  private[graft] def stampCodec(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(path + s"/.graft_codec_$Codec"),
+      true).close()
+
   def generate(spark: SparkSession, path: String = DefaultPath,
                rows: Long = HitsRows): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"))) return
+    if (fresh(fs, path)) return
     // INT64 micros, not Spark's legacy INT96: INT96 timestamps carry NO
     // parquet column statistics, so a time-ordered table loses all
     // footer-stat pruning on its own time column (no pushed filters, no
@@ -54,7 +73,7 @@ object BenchHits {
     // so the cold-scan regime (page-cache-resident, decode-bound) picks
     // the reference's own trade: LZ4 for decompression speed
     // (reference `src/Compression/CompressionFactory.cpp:324-332`).
-    spark.conf.set("spark.sql.parquet.compression.codec", "lz4_raw")
+    spark.conf.set("spark.sql.parquet.compression.codec", Codec)
 
     def h(seed: Int) = xxhash64(lit(seed), col("id"))
     def hm(seed: Int, m: Long) = pmod(h(seed), lit(m))
@@ -132,6 +151,7 @@ object BenchHits {
       else df.repartitionByRange(nFiles, col("EventDate"), col("CounterID"))
     laid.sortWithinPartitions("EventDate", "CounterID", "EventTime")
       .write.mode("overwrite").parquet(path)
+    stampCodec(fs, path)
   }
 
   /** The 43 queries, ported 1:1 (see scaladoc above for function maps). */

@@ -73,9 +73,7 @@ object BenchHitsCheck {
     graft.plans.SkipPartialAgg.register(spark)
 
     // pass 1: raw (no projections)
-    val raw = probes.map { case (n, q) => n -> checksum(spark, n match {
-      case _ => q
-    })}.toMap
+    val raw = probes.map { case (n, q) => n -> checksum(spark, q) }.toMap
 
     // pass 2: the full BenchHits projection tier
     BenchHits.registerProjections(spark, hits, BenchHits.HitsRows,

@@ -208,6 +208,31 @@ object Coverage extends QueryModule {
       } finally graft.plans.Projections.clear()
     }),
 
+    // LIKE on a state KEY column (the hits q21 shape —
+    // Projections.routeAgg): a filter whose references are a subset of
+    // the state's key tuple partitions whole GROUPS, so aggregating the
+    // matching pre-merged state rows is exact, and the global LIKE-count
+    // finishes from O(keys) state instead of re-scanning the base. The
+    // route is REQUIREd (structural: the state leaf must be in the
+    // optimized plan) and the result hashes against the full-scan
+    // DuckDB oracle — the driver-oracled row the r13 verdict asked for
+    // on top of the unit spec + 10 M identity probe.
+    "q_projection_likekey" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      graft.plans.Projections.registerAgg(s, base,
+        Seq("o_orderpriority"), Seq("o_custkey"))
+      try {
+        val q = base.filter(col("o_orderpriority").like("%URGENT%"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"))
+        require(graft.plans.Projections.usesAggProjection(q),
+          "q_projection_likekey: LIKE-on-key count did not finish from " +
+            "the state")
+        val local = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(local: _*), q.schema)
+          .select(col("n"), col("sc"), lit(true).as("routed"))
+      } finally graft.plans.Projections.clear()
+    }),
+
     // Expression-keyed filtered aggregate projection (the reference's
     // AggregatingMergeTree MV in general form,
     // StorageMaterializedView.cpp — computed keys + a baked WHERE) as a
@@ -1075,6 +1100,11 @@ object Coverage extends QueryModule {
         |       TRUE AS routed, TRUE AS exchange_free
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_projection_likekey" ->
+      """SELECT count(*)::BIGINT AS n, sum(o_custkey)::BIGINT AS sc,
+        |       TRUE AS routed
+        |FROM orders WHERE o_orderpriority LIKE '%URGENT%'""".stripMargin,
 
     "q_projection_expragg" ->
       """SELECT year(o_orderdate)::BIGINT AS y, count(*)::BIGINT AS n,

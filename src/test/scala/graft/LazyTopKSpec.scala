@@ -213,4 +213,61 @@ class LazyTopKSpec extends AnyFunSuite {
       fs.delete(new org.apache.hadoop.fs.Path(d), true)
     }
   }
+
+  test("digest memo invalidates on an in-place MIDDLE-file rewrite that " +
+      "keeps count/head/last fixed (r13 staleness edge)") {
+    val d = "target/lazytopk_mtime_test"
+    spark.range(0, 4000, 1, 4).toDF("id").withColumn("ts", col("id"))
+      .select(Seq(col("id"), col("ts")) ++
+        (1 to 12).map(i => (col("id") * i).as(s"m$i")): _*)
+      .write.mode("overwrite").parquet(d)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val rel = spark.read.parquet(d)
+      def q = rel.orderBy(col("ts"), col("id")).limit(5)
+      assert(LazyTopK.usesLazyTopK(q)) // first plan: digest + footers
+      val digests0 = LazyTopK.Rewrite.digestComputes.get()
+      val footers0 = LazyTopK.Rewrite.footerReads.get()
+      assert(LazyTopK.usesLazyTopK(q)) // memo + stats-cache hit
+      assert(LazyTopK.Rewrite.digestComputes.get() == digests0)
+      // out-of-band IN-PLACE rewrite of a middle part file: the path set
+      // (and so count, first and last path) is unchanged — only bytes
+      // and mtime move. One write job shares a UUID across part files,
+      // so sorted order is by part number and parts(1) is interior.
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      assert(parts.length >= 3)
+      val mid = parts(1)
+      val donor = parts(2)
+      val buf = new java.io.ByteArrayOutputStream()
+      val in = fs.open(donor)
+      try {
+        val b = new Array[Byte](65536)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+      } finally in.close()
+      val out = fs.create(mid, true)
+      out.write(buf.toByteArray); out.close()
+      fs.setTimes(mid, System.currentTimeMillis() + 10000, -1)
+      // refresh the SAME FileIndex instance (the catalog in-place
+      // refresh path) — re-planning must recompute the digest and key
+      // FRESH footer stats, not resurrect the pre-rewrite cache entry
+      rel.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.refresh()
+            case _ =>
+          }
+        case _ =>
+      }
+      assert(LazyTopK.usesLazyTopK(q))
+      assert(LazyTopK.Rewrite.digestComputes.get() > digests0,
+        "in-place middle-file rewrite did not invalidate the digest memo")
+      assert(LazyTopK.Rewrite.footerReads.get() > footers0,
+        "stale stats-cache entry served after the rewrite (no footer re-read)")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(d), true)
+  }
 }
