@@ -37,7 +37,18 @@ object BenchHitsCheck {
     // routeAgg applies the predicate to state rows (a key-column filter
     // partitions whole groups, so sum(cnt) over matching keys is exact)
     "q21_like_count" ->
-      "SELECT count(*) AS cnt FROM hits WHERE URL LIKE '%metrika%'")
+      "SELECT count(*) AS cnt FROM hits WHERE URL LIKE '%metrika%'",
+    // q40: the FULL 5-tuple group-by over the baked ctr62/July/Refresh
+    // slice — exact-key elimination routes it to a Project over the
+    // state (no re-aggregation), so the whole result must bit-match the
+    // raw aggregation
+    "q40_fullkey_state" ->
+      ("SELECT TraficSourceID, SearchEngineID, AdvEngineID, " +
+        "IF(SearchEngineID = 0 AND AdvEngineID = 0, Referer, '') AS Src, " +
+        "URL AS Dst, count(*) AS cnt FROM hits WHERE CounterID = 62 " +
+        "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' " +
+        "AND Refresh = 0 " +
+        "GROUP BY TraficSourceID, SearchEngineID, AdvEngineID, Src, Dst"))
 
   private def checksum(spark: SparkSession, sql: String): String = {
     // order-independent whole-result digest: group count, total count,

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.VolnitskySearcher
+
+/** Micro A/B for the Volnitsky substring matcher vs
+  * `UTF8String.contains` (what Spark's `LIKE '%x%'` compiles to) —
+  * single-threaded, pure JVM, no Spark session. The corpus reproduces
+  * the hits generator's URL/Title shape (the strings q21-q24 scan), so
+  * ns/row here is the per-row match cost inside those queries' codegen
+  * loop. Prints one JSON line; writes target/BENCH_volnitsky_ab.json.
+  *
+  * Match counts are asserted equal between the two implementations on
+  * every (corpus, needle) cell — a disagreement aborts the run. */
+object BenchVolnitskyAB {
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toInt).getOrElse(2000000)
+    // deterministic splitmix-ish generator, no java.util.Random state
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def hm(seed: Int, i: Int, m: Long): Long =
+      math.floorMod(mix(seed.toLong << 32 | i.toLong), m)
+
+    val urls = new Array[UTF8String](rows)
+    val titles = new Array[UTF8String](rows)
+    var i = 0
+    while (i < rows) {
+      val r = hm(12, i, 1000)
+      val u =
+        if (r < 3) "http://example.ru/"
+        else if (r < 11) s"http://example.com/metrika/page${hm(121, i, 10000)}"
+        else s"http://example.com/p${hm(122, i, 1000000)}"
+      urls(i) = UTF8String.fromString(u)
+      val t =
+        if (hm(13, i, 1000) < 5) s"Yandex news ${hm(131, i, 1000)}"
+        else s"Title ${hm(132, i, 500000)}"
+      titles(i) = UTF8String.fromString(t)
+      i += 1
+    }
+
+    final case class Cell(corpus: String, data: Array[UTF8String], needle: String)
+    val cells = Seq(
+      Cell("url", urls, "metrika"),
+      Cell("url", urls, ".example."),
+      Cell("url", urls, "abcd"),
+      Cell("title", titles, "Yandex"),
+      Cell("title", titles, "500known"))
+
+    def timeNaive(data: Array[UTF8String], needle: UTF8String): (Double, Long) = {
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        if (data(j).contains(needle)) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+    def timeVol(data: Array[UTF8String], s: VolnitskySearcher): (Double, Long) = {
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        if (s.contains(data(j))) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+
+    val results = cells.map { c =>
+      val needle = UTF8String.fromString(c.needle)
+      val searcher = new VolnitskySearcher(needle.getBytes)
+      // warm both (JIT), then best-of-5
+      timeNaive(c.data, needle); timeVol(c.data, searcher)
+      val naive = (0 until 5).map(_ => timeNaive(c.data, needle)).minBy(_._1)
+      val vol = (0 until 5).map(_ => timeVol(c.data, searcher)).minBy(_._1)
+      require(naive._2 == vol._2,
+        s"match-count disagreement on ${c.corpus}/${c.needle}: " +
+          s"naive=${naive._2} volnitsky=${vol._2}")
+      println(f"[vol-ab] ${c.corpus}%-6s ${c.needle}%-10s " +
+        f"naive=${naive._1}%6.2f ns/row  volnitsky=${vol._1}%6.2f ns/row  " +
+        f"speedup=${naive._1 / vol._1}%4.2fx  hits=${naive._2}")
+      (c, naive._1, vol._1, naive._2)
+    }
+    val json = results.map { case (c, n, v, h) =>
+      s"""{"corpus":"${c.corpus}","needle":"${c.needle}","naive_ns":$n,""" +
+        s""""volnitsky_ns":$v,"speedup":${n / v},"hits":$h}"""
+    }.mkString(s"""{"metric":"volnitsky_ab","rows":$rows,"cells":[""", ",", "]}")
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/BENCH_volnitsky_ab.json"), json)
+    catch { case _: Throwable => () }
+  }
+}

@@ -118,5 +118,10 @@ object Tables {
     // Lazy top-k materialization: wide ORDER BY + LIMIT reads bound the
     // scan by a narrow pre-pass (inert unless the shape + width match).
     graft.plans.LazyTopK.install(spark)
+    // Constant-substring fast path: LIKE '%x%' (-> Contains) swaps to a
+    // Volnitsky bigram-skip matcher (measured 1.2-1.8x/row on hits-shaped
+    // strings, BENCH_volnitsky_ab.json) and Filter AND-chains order
+    // cheap-first, both result-identical.
+    graft.functions.FastSubstring.install(spark)
   }
 }

@@ -1114,8 +1114,14 @@ object Projections {
         if (p.baseLeafCanonical == leafC &&
             gNames.subsetOf(p.groupCols.toSet) &&
             condRefs.forall(a => p.groupCols.contains(a.name.toLowerCase)) &&
-            (groupAttrs ++ condRefs).forall(p.projPlan.outputSet.contains))
-          rewriteAggExprs(agg, p).foreach { newExprs =>
+            (groupAttrs ++ condRefs).forall(p.projPlan.outputSet.contains)) {
+          // exact-key elimination (see rewriteExprAgg): grouping by the
+          // FULL key tuple makes each state row a final group — the
+          // roll-up becomes a Project over the state scan
+          val exact = groupAttrs.nonEmpty &&
+            groupAttrs.map(_.name.toLowerCase).distinct.length ==
+              p.groupCols.length
+          rewriteAggExprs(agg, p, exact).foreach { newExprs =>
             val needed = AttributeSet(
               newExprs.flatMap(_.references) ++ condRefs ++ groupAttrs)
             val projected =
@@ -1123,8 +1129,10 @@ object Projections {
             val child = conds.foldLeft(projected: LogicalPlan)(
               (acc, c) => Filter(c, acc))
             return Some(
-              agg.copy(aggregateExpressions = newExprs, child = child))
+              if (exact) Project(newExprs, child)
+              else agg.copy(aggregateExpressions = newExprs, child = child))
           }
+        }
       }
       None
     }
@@ -1223,13 +1231,36 @@ object Projections {
           .AggregateFunction): AggregateExpression =
         AggregateExpression(fn, Complete, isDistinct = false, None,
           NamedExpression.newExprId)
-      def sumLong(a: Attribute): Expression =
-        Coalesce(Seq(complete(Sum(a)), Literal(0L)))
       def keyAttr(e: Expression): Option[Attribute] =
         normEx(e, leafOut).flatMap { n =>
           val i = p.keyNorms.indexOf(n)
           if (i >= 0) attr(s"__key_$i") else None
         }
+      // EXACT-KEY ELIMINATION: the state holds ONE row per distinct key
+      // tuple (it is a groupBy result), so a query grouping by the FULL
+      // key set needs no re-aggregation at all — each state row IS a
+      // final group and every re-merge (sum of one count, min of one
+      // min, ...) is the state column itself. The Aggregate collapses to
+      // a Project: for a near-unique-key top-k (the hits q40 shape) this
+      // removes the whole hash-map build from the query, leaving a state
+      // scan + TakeOrdered. Detected on the REWRITTEN grouping: all key
+      // attributes present exactly once.
+      val exactKeys = {
+        val gKeys = gExprs.map { case Alias(e, _) => e; case e => e }
+          .flatMap(keyAttr)
+        gKeys.length == gExprs.length && gKeys.nonEmpty &&
+          gKeys.map(_.exprId).distinct.length == p.keyNorms.length
+      }
+      def mergeCnt(a: Attribute): Expression =
+        if (exactKeys) a
+        else Coalesce(Seq(complete(Sum(a)), Literal(0L)))
+      def sumLong(a: Attribute): Expression = mergeCnt(a)
+      def mergeSum(a: Attribute): Expression =
+        if (exactKeys) a else complete(Sum(a))
+      def mergeMin(a: Attribute): Expression =
+        if (exactKeys) a else complete(Min(a))
+      def mergeMax(a: Attribute): Expression =
+        if (exactKeys) a else complete(Max(a))
       def measureIdx(e: Expression): Option[Int] =
         normEx(e, leafOut).flatMap { n =>
           val i = p.measureNorms.indexOf(n)
@@ -1260,13 +1291,13 @@ object Projections {
               .getOrElse(fail(ae))
           case s: Sum =>
             measureIdx(s.child).flatMap(i => attr(s"__sum_e$i"))
-              .map(a => complete(Sum(a)): Expression).getOrElse(fail(ae))
+              .map(a => mergeSum(a)).getOrElse(fail(ae))
           case m: Min =>
             measureIdx(m.child).flatMap(i => attr(s"__min_e$i"))
-              .map(a => complete(Min(a)): Expression).getOrElse(fail(ae))
+              .map(a => mergeMin(a)).getOrElse(fail(ae))
           case m: Max =>
             measureIdx(m.child).flatMap(i => attr(s"__max_e$i"))
-              .map(a => complete(Max(a)): Expression).getOrElse(fail(ae))
+              .map(a => mergeMax(a)).getOrElse(fail(ae))
           // any_value/first re-merges as the min state: the contract is
           // "some value from the group", and the group's minimum is one
           // (observably different from the unrouted pick — gated by
@@ -1274,7 +1305,7 @@ object Projections {
           case f: org.apache.spark.sql.catalyst.expressions.aggregate.First
               if routeNondeterministic =>
             measureIdx(f.child).flatMap(i => attr(s"__min_e$i"))
-              .map(a => complete(Min(a)): Expression).getOrElse(fail(ae))
+              .map(a => mergeMin(a)).getOrElse(fail(ae))
           // the replacement is Double-typed; an Average whose result type
           // differs (DecimalType measures — avg over decimal returns
           // decimal) must NOT route, or the routed query would silently
@@ -1288,14 +1319,15 @@ object Projections {
                 val n = sumLong(ca)
                 If(EqualTo(n, Literal(0L)),
                   Literal.create(null, DoubleType),
-                  new Divide(Cast(complete(Sum(sa)), DoubleType),
+                  new Divide(Cast(mergeSum(sa), DoubleType),
                     Cast(sumLong(ca), DoubleType))): Expression
               }).getOrElse(fail(ae))
           case h: HyperLogLogPlusPlus
               if h.relativeSD >= 0.02 && routeNondeterministic =>
             measureIdx(h.child).flatMap(i => attr(s"__hll_e$i"))
               .map(ha => Coalesce(Seq(
-                HllSketchEstimate(complete(new HllUnionAgg(ha))),
+                if (exactKeys) HllSketchEstimate(ha)
+                else HllSketchEstimate(complete(new HllUnionAgg(ha))),
                 Literal(0L))): Expression)
               .getOrElse(fail(ae))
           case _ => fail(ae)
@@ -1312,8 +1344,15 @@ object Projections {
           return None
         }
       }
+      // preserve the ORIGINAL output identity (name + exprId) on every
+      // top-level expression: a bare grouping attribute rewrites to the
+      // state's __key_i attr, and leaving it bare would change this
+      // node's output ids — any parent referencing the original column
+      // (a view, a subquery, a checksum wrapper) would fail to bind
+      // (surfaced by the r14 q40 identity probe)
       val newAggExprs = aExprs.map(ne => rewriteOne(ne) match {
-        case n: NamedExpression => n
+        case a: Alias => a
+        case attr: Attribute if attr.exprId == ne.exprId => attr
         case e => Alias(e, ne.name)(exprId = ne.exprId)
       })
       if (!ok) return None
@@ -1336,14 +1375,21 @@ object Projections {
       val projected = Project(out.filter(needed.contains), p.projPlan)
       val child = newResidual.foldLeft(projected: LogicalPlan)(
         (acc, c) => Filter(c, acc))
-      Some(agg.copy(groupingExpressions = newGrouping,
+      if (exactKeys) {
+        // safety net for the elimination: the Project must be aggregate-
+        // free (every merge helper took the scalar branch)
+        if (newAggExprs.exists(_.exists(_.isInstanceOf[AggregateExpression])))
+          return None
+        Some(Project(newAggExprs, child))
+      } else Some(agg.copy(groupingExpressions = newGrouping,
         aggregateExpressions = newAggExprs, child = child))
     }
 
     /** Per-function state rewrite; None if any aggregate in the list is
       * outside the supported family. */
     private def rewriteAggExprs(
-        agg: Aggregate, p: AggProjDef): Option[Seq[NamedExpression]] = {
+        agg: Aggregate, p: AggProjDef,
+        exact: Boolean = false): Option[Seq[NamedExpression]] = {
       val out = p.projPlan.output
       def st(prefix: String, m: String): Option[Attribute] =
         out.find(_.name == s"__${prefix}_${m.toLowerCase}")
@@ -1353,9 +1399,18 @@ object Projections {
         AggregateExpression(fn, Complete, isDistinct = false, None,
           NamedExpression.newExprId)
       // counts re-merge as sums; Coalesce keeps count's non-null
-      // contract on empty input (Sum over zero rows is null, count is 0)
+      // contract on empty input (Sum over zero rows is null, count is 0).
+      // Under `exact` (grouping == full key tuple — each state row is a
+      // final group) every re-merge is the state column itself and the
+      // caller plans a Project instead of an Aggregate.
       def sumLong(a: Attribute): Expression =
-        Coalesce(Seq(complete(Sum(a)), Literal(0L)))
+        if (exact) a else Coalesce(Seq(complete(Sum(a)), Literal(0L)))
+      def mergeSum(a: Attribute): Expression =
+        if (exact) a else complete(Sum(a))
+      def mergeMin(a: Attribute): Expression =
+        if (exact) a else complete(Min(a))
+      def mergeMax(a: Attribute): Expression =
+        if (exact) a else complete(Max(a))
       var ok = true
       def fail(orig: Expression): Expression = { ok = false; orig }
       def measureAttr(e: Expression): Option[AttributeReference] = e match {
@@ -1377,13 +1432,13 @@ object Projections {
                 .getOrElse(fail(ae))
             case s: Sum =>
               measureAttr(s.child).flatMap(a => st("sum", a.name))
-                .map(sa => complete(Sum(sa)): Expression).getOrElse(fail(ae))
+                .map(sa => mergeSum(sa)).getOrElse(fail(ae))
             case m: Min =>
               measureAttr(m.child).flatMap(a => st("min", a.name))
-                .map(ma => complete(Min(ma)): Expression).getOrElse(fail(ae))
+                .map(ma => mergeMin(ma)).getOrElse(fail(ae))
             case m: Max =>
               measureAttr(m.child).flatMap(a => st("max", a.name))
-                .map(ma => complete(Max(ma)): Expression).getOrElse(fail(ae))
+                .map(ma => mergeMax(ma)).getOrElse(fail(ae))
             // Double-typed replacement only (see rewriteExprAgg's guard):
             // a decimal-typed avg must keep its decimal result unrouted
             case a: Average if ae.dataType == DoubleType =>
@@ -1395,7 +1450,7 @@ object Projections {
                   val n = sumLong(ca)
                   If(EqualTo(n, Literal(0L)),
                     Literal.create(null, DoubleType),
-                    new Divide(Cast(complete(Sum(sa)), DoubleType),
+                    new Divide(Cast(mergeSum(sa), DoubleType),
                       Cast(sumLong(ca), DoubleType))): Expression
                 }).getOrElse(fail(ae))
             case h: HyperLogLogPlusPlus
@@ -1405,13 +1460,18 @@ object Projections {
               // in, approximate out, same contract as uniqMerge
               measureAttr(h.child).flatMap(a => st("hll", a.name))
                 .map(ha => Coalesce(Seq(
-                  HllSketchEstimate(complete(new HllUnionAgg(ha))),
+                  if (exact) HllSketchEstimate(ha)
+                  else HllSketchEstimate(complete(new HllUnionAgg(ha))),
                   Literal(0L))): Expression)
                 .getOrElse(fail(ae))
             case _ => fail(ae)
           }
         }.asInstanceOf[NamedExpression]
       }
+      // the exact path plans a Project — refuse if any aggregate survived
+      if (ok && exact &&
+          rewritten.exists(_.exists(_.isInstanceOf[AggregateExpression])))
+        return None
       if (ok) Some(rewritten) else None
     }
 

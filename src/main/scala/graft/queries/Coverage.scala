@@ -233,6 +233,41 @@ object Coverage extends QueryModule {
       } finally graft.plans.Projections.clear()
     }),
 
+    // EXACT-KEY aggregation elimination (the r14 q40 mechanism): a state
+    // table holds ONE row per key tuple, so a query grouping by the FULL
+    // key set needs no re-aggregation — each state row IS a final group
+    // and the routed plan is a PROJECT over state rows (count -> __cnt,
+    // sum -> __sum, avg -> __sum/__cntnn, ...). Both the route AND the
+    // elimination (no Aggregate node anywhere in the optimized plan) are
+    // REQUIREd, and the projected rows hash against the full-scan DuckDB
+    // oracle. This is what removes the near-unique-key hash map from the
+    // hits q40 class at any scale.
+    "q_projection_aggelim" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      graft.plans.Projections.registerAggExpr(s, base,
+        keys = Seq(col("o_orderpriority"), year(col("o_orderdate"))),
+        measures = Seq(col("o_custkey")),
+        where = Seq(col("o_orderstatus") === "F"))
+      try {
+        val q = base.filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_orderpriority").as("op"),
+            year(col("o_orderdate")).as("y"))
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sc"),
+            min(col("o_custkey")).as("minc"), max(col("o_custkey")).as("maxc"),
+            round(avg(col("o_custkey")), 4).as("avgc"))
+        require(graft.plans.Projections.usesExprAggProjection(q),
+          "q_projection_aggelim: query did not finish from the state table")
+        require(!q.queryExecution.optimizedPlan.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+          "q_projection_aggelim: full-key grouping must ELIMINATE the " +
+            "aggregate (plan a Project over state rows)")
+        val local = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(local: _*), q.schema)
+          .select(col("op"), col("y"), col("n"), col("sc"), col("minc"),
+            col("maxc"), col("avgc"), lit(true).as("agg_eliminated"))
+      } finally graft.plans.Projections.clear()
+    }),
+
     // Expression-keyed filtered aggregate projection (the reference's
     // AggregatingMergeTree MV in general form,
     // StorageMaterializedView.cpp — computed keys + a baked WHERE) as a
@@ -1105,6 +1140,15 @@ object Coverage extends QueryModule {
       """SELECT count(*)::BIGINT AS n, sum(o_custkey)::BIGINT AS sc,
         |       TRUE AS routed
         |FROM orders WHERE o_orderpriority LIKE '%URGENT%'""".stripMargin,
+
+    "q_projection_aggelim" ->
+      """SELECT o_orderpriority AS op, year(o_orderdate)::BIGINT AS y,
+        |       count(*)::BIGINT AS n, sum(o_custkey)::BIGINT AS sc,
+        |       min(o_custkey)::BIGINT AS minc, max(o_custkey)::BIGINT AS maxc,
+        |       round(avg(o_custkey), 4) AS avgc,
+        |       TRUE AS agg_eliminated
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_projection_expragg" ->
       """SELECT year(o_orderdate)::BIGINT AS y, count(*)::BIGINT AS n,

@@ -241,4 +241,36 @@ class AggProjectionSpec extends AnyFunSuite {
       Projections.clear()
     }
   }
+
+  test("full-key grouping ELIMINATES the aggregate: a Project over state " +
+      "rows, bit-identical to the un-routed plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val base = makeBase()
+    def q: DataFrame = base.groupBy(col("k1"), col("k2")).agg(
+      count(lit(1)).as("n"), count(col("v")).as("nn"),
+      sum(col("v")).as("sv"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+      avg(col("v")).as("av"))
+    val exact = rows(q)
+    Projections.registerAgg(spark, base, Seq("k1", "k2"), Seq("v"))
+    try {
+      assert(routed(q), "full-key grouping did not route")
+      assert(!q.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]),
+        "grouping by the FULL key tuple must plan a Project over state " +
+          "rows (each state row is a final group), not re-aggregate")
+      assert(rows(q) == exact, "eliminated plan diverges from base scan")
+      // a SUBSET grouping must keep the roll-up Aggregate (state rows
+      // merge across the dropped key) and stay exact
+      def q2: DataFrame = base.groupBy(col("k1"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(routed(q2))
+      assert(q2.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]),
+        "subset grouping must keep the re-merge aggregate")
+      assert(rows(q2) == rows(base.groupBy(col("k1"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))))
+      // a GLOBAL aggregate must also keep it (all state rows merge)
+      val g = base.agg(count(lit(1)).as("n"))
+      assert(g.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]))
+      assert(g.collect().head.getLong(0) == base.count())
+    } finally Projections.clear()
+  }
 }

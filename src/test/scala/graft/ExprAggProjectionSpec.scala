@@ -239,4 +239,58 @@ class ExprAggProjectionSpec extends AnyFunSuite {
       assert(q.collect().map(_.toString).toSet == exact)
     } finally Projections.clear()
   }
+
+  test("full-key grouping over an expression-keyed state eliminates the " +
+      "aggregate and matches the base scan (residual key filter kept)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // url must be NON-nullable here (bitwiseAND, not %, in its lineage):
+    // a nullable url under the residual `length(url) > 14` makes the
+    // optimizer infer IsNotNull(url), and url itself is not a key — the
+    // route then rightly refuses (the refusal path has its own test);
+    // this test wants the residual to actually route
+    val base = spark.range(30000).select(
+      concat(lit("http://d"), col("id").bitwiseAND(15), lit(".org/p"),
+        col("id").bitwiseAND(3)).as("url"),
+      when(col("id") % 9 === 0, lit("")).otherwise(concat(lit("r"), col("id") % 7))
+        .as("ref"),
+      (col("id") % 100).cast("long").as("v"))
+      .persist()
+    base.count()
+    def q: DataFrame = base
+      .filter(col("ref") =!= "")
+      .groupBy(substring(col("url"), 8, 3).as("key"),
+        length(col("url")).as("ul"))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("sv"),
+        avg(col("v")).as("av"))
+    // residual key-only filter on top must still eliminate: the filter
+    // partitions whole groups, i.e. selects whole state rows
+    // urls are 16 or 17 bytes (d0..d15) — the threshold SELECTS a strict
+    // subset of key groups, so a vacuously-true residual can't pass this
+    def qf: DataFrame = base
+      .filter(col("ref") =!= "" && length(col("url")) > 16)
+      .groupBy(substring(col("url"), 8, 3).as("key"),
+        length(col("url")).as("ul"))
+      .agg(count(lit(1)).as("c"))
+    val exact = rows(q)
+    val exactF = rows(qf) // un-routed references, BEFORE registration
+    Projections.registerAggExpr(spark, base,
+      keys = Seq(substring(col("url"), 8, 3), length(col("url"))),
+      measures = Seq(col("v")),
+      where = Seq(col("ref") =!= ""))
+    try {
+      assert(routed(q), "full-key expression grouping did not route")
+      assert(!q.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]),
+        "full-key grouping must plan a Project over state rows")
+      assert(rows(q) == exact, "eliminated plan diverges from base scan")
+      assert(routed(qf))
+      assert(!qf.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]))
+      assert(rows(qf) == exactF)
+      // subset grouping keeps the roll-up
+      def qs: DataFrame = base.filter(col("ref") =!= "")
+        .groupBy(substring(col("url"), 8, 3).as("key"))
+        .agg(count(lit(1)).as("c"))
+      assert(routed(qs))
+      assert(qs.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]))
+    } finally Projections.clear()
+  }
 }
