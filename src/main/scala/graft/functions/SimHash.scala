@@ -181,6 +181,42 @@ object GraftScalar {
       "netloc", exprs => UrlPartExpr(exprs.head, "netloc"), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_level_domain", exprs => UrlPartExpr(exprs.head, "topLevelDomain"), "built-in")
+    // multiSearchAny(text, array('a','b',…)) — one-pass MultiVolnitsky
+    // over constant needles (reference src/Functions/multiSearchAny.cpp
+    // over src/Common/Volnitsky.h). Out-of-range needle lengths fall
+    // back to an OR of builtin Contains — identical semantics either
+    // way: needles.exists(text contains _), null text stays null.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_search_any", exprs => {
+        require(exprs.length == 2,
+          "multi_search_any(text, array(needles...)): wrong arity")
+        val arr = exprs(1)
+        require(arr.foldable,
+          s"multi_search_any: needles must be a literal array, got ${arr.sql}")
+        val data = arr.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map { i =>
+              require(!a.isNullAt(i), "multi_search_any: null needle")
+              a.getUTF8String(i)
+            }
+          case other => throw new IllegalArgumentException(
+            s"multi_search_any: needles must be an array of strings, got $other")
+        }
+        import org.apache.spark.sql.catalyst.expressions.{Contains, If, IsNull, Literal, Or}
+        if (data.isEmpty)
+          // exists over nothing = false; null text stays null
+          If(IsNull(exprs.head),
+            Literal.create(null, org.apache.spark.sql.types.BooleanType),
+            Literal(false))
+        else if (data.length <= 1024 && data.forall(s =>
+            s.numBytes >= VolnitskySearcher.MinNeedle &&
+              s.numBytes <= VolnitskySearcher.MaxNeedle))
+          MultiSearchAny(exprs.head, data.map(_.toString).distinct)
+        else
+          data.map(s => Contains(exprs.head,
+            Literal(s.toString)): org.apache.spark.sql.catalyst.expressions.Expression)
+            .reduce(Or)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),
         litInt(exprs, 4, "geohashes_in_box precision")), "built-in")

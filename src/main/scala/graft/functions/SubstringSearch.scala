@@ -99,6 +99,72 @@ object VolnitskySearcher {
   val MaxNeedle = 255
 }
 
+/** One-pass multi-needle Volnitsky (the reference's `MultiVolnitsky`,
+  * /root/reference/src/Common/Volnitsky.h — its multiSearchAny engine):
+  * ONE bigram table over all needles, stepping by minNeedleLen-1. Each
+  * cell packs (needle index, offset); only offsets 0..minLen-2 of each
+  * needle are indexed — the sampling guarantee needs a sample inside
+  * the first minLen-1 start positions of any occurrence, and indexing
+  * deeper offsets would only add false candidates. Semantically
+  * identical to `needles.exists(s.contains)` — an OR of k naive scans —
+  * in 1 pass instead of k. */
+final class MultiVolnitskySearcher(val needles: Array[Array[Byte]])
+    extends Serializable {
+  require(needles.nonEmpty && needles.length <= 1024,
+    s"MultiVolnitskySearcher: ${needles.length} needles outside [1, 1024]")
+  needles.foreach(n => require(
+    n.length >= VolnitskySearcher.MinNeedle &&
+      n.length <= VolnitskySearcher.MaxNeedle,
+    s"MultiVolnitskySearcher: needle length ${n.length} outside " +
+      s"[${VolnitskySearcher.MinNeedle}, ${VolnitskySearcher.MaxNeedle}]"))
+  private val minLen = needles.map(_.length).min
+
+  /** 64 K open-addressed Int cells: 0 = empty, else
+    * (needleIdx << 10) | (offset + 1) — offset <= minLen-2 <= 253 fits
+    * 10 bits, needle index fits the rest. */
+  private val table = new Array[Int](65536)
+  locally {
+    var j = 0
+    while (j < needles.length) {
+      val nd = needles(j)
+      var o = 0
+      while (o <= minLen - 2) {
+        var cell = (nd(o) & 0xFF) | ((nd(o + 1) & 0xFF) << 8)
+        while (table(cell) != 0) cell = (cell + 1) & 0xFFFF
+        table(cell) = (j << 10) | (o + 1)
+        o += 1
+      }
+      j += 1
+    }
+  }
+
+  /** True iff ANY needle is a byte subsequence of `s`. */
+  def containsAny(s: UTF8String): Boolean = {
+    val m = s.numBytes
+    if (m < minLen) return false
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = minLen - 2
+    val last = m - 2
+    while (i <= last) {
+      var cell = (Platform.getByte(base, off + i) & 0xFF) |
+        ((Platform.getByte(base, off + i + 1) & 0xFF) << 8)
+      var stored = table(cell)
+      while (stored != 0) {
+        val p = i - ((stored & 0x3FF) - 1)
+        val nd = needles(stored >>> 10)
+        if (p >= 0 && p + nd.length <= m &&
+            ByteArrayMethods.arrayEquals(nd, Platform.BYTE_ARRAY_OFFSET,
+              base, off + p, nd.length)) return true
+        cell = (cell + 1) & 0xFFFF
+        stored = table(cell)
+      }
+      i += minLen - 1
+    }
+    false
+  }
+}
+
 /** `Contains` with a Volnitsky fast path — drop-in result-identical
   * replacement installed by [[FastSubstring.Rewrite]] when the needle is
   * a usable constant. Stays inside whole-stage codegen: the generated
@@ -126,6 +192,35 @@ case class VolnitskyContains(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VolnitskyContains =
     copy(left = newLeft, right = newRight)
+}
+
+/** multiSearchAny over constant needles in ONE haystack pass —
+  * result-identical to `needles.exists(text contains _)` (so an OR
+  * chain of Contains on the same column folds into it; null text stays
+  * null, exactly like the OR of all-null branches). Built by
+  * [[FastSubstring.Rewrite]] from OR chains and by the
+  * `multi_search_any` SQL function. */
+case class MultiSearchAny(child: Expression, needles: Seq[String])
+    extends UnaryExpression with Predicate {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "multi_search_any"
+
+  @transient private lazy val searcher: MultiVolnitskySearcher =
+    new MultiVolnitskySearcher(
+      needles.map(n => UTF8String.fromString(n).getBytes).toArray)
+
+  override def nullSafeEval(s: Any): Any =
+    searcher.containsAny(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiVolnitsky", searcher,
+      classOf[MultiVolnitskySearcher].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.containsAny($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiSearchAny =
+    copy(child = newChild)
 }
 
 /** Post-optimizer rewrites for constant-substring predicates.
@@ -170,6 +265,7 @@ object FastSubstring {
     case EndsWith(l, _: Literal) if simpleOperand(l) => Some(3)
     case Contains(l, _: Literal) if simpleOperand(l) => Some(4)
     case VolnitskyContains(l, _: Literal) if simpleOperand(l) => Some(4)
+    case MultiSearchAny(l, _) if simpleOperand(l) => Some(4)
     case l: Like if l.right.isInstanceOf[Literal] && simpleOperand(l.left) =>
       Some(5)
     case r: RLike if r.right.isInstanceOf[Literal] && simpleOperand(r.left) =>
@@ -187,9 +283,39 @@ object FastSubstring {
     case other => Seq(other)
   }
 
+  private def splitOr(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitOr(l) ++ splitOr(r)
+    case other => Seq(other)
+  }
+
+  /** (haystack, needle) when the leaf is a constant-needle substring
+    * test with a usable needle. */
+  private def containsLeaf(e: Expression): Option[(Expression, String)] = e match {
+    case Contains(l, Literal(v, StringType))
+        if v != null && usableNeedle(v) && !l.foldable =>
+      Some((l, v.toString))
+    case VolnitskyContains(l, Literal(v, StringType))
+        if v != null && usableNeedle(v) && !l.foldable =>
+      Some((l, v.toString))
+    case _ => None
+  }
+
   object Rewrite extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val swapped = plan.transformAllExpressions {
+        // an OR chain of substring tests over the SAME haystack folds
+        // into ONE MultiVolnitsky pass (the reference's multiSearchAny
+        // engine). Matched top-down, so a sub-chain inside a larger OR
+        // still folds when the outer chain has non-substring leaves.
+        case or: Or =>
+          val leaves = splitOr(or)
+          val pairs = leaves.map(containsLeaf)
+          if (leaves.length >= 2 && pairs.forall(_.isDefined) &&
+              pairs.flatten.map(_._1.canonicalized).distinct.length == 1 &&
+              pairs.flatten.map(_._2).distinct.length <= 1024)
+            MultiSearchAny(pairs.head.get._1,
+              pairs.flatten.map(_._2).distinct)
+          else or
         case Contains(l, lit @ Literal(v, StringType))
             if v != null && usableNeedle(v) && !l.foldable =>
           VolnitskyContains(l, lit)
