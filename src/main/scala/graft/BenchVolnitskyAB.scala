@@ -72,6 +72,67 @@ object BenchVolnitskyAB {
       ((System.nanoTime() - t0).toDouble / data.length, hits)
     }
 
+    // multi-needle: one MultiVolnitsky pass vs k single-needle passes
+    // vs k naive contains — the multiSearchAny engine choice
+    val multiNeedles = Seq("metrika", ".example.", "page7", "Yandex")
+    def timeMultiNaive(data: Array[UTF8String]): (Double, Long) = {
+      val ns = multiNeedles.map(UTF8String.fromString).toArray
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        var found = false
+        var i = 0
+        while (!found && i < ns.length) {
+          if (data(j).contains(ns(i))) found = true
+          i += 1
+        }
+        if (found) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+    def timeMultiVolK(data: Array[UTF8String]): (Double, Long) = {
+      val ss = multiNeedles.map(n =>
+        new VolnitskySearcher(UTF8String.fromString(n).getBytes)).toArray
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        var found = false
+        var i = 0
+        while (!found && i < ss.length) {
+          if (ss(i).contains(data(j))) found = true
+          i += 1
+        }
+        if (found) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+    def timeMultiOne(data: Array[UTF8String]): (Double, Long) = {
+      val s = new graft.functions.MultiVolnitskySearcher(
+        multiNeedles.map(n => UTF8String.fromString(n).getBytes).toArray)
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        if (s.containsAny(data(j))) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+    timeMultiNaive(urls); timeMultiVolK(urls); timeMultiOne(urls) // warm
+    val mn = (0 until 5).map(_ => timeMultiNaive(urls)).minBy(_._1)
+    val mk = (0 until 5).map(_ => timeMultiVolK(urls)).minBy(_._1)
+    val m1 = (0 until 5).map(_ => timeMultiOne(urls)).minBy(_._1)
+    require(mn._2 == mk._2 && mn._2 == m1._2,
+      s"multi-needle disagreement: naive=${mn._2} kvol=${mk._2} one=${m1._2}")
+    println(f"[vol-ab] multi(4 needles on url): naive=${mn._1}%6.2f " +
+      f"k-volnitsky=${mk._1}%6.2f one-pass=${m1._1}%6.2f ns/row " +
+      f"(one-pass ${mn._1 / m1._1}%4.2fx vs naive, " +
+      f"${mk._1 / m1._1}%4.2fx vs k passes) hits=${mn._2}")
+
     val results = cells.map { c =>
       val needle = UTF8String.fromString(c.needle)
       val searcher = new VolnitskySearcher(needle.getBytes)
@@ -90,7 +151,10 @@ object BenchVolnitskyAB {
     val json = results.map { case (c, n, v, h) =>
       s"""{"corpus":"${c.corpus}","needle":"${c.needle}","naive_ns":$n,""" +
         s""""volnitsky_ns":$v,"speedup":${n / v},"hits":$h}"""
-    }.mkString(s"""{"metric":"volnitsky_ab","rows":$rows,"cells":[""", ",", "]}")
+    }.mkString(s"""{"metric":"volnitsky_ab","rows":$rows,"cells":[""", ",",
+      s"""],"multi":{"needles":${multiNeedles.length},"naive_ns":${mn._1},""" +
+        s""""k_volnitsky_ns":${mk._1},"one_pass_ns":${m1._1},""" +
+        s""""hits":${mn._2}}}""")
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/BENCH_volnitsky_ab.json"), json)
