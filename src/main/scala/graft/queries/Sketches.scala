@@ -72,7 +72,7 @@ object Sketches extends QueryModule {
     "q_quantile_approx" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val maxGroup = li.groupBy(col("l_linestatus")).count()
-        .agg(max(col("count"))).head.getLong(0)
+        .agg(max(col("count"))).head().getLong(0)
       val accuracy = math.max(10000L, math.min(4 * maxGroup, 100000L)).toInt
       li.groupBy(col("l_linestatus"))
         .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("median_approx"),
