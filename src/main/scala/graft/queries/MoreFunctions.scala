@@ -117,21 +117,91 @@ object MoreFunctions extends QueryModule {
     }),
 
     // multiSearchAny / multiSearchFirstIndex / multiMatchAny (daisy
-    // src/Functions/multiSearchAny.cpp, MultiMatchAnyImpl.h — hyperscan
-    // there; here an OR of codegen'd contains / one rlike alternation,
-    // which is the Spark-native form of the same scan).
+    // src/Functions/multiSearchAny.cpp, multiSearchFirstIndex.cpp,
+    // MultiMatchAnyImpl.h — hyperscan there; here both legs run the
+    // one-pass MultiVolnitsky engine: the OR chain folds to
+    // MultiSearchAny via the plan rewrite, the first-index leg is the
+    // registered multi_search_first_index function, and the fold + the
+    // one-pass node are REQUIREd in the optimized plan so the fast path
+    // is driver-gated, not just spec-asserted).
     "q_multi_search" -> ((s, dir) => {
       val txt = col("text")
       val needles = Seq("spark", "hash", "vector")
       val any = needles.map(w => txt.contains(w)).reduce(_ || _)
-      val firstIdx = needles.zipWithIndex.foldRight(lit(0L): org.apache.spark.sql.Column) {
-        case ((w, i), rest) => when(txt.contains(w), lit(i + 1L)).otherwise(rest)
-      }
-      t(s, dir, "documents").select(
+      val q = t(s, dir, "documents").select(
         col("doc_id"),
         any.cast("long").as("ms_any"),
-        firstIdx.as("ms_first_index"),
+        // coalesce keeps the when-chain's null-text-to-0 collapse (the
+        // oracle CASE's ELSE 0); the engine itself is NULL-in-NULL-out
+        coalesce(expr(
+          "multi_search_first_index(text, array('spark','hash','vector'))"),
+          lit(0L)).as("ms_first_index"),
         txt.rlike("spark|hash|vector").cast("long").as("mm_any"))
+      val exprsOf = q.queryExecution.optimizedPlan.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case m: graft.functions.MultiSearchAny => m
+          case f: graft.functions.MultiSearchFirstIndex => f
+        })
+      }.flatten
+      require(exprsOf.exists(_.isInstanceOf[graft.functions.MultiSearchAny]),
+        "q_multi_search: OR chain did not fold to one-pass MultiSearchAny")
+      require(exprsOf.exists(
+        _.isInstanceOf[graft.functions.MultiSearchFirstIndex]),
+        "q_multi_search: first-index leg is not the one-pass engine")
+      q
+    }),
+
+    // ILIKE scan shapes (daisy positionCaseInsensitive /
+    // multiSearchAnyCaseInsensitive, src/Common/Volnitsky.h:63 — the
+    // ASCII case-variant bigram tier): Spark simplifies ILIKE '%x%' to
+    // Contains(Lower(col), x); the rewrite swaps that to a raw-column
+    // case-insensitive Volnitsky scan, REQUIREd in the plan.
+    "q_ilike_scan" -> ((s, dir) => {
+      val q = t(s, dir, "documents").agg(
+        count(when(expr("text ILIKE '%SPark%'"), 1)).as("n_spark_ci"),
+        count(when(expr("text ILIKE '%VECTOR%'"), 1)).as("n_vector_ci"),
+        count(when(expr("multi_search_any_ci(text, array('HASH', 'Join'))"), 1))
+          .as("n_multi_ci"),
+        count(when(!expr("text ILIKE '%JOIN%'"), 1)).as("n_no_join_ci"))
+      val cis = q.queryExecution.optimizedPlan.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case v: graft.functions.VolnitskyContainsCI => v
+          case m: graft.functions.MultiSearchAnyCI => m
+        })
+      }.flatten
+      require(cis.count(_.isInstanceOf[graft.functions.VolnitskyContainsCI]) >= 3,
+        s"q_ilike_scan: ILIKE legs did not swap to the CI scan: $cis")
+      require(cis.exists(_.isInstanceOf[graft.functions.MultiSearchAnyCI]),
+        "q_ilike_scan: multi_search_any_ci is not the one-pass CI engine")
+      q
+    }),
+
+    // Multi-fragment LIKE / literal-regex prefilter (daisy extracts
+    // required_substring from every LIKE/match pattern and
+    // Volnitsky-scans it before the automaton,
+    // src/Functions/MatchImpl.h:101-146): each conjunct gets a
+    // prepended VolnitskyContains of its longest required fragment
+    // ('hash' for '%hash%join%', 'hash ' for the regex, CI 'hash' for
+    // the ILIKE), REQUIREd in the Filter, result hash vs DuckDB.
+    "q_like_multifragment" -> ((s, dir) => {
+      val txt = col("text")
+      val q = t(s, dir, "documents")
+        .filter(txt.like("%hash%join%") && txt.rlike("hash (join|scan)") &&
+          expr("text ILIKE '%Hash%SCan%'"))
+        .select(col("doc_id"))
+      val conds = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+      val pres = conds.flatMap(_.collect {
+        case v: graft.functions.VolnitskyContains => v
+        case c: graft.functions.VolnitskyContainsCI => c
+      })
+      require(pres.count(_.isInstanceOf[graft.functions.VolnitskyContains]) >= 2,
+        s"q_like_multifragment: LIKE/regex fragment prefilters missing: $conds")
+      require(pres.exists(_.isInstanceOf[graft.functions.VolnitskyContainsCI]),
+        s"q_like_multifragment: ILIKE fragment prefilter missing: $conds")
+      q
     }),
 
     // ngramDistance (daisy src/Functions/FunctionsStringSimilarity.cpp) —
@@ -316,6 +386,20 @@ object MoreFunctions extends QueryModule {
         |       WHEN contains(text,'vector') THEN 3 ELSE 0 END)::BIGINT AS ms_first_index,
         | regexp_matches(text, 'spark|hash|vector')::BIGINT AS mm_any
         |FROM documents""".stripMargin,
+
+    "q_ilike_scan" ->
+      """SELECT
+        | count(CASE WHEN text ILIKE '%SPark%' THEN 1 END) AS n_spark_ci,
+        | count(CASE WHEN text ILIKE '%VECTOR%' THEN 1 END) AS n_vector_ci,
+        | count(CASE WHEN contains(lower(text),'hash') OR contains(lower(text),'join') THEN 1 END) AS n_multi_ci,
+        | count(CASE WHEN text NOT ILIKE '%JOIN%' THEN 1 END) AS n_no_join_ci
+        |FROM documents""".stripMargin,
+
+    "q_like_multifragment" ->
+      """SELECT doc_id FROM documents
+        |WHERE text LIKE '%hash%join%'
+        |  AND regexp_matches(text, 'hash (join|scan)')
+        |  AND text ILIKE '%Hash%SCan%'""".stripMargin,
 
     "q_ngram_dist" ->
       """WITH g AS (SELECT n_nationkey, n_regionkey,
