@@ -97,9 +97,20 @@ object Bench10B {
     "p5_topk_time" -> ("SELECT RegionID, EventDate FROM hits10 " +
       "WHERE AdvEngineID != 0 ORDER BY EventDate LIMIT 10"),
     // LIKE substring scan over the dict-encoded Tag column: a REAL
-    // 10 B-row string-predicate scan (r12 verdict stretch shape 2)
+    // 10 B-row string-predicate scan (r12 verdict stretch shape 2).
+    // The 3-byte needle is BELOW MinNeedle=4 — it measures the builtin
+    // contains scan the fallback keeps (r14 boundary adjudication).
     "p6_like_scan" ->
-      "SELECT count(*) FROM hits10 WHERE Tag LIKE '%yx7%'")
+      "SELECT count(*) FROM hits10 WHERE Tag LIKE '%yx7%'",
+    // ≥4-byte needle: the Volnitsky bigram-skip swap fires — the direct
+    // 10 B measurement of the single-needle matcher (r14 verdict
+    // stretch), same column and file layout as p6
+    "p7_volnitsky_scan" ->
+      "SELECT count(*) FROM hits10 WHERE Tag LIKE '%yx77%'",
+    // 4-needle multiSearchAny: ONE MultiVolnitsky pass instead of four
+    // contains scans, at 10 B rows
+    "p8_multi_search" -> ("SELECT count(*) FROM hits10 " +
+      "WHERE multi_search_any(Tag, array('yx77', 'yx123', 't499', 'yx888'))"))
 
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(Rows)

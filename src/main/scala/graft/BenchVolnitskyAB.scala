@@ -122,6 +122,52 @@ object BenchVolnitskyAB {
       }
       ((System.nanoTime() - t0).toDouble / data.length, hits)
     }
+    // case-insensitive: lower()+contains materialization (what
+    // ILIKE '%x%' = Contains(Lower(col), x) costs per row) vs the
+    // raw-column case-variant Volnitsky scan
+    final case class CiCell(corpus: String, data: Array[UTF8String],
+                            needle: String)
+    val ciCells = Seq(
+      CiCell("url", urls, "METRIKA"),
+      CiCell("url", urls, ".Example."),
+      CiCell("title", titles, "yandex"))
+    def timeCiNaive(data: Array[UTF8String], needleLower: UTF8String): (Double, Long) = {
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        if (data(j).toLowerCase.contains(needleLower)) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+    def timeCiVol(data: Array[UTF8String], s: VolnitskySearcher): (Double, Long) = {
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        if (s.contains(data(j))) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+    val ciResults = ciCells.map { c =>
+      val needleLower = UTF8String.fromString(c.needle.toLowerCase)
+      val searcher = new VolnitskySearcher(
+        UTF8String.fromString(c.needle.toLowerCase).getBytes,
+        caseInsensitive = true)
+      timeCiNaive(c.data, needleLower); timeCiVol(c.data, searcher) // warm
+      val naive = (0 until 5).map(_ => timeCiNaive(c.data, needleLower)).minBy(_._1)
+      val vol = (0 until 5).map(_ => timeCiVol(c.data, searcher)).minBy(_._1)
+      require(naive._2 == vol._2,
+        s"CI match-count disagreement on ${c.corpus}/${c.needle}: " +
+          s"naive=${naive._2} volnitsky=${vol._2}")
+      println(f"[vol-ab] ci ${c.corpus}%-6s ${c.needle}%-10s " +
+        f"lower+contains=${naive._1}%6.2f ns/row  ci-volnitsky=${vol._1}%6.2f " +
+        f"ns/row  speedup=${naive._1 / vol._1}%4.2fx  hits=${naive._2}")
+      (c, naive._1, vol._1, naive._2)
+    }
+
     timeMultiNaive(urls); timeMultiVolK(urls); timeMultiOne(urls) // warm
     val mn = (0 until 5).map(_ => timeMultiNaive(urls)).minBy(_._1)
     val mk = (0 until 5).map(_ => timeMultiVolK(urls)).minBy(_._1)
@@ -148,11 +194,16 @@ object BenchVolnitskyAB {
         f"speedup=${naive._1 / vol._1}%4.2fx  hits=${naive._2}")
       (c, naive._1, vol._1, naive._2)
     }
+    val ciJson = ciResults.map { case (c, n, v, h) =>
+      s"""{"corpus":"${c.corpus}","needle":"${c.needle}","lower_contains_ns":$n,""" +
+        s""""ci_volnitsky_ns":$v,"speedup":${n / v},"hits":$h}"""
+    }.mkString("[", ",", "]")
     val json = results.map { case (c, n, v, h) =>
       s"""{"corpus":"${c.corpus}","needle":"${c.needle}","naive_ns":$n,""" +
         s""""volnitsky_ns":$v,"speedup":${n / v},"hits":$h}"""
     }.mkString(s"""{"metric":"volnitsky_ab","rows":$rows,"cells":[""", ",",
-      s"""],"multi":{"needles":${multiNeedles.length},"naive_ns":${mn._1},""" +
+      s"""],"ci_cells":$ciJson,""" +
+      s""""multi":{"needles":${multiNeedles.length},"naive_ns":${mn._1},""" +
         s""""k_volnitsky_ns":${mk._1},"one_pass_ns":${m1._1},""" +
         s""""hits":${mn._2}}}""")
     println(json)

@@ -100,6 +100,75 @@ class LazyTopKSpec extends AnyFunSuite {
       (7999L to 7997L by -1).map(i => (i, i)))
   }
 
+  test("narrow early termination: a clustered-key narrow top-k resolves " +
+      "to a LocalRelation at planning (no file relation remains — the " +
+      "footer proof showed every unscanned file irrelevant); both " +
+      "directions stay exact") {
+    // 8 files, ts 0..7999 contiguous per file; LIMIT 10 bounds ts <= 9
+    // and every other file's min is strictly past it — the pre-pass rows
+    // ARE the answer, so the optimized plan has no scan left at all
+    val q = spark.read.parquet(clustered).select(col("ts"), col("id"))
+      .orderBy(col("ts")).limit(10)
+    assert(LazyTopK.usesLazyTopK(q))
+    def relationsIn(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+    assert(relationsIn(q).isEmpty,
+      "clustered narrow top-k should be answered at planning time")
+    assert(q.as[(Long, Long)].collect().toSeq ==
+      (0L until 10L).map(i => (i, i)))
+    // DESC proves from the other end and stays exact
+    val qd = spark.read.parquet(clustered).select(col("ts"), col("id"))
+      .orderBy(col("ts").desc).limit(3)
+    assert(LazyTopK.usesLazyTopK(qd) && relationsIn(qd).isEmpty)
+    assert(qd.as[(Long, Long)].collect().toSeq ==
+      (7999L to 7997L by -1).map(i => (i, i)))
+    // the WIDE path keeps the bounded-scan shape (no 100k-wide-row
+    // planning collects) and file-level pruning shrinks its scan
+    val qw = spark.read.parquet(clustered).orderBy(col("ts")).limit(10)
+    assert(LazyTopK.usesLazyTopK(qw))
+    val scannedW = relationsIn(qw).map(_.relation.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.inputFiles.length)
+    assert(scannedW.nonEmpty && scannedW.head < 8,
+      s"wide bounded scan still plans every file: $scannedW")
+    assert(qw.select(col("ts"), col("id")).as[(Long, Long)].collect().toSeq ==
+      (0L until 10L).map(i => (i, i)))
+  }
+
+  test("narrow attempt below the clustering threshold: a range-layout " +
+      "table (2 overlapping files per key block, disjointFraction < 0.5) " +
+      "still fires when the bound prunes files, and stays exact") {
+    val d = "target/lazytopk_ranged"
+    // 8 files; files 2i and 2i+1 BOTH span ts block [i*1000, i*1000+999]
+    // (hash-uniform inside the block, like two CounterID-split files of
+    // one EventDate) — every adjacent pair overlaps a block boundary or
+    // a shared block, so the chain heuristic reads ~0.43 here, yet a
+    // LIMIT-10 bound lands in block 0 and prunes 6 of 8 files
+    spark.range(0, 8000, 1, 8).toDF("id")
+      .withColumn("ts",
+        floor(col("id") / 2000) * 1000 + pmod(xxhash64(col("id")), lit(1000)))
+      .withColumn("phrase", concat(lit("p"), col("id") % 97))
+      .write.mode("overwrite").parquet(d)
+    val q = spark.read.parquet(d).select(col("phrase"), col("ts"))
+      .orderBy(col("ts")).limit(10)
+    assert(LazyTopK.usesLazyTopK(q),
+      "borderline-clustered narrow top-k did not fire via the attempt path")
+    // on this 8-file table the minimum stage covers everything, so the
+    // attempt resolves to the planning-time ANSWER (no scan remains);
+    // larger tables take the bound+keep-set route (probed at 100 M)
+    assert(!q.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+      "attempt path left a full file scan in place")
+    val got = q.as[(String, Long)].collect().toSeq
+    val exp = spark.read.parquet(d).select(col("phrase"), col("ts"))
+      .as[(String, Long)].collect().toSeq.sortBy(_._2).take(10)
+    // ties inside the limit may legally reorder phrases; the sorted key
+    // SEQUENCE is what the rewrite must preserve exactly
+    assert(got.map(_._2) == exp.map(_._2))
+  }
+
   test("staged pre-pass grows past empty early files and stays exact") {
     // every match lives in the last quarter of the ts order: stage 1
     // (first file) yields zero rows, the bound must come from a wider
