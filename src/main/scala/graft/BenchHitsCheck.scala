@@ -48,7 +48,20 @@ object BenchHitsCheck {
         "URL AS Dst, count(*) AS cnt FROM hits WHERE CounterID = 62 " +
         "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' " +
         "AND Refresh = 0 " +
-        "GROUP BY TraficSourceID, SearchEngineID, AdvEngineID, Src, Dst"))
+        "GROUP BY TraficSourceID, SearchEngineID, AdvEngineID, Src, Dst"),
+    // q37/q38: full-key URL / Title states with the month window baked
+    // (exact-key elimination, r16) — entire grouped results must
+    // bit-match the raw aggregation
+    "q37_url_fullkey_state" ->
+      ("SELECT URL, count(*) AS cnt FROM hits WHERE CounterID = 62 " +
+        "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' " +
+        "AND DontCountHits = 0 AND Refresh = 0 AND URL != '' " +
+        "GROUP BY URL"),
+    "q38_title_fullkey_state" ->
+      ("SELECT Title, count(*) AS cnt FROM hits WHERE CounterID = 62 " +
+        "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' " +
+        "AND DontCountHits = 0 AND Refresh = 0 AND Title != '' " +
+        "GROUP BY Title"))
 
   private def checksum(spark: SparkSession, sql: String): String = {
     // order-independent whole-result digest: group count, total count,

@@ -168,6 +168,50 @@ object BenchVolnitskyAB {
       (c, naive._1, vol._1, naive._2)
     }
 
+    // BATCHED dictionary (hasMoreToSearch shape): a 1200-term list —
+    // the PII/quality-word-list scale that exceeds one table's bigram
+    // budget (1200 × 10 entries = 12000 > 8192 → 2 groups) — one-pass
+    // batched engine vs the r15 fallback of k naive contains scans.
+    val dictNeedles: Array[Array[Byte]] =
+      ((0 until 1199).map(i => f"badword$i%04d") :+ "metrika/page")
+        .map(n => UTF8String.fromString(n).getBytes).toArray
+    val batched = new graft.functions.BatchedMultiVolnitsky(dictNeedles)
+    def timeDictNaive(data: Array[UTF8String]): (Double, Long) = {
+      val ns = dictNeedles.map(UTF8String.fromBytes)
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        var found = false
+        var i = 0
+        while (!found && i < ns.length) {
+          if (data(j).contains(ns(i))) found = true
+          i += 1
+        }
+        if (found) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+    def timeDictBatched(data: Array[UTF8String]): (Double, Long) = {
+      var hits = 0L
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < data.length) {
+        if (batched.containsAny(data(j))) hits += 1
+        j += 1
+      }
+      ((System.nanoTime() - t0).toDouble / data.length, hits)
+    }
+    timeDictNaive(urls); timeDictBatched(urls) // warm
+    val dn = (0 until 3).map(_ => timeDictNaive(urls)).minBy(_._1)
+    val db = (0 until 5).map(_ => timeDictBatched(urls)).minBy(_._1)
+    require(dn._2 == db._2,
+      s"batched-dict disagreement: naive=${dn._2} batched=${db._2}")
+    println(f"[vol-ab] dict(${dictNeedles.length} needles, " +
+      f"${batched.groupCount} groups on url): k-naive=${dn._1}%8.2f " +
+      f"batched=${db._1}%6.2f ns/row (${dn._1 / db._1}%4.1fx) hits=${dn._2}")
+
     timeMultiNaive(urls); timeMultiVolK(urls); timeMultiOne(urls) // warm
     val mn = (0 until 5).map(_ => timeMultiNaive(urls)).minBy(_._1)
     val mk = (0 until 5).map(_ => timeMultiVolK(urls)).minBy(_._1)
@@ -205,7 +249,11 @@ object BenchVolnitskyAB {
       s"""],"ci_cells":$ciJson,""" +
       s""""multi":{"needles":${multiNeedles.length},"naive_ns":${mn._1},""" +
         s""""k_volnitsky_ns":${mk._1},"one_pass_ns":${m1._1},""" +
-        s""""hits":${mn._2}}}""")
+        s""""hits":${mn._2}},""" +
+      s""""batched_dict":{"needles":${dictNeedles.length},""" +
+        s""""groups":${batched.groupCount},"k_naive_ns":${dn._1},""" +
+        s""""batched_ns":${db._1},"speedup":${dn._1 / db._1},""" +
+        s""""hits":${dn._2}}}""")
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/BENCH_volnitsky_ab.json"), json)

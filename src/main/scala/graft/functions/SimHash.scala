@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Contains, Expression, If, IsNull, Literal, Lower, Or, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, Coalesce, Contains, CreateArray, EqualTo, Expression, If, IsNull, Least, Literal, Lower, Or, StringLocate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -218,7 +218,7 @@ object GraftScalar {
             Literal(false))
         else {
           val distinct = data.distinct
-          if (MultiVolnitskySearcher.fits(distinct))
+          if (MultiVolnitskySearcher.fitsBatched(distinct))
             MultiSearchAny(exprs.head, distinct)
           else
             data.map(s => Contains(exprs.head,
@@ -235,7 +235,7 @@ object GraftScalar {
         val longType = org.apache.spark.sql.types.LongType
         if (data.isEmpty)
           If(IsNull(exprs.head), Literal.create(null, longType), Literal(0L))
-        else if (MultiVolnitskySearcher.fits(data))
+        else if (MultiVolnitskySearcher.fitsBatched(data))
           MultiSearchFirstIndex(exprs.head, data)
         else
           If(IsNull(exprs.head), Literal.create(null, longType),
@@ -244,6 +244,58 @@ object GraftScalar {
                 Literal(s, org.apache.spark.sql.types.StringType)): Expression,
                 Literal((i + 1).toLong): Expression)
             }, Some(Literal(0L))))
+      }, "built-in")
+    // multiSearchFirstPosition / multiSearchAllPositions (reference
+    // src/Functions/multiSearchFirstPosition.cpp,
+    // multiSearchAllPositions.cpp over PositionImpl.h): 1-based
+    // CHARACTER positions — the reference reports bytes; characters keep
+    // the functions consistent with Spark's locate/instr and DuckDB's
+    // strpos on the same data. 0 = not found, NULL text stays NULL.
+    // Out-of-budget needle sets fall back to the equivalent
+    // least-of-locate / array-of-locate plans.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_search_first_position", exprs => {
+        val data = constNeedles(exprs, "multi_search_first_position")
+        val longType = org.apache.spark.sql.types.LongType
+        val intType = org.apache.spark.sql.types.IntegerType
+        if (data.isEmpty)
+          If(IsNull(exprs.head), Literal.create(null, longType), Literal(0L))
+        else {
+          val distinct = data.distinct
+          if (MultiVolnitskySearcher.fitsBatched(distinct))
+            MultiSearchFirstPosition(exprs.head, distinct)
+          else {
+            // min nonzero locate over the needles; 0 when none matches
+            def loc(n: UTF8String): Expression = StringLocate(
+              Literal(n, org.apache.spark.sql.types.StringType),
+              exprs.head, Literal(1))
+            val nonzero = distinct.map(n =>
+              If(EqualTo(loc(n), Literal(0)),
+                Literal.create(null, intType), loc(n)): Expression)
+            val least =
+              if (nonzero.length == 1) nonzero.head else Least(nonzero)
+            If(IsNull(exprs.head), Literal.create(null, longType),
+              Cast(Coalesce(Seq(least, Literal(0))), longType))
+          }
+        }
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_search_all_positions", exprs => {
+        val data = constNeedles(exprs, "multi_search_all_positions")
+        val longType = org.apache.spark.sql.types.LongType
+        // output array is ALIGNED to the needle list — no dedup
+        if (data.isEmpty)
+          Literal.create(Array.empty[Long],
+            org.apache.spark.sql.types.ArrayType(longType, false))
+        else if (MultiVolnitskySearcher.fitsBatched(data))
+          MultiSearchAllPositions(exprs.head, data)
+        else
+          If(IsNull(exprs.head),
+            Literal.create(null,
+              org.apache.spark.sql.types.ArrayType(longType, false)),
+            CreateArray(data.map(n => Cast(StringLocate(
+              Literal(n, org.apache.spark.sql.types.StringType),
+              exprs.head, Literal(1)), longType): Expression)))
       }, "built-in")
     // case-insensitive multiSearchAny: needles.exists(lower(text)
     // contains lower(needle)). ASCII needle sets scan the raw column via
@@ -258,7 +310,7 @@ object GraftScalar {
             Literal(false))
         else {
           val lowered = data.map(_.toLowerCase).distinct
-          if (MultiVolnitskySearcher.fits(lowered, ci = true))
+          if (MultiVolnitskySearcher.fitsBatched(lowered, ci = true))
             MultiSearchAnyCI(exprs.head, lowered)
           else
             lowered.map(s => Contains(Lower(exprs.head),

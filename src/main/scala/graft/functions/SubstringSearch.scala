@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.array.ByteArrayMethods
 import org.apache.spark.unsafe.types.UTF8String
@@ -116,6 +116,50 @@ final class VolnitskySearcher(val needle: Array[Byte],
     }
     false
   }
+
+  /** Byte offset of the FIRST occurrence, -1 when absent (exact tier —
+    * position callers never construct CI searchers). Correctness of
+    * "first sample with a verified candidate wins": an occurrence at p
+    * is discovered at exactly ONE sample — the unique sample in
+    * [p, p+n-2] — and samples step by n-1, so for occurrences p1 < p2
+    * the discovery samples satisfy i(p1) <= i(p2); a later sample i'
+    * only discovers p' >= i'-(n-2) >= i+1 > any p <= i from sample i.
+    * Within one sample several candidates can chain (repeated bigrams),
+    * so the minimum verified p of that sample is the global minimum. */
+  def firstBytePos(s: UTF8String): Int = {
+    val m = s.numBytes
+    if (m < n) return -1
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = n - 2
+    val last = m - 2
+    while (i <= last) {
+      var best = -1
+      var cell = (Platform.getByte(base, off + i) & 0xFF) |
+        ((Platform.getByte(base, off + i + 1) & 0xFF) << 8)
+      var stored: Int = table(cell)
+      while (stored != 0) {
+        val p = i - (stored - 1)
+        if (p >= 0 && p + n <= m && (best < 0 || p < best) &&
+            VolnitskySearcher.verify(nd, base, off + p, caseInsensitive))
+          best = p
+        cell = (cell + 1) & 0xFFFF
+        stored = table(cell)
+      }
+      if (best >= 0) return best
+      i += n - 1
+    }
+    -1
+  }
+
+  /** 1-based CHARACTER position of the first occurrence (Spark
+    * locate/instr and DuckDB strpos semantics — `UTF8String.indexOf`
+    * counts code points), 0 when absent. The char conversion walks only
+    * the prefix before the match, and only on matching rows. */
+  def position(s: UTF8String): Int = {
+    val p = firstBytePos(s)
+    if (p < 0) 0 else VolnitskySearcher.charsBefore(s, p) + 1
+  }
 }
 
 object VolnitskySearcher {
@@ -170,6 +214,22 @@ object VolnitskySearcher {
       while (table(cell) != 0) cell = (cell + 1) & 0xFFFF
       table(cell) = value
     }
+  }
+
+  /** Code points in the byte prefix [0, bytePos) — continuation bytes
+    * (0b10xxxxxx) do not start a character. `bytePos` always lands on a
+    * match start; a valid-UTF-8 needle starts on a character boundary,
+    * so the count equals `UTF8String.indexOf`'s character index. */
+  private[functions] def charsBefore(s: UTF8String, bytePos: Int): Int = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    var c = 0
+    while (i < bytePos) {
+      if ((Platform.getByte(base, off + i) & 0xC0) != 0x80) c += 1
+      i += 1
+    }
+    c
   }
 
   /** Candidate verification: exact bytes, or ASCII-lowered haystack bytes
@@ -345,6 +405,98 @@ final class MultiVolnitskySearcher(val needles: Array[Array[Byte]],
     }
     if (best == Int.MaxValue) 0 else best + 1
   }
+
+  /** 1-based CHARACTER position of the LEFTMOST occurrence of ANY
+    * needle, 0 when none matches (the reference's
+    * multiSearchFirstPosition.cpp over PositionImpl.h; positions in
+    * characters to stay consistent with Spark's locate). Exact tier
+    * only — position callers never construct CI searchers. Same
+    * monotonicity argument as the single-needle firstBytePos, with
+    * minLen as the step: a later sample only discovers start positions
+    * strictly past every position discoverable at an earlier sample, so
+    * the first sample holding a verified candidate yields the global
+    * minimum once its chain is fully minimized. */
+  def firstPosition(s: UTF8String): Long = {
+    val m = s.numBytes
+    if (m < minLen) return 0L
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = minLen - 2
+    val last = m - 2
+    while (i <= last) {
+      var best = -1
+      var cell = (Platform.getByte(base, off + i) & 0xFF) |
+        ((Platform.getByte(base, off + i + 1) & 0xFF) << 8)
+      var stored = table(cell)
+      while (stored != 0) {
+        val p = i - ((stored & 0x3FF) - 1)
+        val nd = nds(stored >>> 10)
+        if (p >= 0 && p + nd.length <= m && (best < 0 || p < best) &&
+            VolnitskySearcher.verify(nd, base, off + p, caseInsensitive))
+          best = p
+        cell = (cell + 1) & 0xFFFF
+        stored = table(cell)
+      }
+      if (best >= 0)
+        return VolnitskySearcher.charsBefore(s, best) + 1L
+      i += minLen - 1
+    }
+    0L
+  }
+
+  /** First-occurrence CHARACTER position of EACH needle in array order
+    * (0 = absent) — the reference's multiSearchAllPositions.cpp in ONE
+    * haystack pass instead of k. Every occurrence is discovered at
+    * exactly one sample, so the running per-needle byte minimum over
+    * all verified candidates IS that needle's first occurrence; the
+    * pass stops early once every needle is found (later samples only
+    * discover larger positions). Byte→char conversion is one further
+    * prefix walk over the found offsets in ascending order. */
+  def allPositions(s: UTF8String): Array[Long] = {
+    val k = nds.length
+    val bytePos = new Array[Int](k)
+    java.util.Arrays.fill(bytePos, -1)
+    val out = new Array[Long](k)
+    val m = s.numBytes
+    if (m < minLen) return out
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var remaining = k
+    var i = minLen - 2
+    val last = m - 2
+    while (i <= last && remaining > 0) {
+      var cell = (Platform.getByte(base, off + i) & 0xFF) |
+        ((Platform.getByte(base, off + i + 1) & 0xFF) << 8)
+      var stored = table(cell)
+      while (stored != 0) {
+        val idx = stored >>> 10
+        val p = i - ((stored & 0x3FF) - 1)
+        val nd = nds(idx)
+        if (p >= 0 && p + nd.length <= m &&
+            (bytePos(idx) < 0 || p < bytePos(idx)) &&
+            VolnitskySearcher.verify(nd, base, off + p, caseInsensitive)) {
+          if (bytePos(idx) < 0) remaining -= 1
+          bytePos(idx) = p
+        }
+        cell = (cell + 1) & 0xFFFF
+        stored = table(cell)
+      }
+      i += minLen - 1
+    }
+    // one ascending prefix walk converts every found byte offset
+    val order = (0 until k).filter(bytePos(_) >= 0).sortBy(bytePos)
+    var bi = 0
+    var chars = 0
+    order.foreach { idx =>
+      val bp = bytePos(idx)
+      while (bi < bp) {
+        if ((Platform.getByte(base, off + bi) & 0xC0) != 0x80) chars += 1
+        bi += 1
+      }
+      out(idx) = chars + 1L
+    }
+    out
+  }
 }
 
 object MultiVolnitskySearcher {
@@ -386,6 +538,23 @@ object MultiVolnitskySearcher {
       (!ci || needles.forall(_.isFullAscii)) &&
       entryCount(needles.map(_.getBytes), ci) <= MaxTotalBigrams
 
+  /** Gate for the BATCHED engine: every needle individually usable —
+    * the set-level bigram budget no longer matters because
+    * [[BatchedMultiVolnitsky]] splits into per-budget groups (the
+    * reference's hasMoreToSearch loop, Volnitsky.h — MultiVolnitskyBase
+    * runs ⌈needles/limit⌉ searchers in sequence). A single in-range
+    * needle can never blow one group's budget (≤ 254 bigrams × ≤ 4 CI
+    * variants = 1016 ≤ 8192). `MaxNeedlesBatched` bounds total table
+    * memory (worst case all-255-byte needles → 32 per group → 512
+    * groups × 256 KiB = 128 MiB; typical dictionaries are far smaller). */
+  val MaxNeedlesBatched = 16384
+
+  def fitsBatched(needles: Seq[UTF8String], ci: Boolean = false): Boolean =
+    needles.nonEmpty && needles.length <= MaxNeedlesBatched &&
+      needles.forall(n => n.numBytes >= VolnitskySearcher.MinNeedle &&
+        n.numBytes <= VolnitskySearcher.MaxNeedle) &&
+      (!ci || needles.forall(_.isFullAscii))
+
   /** Shared insert with Int cells (idx | offset packing). */
   private[functions] def insertVariants(table: Array[Int], b1: Byte,
                                         b2: Byte, value: Int,
@@ -397,6 +566,105 @@ object MultiVolnitskySearcher {
       while (table(cell) != 0) cell = (cell + 1) & 0xFFFF
       table(cell) = value
     }
+  }
+}
+
+/** Needle sets past one table's bigram budget, run as a SEQUENCE of
+  * within-budget MultiVolnitsky groups — the reference's
+  * `hasMoreToSearch` batching (Volnitsky.h: MultiVolnitskyBase packs
+  * needles into searchers of ≤ small_limit entries and loops them),
+  * replacing the r15 fallback of k naive scans for large dictionaries
+  * (PII term lists, quality word lists easily exceed 8192 bigrams).
+  * Needles are packed greedily IN ORDER, so group order = array order
+  * and firstIndex short-circuits correctly: every needle of group g
+  * precedes every needle of group g+1. An in-budget set builds exactly
+  * one group, making this a zero-cost generalization of the single
+  * searcher (one extra array read per row). */
+final class BatchedMultiVolnitsky(val needles: Array[Array[Byte]],
+                                  val caseInsensitive: Boolean = false)
+    extends Serializable {
+  require(needles.nonEmpty &&
+      needles.length <= MultiVolnitskySearcher.MaxNeedlesBatched,
+    s"BatchedMultiVolnitsky: ${needles.length} needles outside " +
+      s"[1, ${MultiVolnitskySearcher.MaxNeedlesBatched}]")
+
+  /** Greedy run packing. entryCount is NOT monotone in the run length
+    * (a shorter needle joining lowers the run's minLen and so every
+    * member's contribution), so each extension re-checks the actual
+    * count; stopping at the first overflow is correct, merely
+    * suboptimal. One-time per query plan, worst ~10^8 byte ops for the
+    * 16 K-needle cap. */
+  private val (searchers, starts) = {
+    import scala.collection.immutable.ArraySeq
+    val ss = Array.newBuilder[MultiVolnitskySearcher]
+    val st = Array.newBuilder[Int]
+    var i = 0
+    while (i < needles.length) {
+      var j = i + 1
+      while (j < needles.length &&
+          j - i < MultiVolnitskySearcher.MaxNeedles &&
+          MultiVolnitskySearcher.entryCount(
+            ArraySeq.unsafeWrapArray(needles.slice(i, j + 1)),
+            caseInsensitive) <= MultiVolnitskySearcher.MaxTotalBigrams)
+        j += 1
+      ss += new MultiVolnitskySearcher(needles.slice(i, j), caseInsensitive)
+      st += i
+      i = j
+    }
+    (ss.result(), st.result())
+  }
+
+  /** Number of within-budget groups (1 = single-table fast path). */
+  def groupCount: Int = searchers.length
+
+  def containsAny(s: UTF8String): Boolean = {
+    var g = 0
+    while (g < searchers.length) {
+      if (searchers(g).containsAny(s)) return true
+      g += 1
+    }
+    false
+  }
+
+  /** 1-based first matching needle in ARRAY order; groups preserve
+    * order, so the first group reporting a match holds the winner. */
+  def firstIndex(s: UTF8String): Int = {
+    var g = 0
+    while (g < searchers.length) {
+      val r = searchers(g).firstIndex(s)
+      if (r > 0) return starts(g) + r
+      g += 1
+    }
+    0
+  }
+
+  /** Leftmost occurrence of ANY needle across all groups (char,
+    * 1-based, 0 none) — groups partition the needle set, not the
+    * haystack, so the minimum over groups is taken. */
+  def firstPosition(s: UTF8String): Long = {
+    var best = 0L
+    var g = 0
+    while (g < searchers.length) {
+      val r = searchers(g).firstPosition(s)
+      if (r > 0 && (best == 0L || r < best)) {
+        best = r
+        if (best == 1L) return 1L // nothing is left of position 1
+      }
+      g += 1
+    }
+    best
+  }
+
+  /** Per-needle first positions, aligned to the full needle array. */
+  def allPositions(s: UTF8String): Array[Long] = {
+    val out = new Array[Long](needles.length)
+    var g = 0
+    while (g < searchers.length) {
+      val part = searchers(g).allPositions(s)
+      System.arraycopy(part, 0, out, starts(g), part.length)
+      g += 1
+    }
+    out
   }
 }
 
@@ -477,15 +745,15 @@ case class MultiSearchAny(child: Expression, needles: Seq[UTF8String])
   override def dataType: DataType = BooleanType
   override def prettyName: String = "multi_search_any"
 
-  @transient private lazy val searcher: MultiVolnitskySearcher =
-    new MultiVolnitskySearcher(needles.map(_.getBytes).toArray)
+  @transient private lazy val searcher: BatchedMultiVolnitsky =
+    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray)
 
   override def nullSafeEval(s: Any): Any =
     searcher.containsAny(s.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("multiVolnitsky", searcher,
-      classOf[MultiVolnitskySearcher].getName)
+      classOf[BatchedMultiVolnitsky].getName)
     defineCodeGen(ctx, ev, s => s"$ref.containsAny($s)")
   }
 
@@ -503,8 +771,8 @@ case class MultiSearchAnyCI(child: Expression, needles: Seq[UTF8String])
   override def dataType: DataType = BooleanType
   override def prettyName: String = "multi_search_any_ci"
 
-  @transient private lazy val searcher: MultiVolnitskySearcher =
-    new MultiVolnitskySearcher(needles.map(_.getBytes).toArray,
+  @transient private lazy val searcher: BatchedMultiVolnitsky =
+    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray,
       caseInsensitive = true)
 
   override def nullSafeEval(s: Any): Any =
@@ -512,7 +780,7 @@ case class MultiSearchAnyCI(child: Expression, needles: Seq[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("multiVolnitskyCi", searcher,
-      classOf[MultiVolnitskySearcher].getName)
+      classOf[BatchedMultiVolnitsky].getName)
     defineCodeGen(ctx, ev, s => s"$ref.containsAny($s)")
   }
 
@@ -534,20 +802,115 @@ case class MultiSearchFirstIndex(child: Expression, needles: Seq[UTF8String])
   override def dataType: DataType = LongType
   override def prettyName: String = "multi_search_first_index"
 
-  @transient private lazy val searcher: MultiVolnitskySearcher =
-    new MultiVolnitskySearcher(needles.map(_.getBytes).toArray)
+  @transient private lazy val searcher: BatchedMultiVolnitsky =
+    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray)
 
   override def nullSafeEval(s: Any): Any =
     searcher.firstIndex(s.asInstanceOf[UTF8String]).toLong
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("multiVolnitskyFi", searcher,
-      classOf[MultiVolnitskySearcher].getName)
+      classOf[BatchedMultiVolnitsky].getName)
     defineCodeGen(ctx, ev, s => s"(long) $ref.firstIndex($s)")
   }
 
   override protected def withNewChildInternal(
       newChild: Expression): MultiSearchFirstIndex =
+    copy(child = newChild)
+}
+
+/** `position`/`locate`/`instr` with a Volnitsky fast path — drop-in
+  * result-identical replacement for `StringInstr(str, lit)` and
+  * `StringLocate(lit, str, 1)` (the reference's scalar `position`,
+  * src/Functions/FunctionsStringSearch.h over PositionImpl.h, runs the
+  * same Volnitsky engine). Returns the 1-based character position of
+  * the first occurrence (`UTF8String.indexOf` semantics), 0 when
+  * absent, NULL on NULL input — exactly the replaced expressions with a
+  * constant needle and start=1. */
+case class VolnitskyPosition(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "volnitsky_position"
+
+  @transient private lazy val searcher: VolnitskySearcher = {
+    val needle = right.eval(null).asInstanceOf[UTF8String]
+    new VolnitskySearcher(needle.getBytes)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    searcher.position(l.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("volnitskyPos", searcher,
+      classOf[VolnitskySearcher].getName)
+    defineCodeGen(ctx, ev, (l, _) => s"$ref.position($l)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VolnitskyPosition =
+    copy(left = newLeft, right = newRight)
+}
+
+/** multiSearchFirstPosition over constant needles in ONE haystack pass
+  * (the reference's multiSearchFirstPosition.cpp): 1-based character
+  * position of the LEFTMOST occurrence of any needle, 0 when none
+  * matches, NULL on NULL text. Result-identical to
+  * `coalesce(least(nullif(locate(n1,t),0), …), 0)` in one pass. */
+case class MultiSearchFirstPosition(child: Expression,
+                                    needles: Seq[UTF8String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "multi_search_first_position"
+
+  @transient private lazy val searcher: BatchedMultiVolnitsky =
+    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray)
+
+  override def nullSafeEval(s: Any): Any =
+    searcher.firstPosition(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiVolnitskyFp", searcher,
+      classOf[BatchedMultiVolnitsky].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.firstPosition($s)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MultiSearchFirstPosition =
+    copy(child = newChild)
+}
+
+/** multiSearchAllPositions over constant needles in ONE haystack pass
+  * (the reference's multiSearchAllPositions.cpp): array aligned to the
+  * needle list — 1-based character position of each needle's first
+  * occurrence, 0 where absent, NULL on NULL text. Result-identical to
+  * `array(locate(n1, t), locate(n2, t), …)` in one pass instead of k. */
+case class MultiSearchAllPositions(child: Expression,
+                                   needles: Seq[UTF8String])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_search_all_positions"
+
+  @transient private lazy val searcher: BatchedMultiVolnitsky =
+    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray)
+
+  override def nullSafeEval(s: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      searcher.allPositions(s.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiVolnitskyAp", searcher,
+      classOf[BatchedMultiVolnitsky].getName)
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$ref.allPositions($s))")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MultiSearchAllPositions =
     copy(child = newChild)
 }
 
@@ -691,7 +1054,12 @@ object FastSubstring {
       val c = pat.charAt(i)
       if (c == esc) {
         if (i + 1 >= pat.length) return Nil // malformed: Like.eval throws
-        cur.append(pat.charAt(i + 1))
+        val n = pat.charAt(i + 1)
+        // Spark's Like only admits escape of '%', '_' or the escape char
+        // itself; anything else throws invalidEscapeSequence — the
+        // pattern must keep that throw, so no prefilter.
+        if (n != '%' && n != '_' && n != esc) return Nil
+        cur.append(n)
         i += 2
       } else if (c == '%' || c == '_') { flush(); i += 1 }
       else { cur.append(c); i += 1 }
@@ -736,6 +1104,11 @@ object FastSubstring {
           if (i < pat.length && pat.charAt(i) == '^') i += 1
           if (i < pat.length && pat.charAt(i) == ']') i += 1
           while (i < pat.length && pat.charAt(i) != ']') {
+            // Java classes nest ([a[bc]]) and intersect ([a-z&&[x]]);
+            // scanning only to the FIRST ']' would leak the class tail
+            // into a "required" fragment. Abort — conservatively losing
+            // the prefilter, never dropping rows.
+            if (pat.charAt(i) == '[') return Nil
             if (pat.charAt(i) == '\\') i += 1
             i += 1
           }
@@ -810,8 +1183,10 @@ object FastSubstring {
         // into ONE MultiVolnitsky pass (the reference's multiSearchAny
         // engine). Matched top-down, so a sub-chain inside a larger OR
         // still folds when the outer chain has non-substring leaves.
-        // A chain whose needle set exceeds the bigram budget stays an
-        // OR — the leaves then swap to single-needle Volnitsky below.
+        // A chain past one table's bigram budget still folds — the
+        // batched engine splits it into within-budget groups
+        // (hasMoreToSearch); only individually-unusable needles keep
+        // the OR, whose leaves then swap to single-needle Volnitsky.
         case or: Or =>
           val leaves = splitOr(or)
           val pairs = leaves.map(containsLeaf)
@@ -821,9 +1196,9 @@ object FastSubstring {
             val needles = pairs.flatten.map(_._2).distinct
             hay match {
               case Lower(inner) if needles.forall(asciiLowerLit) &&
-                  MultiVolnitskySearcher.fits(needles, ci = true) =>
+                  MultiVolnitskySearcher.fitsBatched(needles, ci = true) =>
                 MultiSearchAnyCI(inner, needles)
-              case _ if MultiVolnitskySearcher.fits(needles) =>
+              case _ if MultiVolnitskySearcher.fitsBatched(needles) =>
                 MultiSearchAny(hay, needles)
               case _ => or
             }
@@ -837,6 +1212,18 @@ object FastSubstring {
         case Contains(l, lit @ Literal(v, StringType))
             if v != null && usableNeedle(v) && !l.foldable =>
           VolnitskyContains(l, lit)
+        // scalar position family: instr(str, c) and locate(c, str) with
+        // start=1 — the reference's Volnitsky `position` fast path
+        // (FunctionsStringSearch.h over PositionImpl.h). Same null
+        // semantics (start is the non-null literal 1, so StringLocate's
+        // null-start branch is unreachable).
+        case StringInstr(str, lit @ Literal(v: UTF8String, StringType))
+            if v != null && usableNeedle(v) && !str.foldable =>
+          VolnitskyPosition(str, lit)
+        case StringLocate(lit @ Literal(v: UTF8String, StringType), str,
+            Literal(1, IntegerType))
+            if v != null && usableNeedle(v) && !str.foldable =>
+          VolnitskyPosition(str, lit)
       }
       swapped.transform {
         case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
@@ -868,4 +1255,10 @@ object FastSubstring {
     if (!spark.experimental.extraOptimizations.contains(Rewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ Rewrite
+
+  /** Test-only: remove the rewrite so a spec can run the un-swapped
+    * plan on the same session and A/B the results. */
+  private[graft] def uninstallForTest(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == Rewrite)
 }

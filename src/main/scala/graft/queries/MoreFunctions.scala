@@ -151,6 +151,49 @@ object MoreFunctions extends QueryModule {
       q
     }),
 
+    // scalar position fast path (daisy `position`,
+    // src/Functions/FunctionsStringSearch.h over PositionImpl.h —
+    // Volnitsky when the needle is constant): Spark's instr/locate swap
+    // to VolnitskyPosition post-optimizer, REQUIREd in the plan.
+    "q_position_scan" -> ((s, dir) => {
+      val q = t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("instr(text, 'spark')").cast("long").as("pos_spark"),
+        expr("locate('vector', text)").cast("long").as("pos_vector"))
+      val poss = q.queryExecution.optimizedPlan.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case v: graft.functions.VolnitskyPosition => v
+        })
+      }.flatten
+      require(poss.length >= 2,
+        s"q_position_scan: instr/locate did not swap to Volnitsky: $poss")
+      q
+    }),
+
+    // multiSearchFirstPosition / multiSearchAllPositions (daisy
+    // src/Functions/multiSearchFirstPosition.cpp,
+    // multiSearchAllPositions.cpp — one MultiVolnitsky pass for k
+    // needles instead of k scans), REQUIREd in the plan.
+    "q_multi_search_positions" -> ((s, dir) => {
+      val q = t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("multi_search_first_position(text, " +
+          "array('spark','hash','vector'))").as("ms_first_pos"),
+        expr("multi_search_all_positions(text, " +
+          "array('spark','hash','vector'))").as("ms_all_pos"))
+      val ops = q.queryExecution.optimizedPlan.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case e: graft.functions.MultiSearchFirstPosition => e: Any
+          case e: graft.functions.MultiSearchAllPositions => e: Any
+        })
+      }.flatten
+      require(ops.exists(_.isInstanceOf[graft.functions.MultiSearchFirstPosition]),
+        "q_multi_search_positions: first-position leg is not one-pass")
+      require(ops.exists(_.isInstanceOf[graft.functions.MultiSearchAllPositions]),
+        "q_multi_search_positions: all-positions leg is not one-pass")
+      q
+    }),
+
     // ILIKE scan shapes (daisy positionCaseInsensitive /
     // multiSearchAnyCaseInsensitive, src/Common/Volnitsky.h:63 — the
     // ASCII case-variant bigram tier): Spark simplifies ILIKE '%x%' to
@@ -385,6 +428,21 @@ object MoreFunctions extends QueryModule {
         |       WHEN contains(text,'hash') THEN 2
         |       WHEN contains(text,'vector') THEN 3 ELSE 0 END)::BIGINT AS ms_first_index,
         | regexp_matches(text, 'spark|hash|vector')::BIGINT AS mm_any
+        |FROM documents""".stripMargin,
+
+    "q_position_scan" ->
+      """SELECT doc_id,
+        | strpos(text, 'spark')::BIGINT AS pos_spark,
+        | strpos(text, 'vector')::BIGINT AS pos_vector
+        |FROM documents""".stripMargin,
+
+    "q_multi_search_positions" ->
+      """SELECT doc_id,
+        | coalesce(least(nullif(strpos(text,'spark'),0),
+        |   nullif(strpos(text,'hash'),0),
+        |   nullif(strpos(text,'vector'),0)), 0)::BIGINT AS ms_first_pos,
+        | [strpos(text,'spark')::BIGINT, strpos(text,'hash')::BIGINT,
+        |   strpos(text,'vector')::BIGINT] AS ms_all_pos
         |FROM documents""".stripMargin,
 
     "q_ilike_scan" ->
