@@ -324,7 +324,12 @@ object BenchHits {
           "SearchEngineID", "AdvEngineID", "Referer", "URL"),
         // past 100 M the 15 % slice itself exceeds memory — parquet-
         // materialize it (the reference's on-disk PK-organized part).
-        diskDir = if (rows > Rows100m) Some(path + "_ctr62") else None,
+        // SPARK_GRAFT_CTR62_DIR overrides the location (a disk-full 1 B
+        // run can put the ~GBs slice on /dev/shm when the data disk
+        // only fits the base table + bucketed copies).
+        diskDir = if (rows > Rows100m)
+          Some(sys.env.getOrElse("SPARK_GRAFT_CTR62_DIR", path + "_ctr62"))
+        else None,
         // LAYOUT: hash-clustered on URL, not date-ordered. Since the six
         // (group, EventDate) aggregate-state tables below took over
         // q37-q39 and q41-q43, the slice's ONLY consumer is q40 — whose

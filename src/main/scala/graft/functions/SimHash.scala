@@ -318,6 +318,77 @@ object GraftScalar {
               .reduce(Or)
         }
       }, "built-in")
+    // countSubstrings / countSubstringsCaseInsensitive (reference
+    // src/Functions/countSubstrings.cpp, countSubstringsCaseInsensitive
+    // .cpp over CountSubstringsImpl.h): NON-overlapping occurrence
+    // count of a constant needle, left to right. Needles in the
+    // Volnitsky range run the engine; shorter/longer ones take the
+    // replace-arithmetic plan ((len(t) - len(replace(t,n,''))) /
+    // len(n) — replace removes exactly the non-overlapping matches, so
+    // the count is identical); empty needle → 0 (the reference's
+    // explicit case). CI lowers the needle (Unicode), scans the raw
+    // column when the lowered needle is ASCII, else counts in lower(t).
+    def constNeedle(exprs: Seq[Expression], what: String): UTF8String = {
+      require(exprs.length == 2, s"$what(text, needle): wrong arity")
+      require(exprs(1).foldable && exprs(1).dataType == StringType,
+        s"$what: needle must be a string literal, got ${exprs(1).sql}")
+      val v = exprs(1).eval()
+      require(v != null, s"$what: null needle")
+      v.asInstanceOf[UTF8String].clone()
+    }
+    def countByReplace(t: Expression, n: UTF8String): Expression = {
+      val lit = Literal(n, StringType)
+      val longType = LongType
+      val removed = org.apache.spark.sql.catalyst.expressions
+        .StringReplace(t, lit, Literal(UTF8String.EMPTY_UTF8, StringType))
+      val diff = org.apache.spark.sql.catalyst.expressions.Subtract(
+        Cast(org.apache.spark.sql.catalyst.expressions.Length(t), longType),
+        Cast(org.apache.spark.sql.catalyst.expressions.Length(removed),
+          longType))
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        diff, Literal(n.numChars.toLong))
+    }
+    def volnitskyRange(n: UTF8String): Boolean =
+      n.numBytes >= VolnitskySearcher.MinNeedle &&
+        n.numBytes <= VolnitskySearcher.MaxNeedle
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_substrings", exprs => {
+        val n = constNeedle(exprs, "count_substrings")
+        if (n.numBytes == 0)
+          If(IsNull(exprs.head), Literal.create(null, LongType), Literal(0L))
+        else if (volnitskyRange(n)) CountSubstrings(exprs.head,
+          Literal(n, StringType))
+        else countByReplace(exprs.head, n)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_substrings_ci", exprs => {
+        val n = constNeedle(exprs, "count_substrings_ci").toLowerCase
+        if (n.numBytes == 0)
+          If(IsNull(exprs.head), Literal.create(null, LongType), Literal(0L))
+        else if (volnitskyRange(n) && n.isFullAscii)
+          CountSubstringsCI(exprs.head, Literal(n, StringType))
+        else countByReplace(Lower(exprs.head), n)
+      }, "built-in")
+    // hasToken / hasTokenCaseInsensitive (reference
+    // src/Functions/hasToken.cpp over HasTokenImpl.h): needle delimited
+    // by ASCII non-alphanumeric bytes or string edges. A needle that
+    // itself contains a separator can never be a token — the reference
+    // throws BAD_ARGUMENTS, so does the registration.
+    def tokenNeedle(exprs: Seq[Expression], what: String): UTF8String = {
+      val n = constNeedle(exprs, what)
+      require(n.numBytes > 0, s"$what: empty needle")
+      require(!n.getBytes.exists(VolnitskySearcher.isTokenSep),
+        s"$what: needle must not contain whitespace or separator chars")
+      n
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "has_token", exprs => HasToken(exprs.head,
+        Literal(tokenNeedle(exprs, "has_token"), StringType), ci = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "has_token_ci", exprs => HasToken(exprs.head,
+        Literal(tokenNeedle(exprs, "has_token_ci"), StringType), ci = true),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geohashes_in_box", exprs => GeohashesInBoxExpr(exprs.take(4),
         litInt(exprs, 4, "geohashes_in_box precision")), "built-in")

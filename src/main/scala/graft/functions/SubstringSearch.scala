@@ -160,6 +160,85 @@ final class VolnitskySearcher(val needle: Array[Byte],
     val p = firstBytePos(s)
     if (p < 0) 0 else VolnitskySearcher.charsBefore(s, p) + 1
   }
+
+  /** NON-OVERLAPPING occurrence count, left-to-right greedy — the
+    * reference's countSubstrings semantics
+    * (src/Functions/CountSubstringsImpl.h: "Intersecting substrings in
+    * haystack accounted only once", countSubstrings('aaaa','aa') == 2).
+    * One sampling pass: two accepted (hence ≥ n apart) occurrences
+    * p1 < p2 are discovered at distinct samples i(p1) < i(p2)
+    * (i(p) ∈ [p, p+n-2] and p2 ≥ p1+n > p1+n-2 ≥ i(p1)), so the greedy
+    * "minimum verified candidate ≥ nextFrom per sample, then skip n"
+    * visits accepted occurrences strictly left to right. CI tier on a
+    * non-ASCII haystack falls back to counting in the Unicode-lowered
+    * copy — exactly the `lower(x)` expression the CI swap replaces. */
+  def countOccurrences(s: UTF8String): Long = {
+    if (caseInsensitive && !s.isFullAscii)
+      return VolnitskySearcher.naiveCount(s.toLowerCase.getBytes, nd)
+    val m = s.numBytes
+    if (m < n) return 0L
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cnt = 0L
+    var nextFrom = 0
+    var i = n - 2
+    val last = m - 2
+    while (i <= last) {
+      var best = -1
+      var cell = (Platform.getByte(base, off + i) & 0xFF) |
+        ((Platform.getByte(base, off + i + 1) & 0xFF) << 8)
+      var stored: Int = table(cell)
+      while (stored != 0) {
+        val p = i - (stored - 1)
+        if (p >= nextFrom && p + n <= m && (best < 0 || p < best) &&
+            VolnitskySearcher.verify(nd, base, off + p, caseInsensitive))
+          best = p
+        cell = (cell + 1) & 0xFFFF
+        stored = table(cell)
+      }
+      if (best >= 0) { cnt += 1; nextFrom = best + n }
+      i += n - 1
+    }
+    cnt
+  }
+
+  /** Token match — the needle occurs delimited by ASCII non-alphanumeric
+    * bytes (or string edges) on both sides: the reference's hasToken
+    * (src/Functions/HasTokenImpl.h over StringSearcher.h:777
+    * TokenSearcher; isTokenSeparator at :837 — ASCII non-alnum bytes
+    * only, non-ASCII bytes are NOT separators). Same candidate pass as
+    * [[contains]]; a verified occurrence that fails the boundary test
+    * keeps scanning (each occurrence is visited at exactly one sample,
+    * so nothing is missed). CI tier is the reference's ASCII case fold
+    * (ASCIICaseInsensitiveTokenSearcher) — byte-local, no Unicode
+    * fallback by definition. */
+  def hasToken(s: UTF8String): Boolean = {
+    val m = s.numBytes
+    if (m < n) return false
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = n - 2
+    val last = m - 2
+    while (i <= last) {
+      var cell = (Platform.getByte(base, off + i) & 0xFF) |
+        ((Platform.getByte(base, off + i + 1) & 0xFF) << 8)
+      var stored: Int = table(cell)
+      while (stored != 0) {
+        val p = i - (stored - 1)
+        if (p >= 0 && p + n <= m &&
+            VolnitskySearcher.verify(nd, base, off + p, caseInsensitive) &&
+            (p == 0 ||
+              VolnitskySearcher.isTokenSep(Platform.getByte(base, off + p - 1))) &&
+            (p + n == m ||
+              VolnitskySearcher.isTokenSep(Platform.getByte(base, off + p + n))))
+          return true
+        cell = (cell + 1) & 0xFFFF
+        stored = table(cell)
+      }
+      i += n - 1
+    }
+    false
+  }
 }
 
 object VolnitskySearcher {
@@ -230,6 +309,52 @@ object VolnitskySearcher {
       i += 1
     }
     c
+  }
+
+  /** Token separator — ASCII non-alphanumeric bytes; non-ASCII bytes are
+    * NOT separators (the reference's isTokenSeparator,
+    * src/Common/StringSearcher.h:837). `_` IS a separator (non-alnum). */
+  private[functions] def isTokenSep(b: Byte): Boolean =
+    b >= 0 && !((b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+      (b >= 'a' && b <= 'z'))
+
+  /** Naive non-overlapping count over raw bytes — the fallback engine
+    * for needles outside the Volnitsky length range and for the CI
+    * non-ASCII-haystack path (which pre-lowers both sides). */
+  private[functions] def naiveCount(hay: Array[Byte],
+                                    nd: Array[Byte]): Long = {
+    val n = nd.length
+    if (n == 0 || hay.length < n) return 0L
+    var cnt = 0L
+    var p = 0
+    val lastStart = hay.length - n
+    while (p <= lastStart) {
+      var i = 0
+      while (i < n && hay(p + i) == nd(i)) i += 1
+      if (i == n) { cnt += 1; p += n } else p += 1
+    }
+    cnt
+  }
+
+  /** Naive token scan — fallback for needles outside the Volnitsky
+    * range (CI = ASCII case fold, like the engine). */
+  private[functions] def naiveHasToken(s: UTF8String, nd: Array[Byte],
+                                       ci: Boolean): Boolean = {
+    val n = nd.length
+    val m = s.numBytes
+    if (n == 0 || m < n) return false
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var p = 0
+    val lastStart = m - n
+    while (p <= lastStart) {
+      if (verify(nd, base, off + p, ci) &&
+          (p == 0 || isTokenSep(Platform.getByte(base, off + p - 1))) &&
+          (p + n == m || isTokenSep(Platform.getByte(base, off + p + n))))
+        return true
+      p += 1
+    }
+    false
   }
 
   /** Candidate verification: exact bytes, or ASCII-lowered haystack bytes
@@ -912,6 +1037,117 @@ case class MultiSearchAllPositions(child: Expression,
   override protected def withNewChildInternal(
       newChild: Expression): MultiSearchAllPositions =
     copy(child = newChild)
+}
+
+/** countSubstrings over a constant needle (the reference's
+  * countSubstrings, src/Functions/countSubstrings.cpp over
+  * CountSubstringsImpl.h): NON-overlapping occurrences, left-to-right —
+  * count_substrings('aaaa','aa') = 2. Volnitsky pass; NULL text stays
+  * NULL. Only built for needles in the engine's length range — the
+  * registration falls back to the replace-arithmetic plan otherwise. */
+case class CountSubstrings(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_substrings"
+
+  @transient private lazy val searcher: VolnitskySearcher = {
+    val needle = right.eval(null).asInstanceOf[UTF8String]
+    new VolnitskySearcher(needle.getBytes)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    searcher.countOccurrences(l.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("volnitskyCount", searcher,
+      classOf[VolnitskySearcher].getName)
+    defineCodeGen(ctx, ev, (l, _) => s"$ref.countOccurrences($l)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountSubstrings =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Case-insensitive countSubstrings on the RAW column (the reference's
+  * countSubstringsCaseInsensitive.cpp) — result-identical to counting
+  * the pre-lowered needle in `lower(text)`: ASCII haystacks run the
+  * case-variant table, non-ASCII rows count in the Unicode-lowered
+  * copy. Needle is pre-lowered ASCII by the registration. */
+case class CountSubstringsCI(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_substrings_ci"
+
+  @transient private lazy val searcher: VolnitskySearcher = {
+    val needle = right.eval(null).asInstanceOf[UTF8String]
+    new VolnitskySearcher(needle.getBytes, caseInsensitive = true)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    searcher.countOccurrences(l.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("volnitskyCountCi", searcher,
+      classOf[VolnitskySearcher].getName)
+    defineCodeGen(ctx, ev, (l, _) => s"$ref.countOccurrences($l)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountSubstringsCI =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Engine holder for [[HasToken]]: Volnitsky candidates when the needle
+  * is in range (and ASCII for CI — the constructor's CI contract),
+  * naive token scan otherwise. One object referenced from codegen. */
+final class TokenMatcher(val needle: Array[Byte], val ci: Boolean)
+    extends Serializable {
+  private val nd =
+    if (ci) VolnitskySearcher.asciiLower(needle) else needle
+  private val searcher: VolnitskySearcher =
+    if (nd.length >= VolnitskySearcher.MinNeedle &&
+        nd.length <= VolnitskySearcher.MaxNeedle &&
+        (!ci || VolnitskySearcher.isAsciiBytes(nd)))
+      new VolnitskySearcher(nd, ci)
+    else null
+
+  def matches(s: UTF8String): Boolean =
+    if (searcher != null) searcher.hasToken(s)
+    else VolnitskySearcher.naiveHasToken(s, nd, ci)
+}
+
+/** hasToken / hasTokenCaseInsensitive (the reference's hasToken.cpp
+  * over HasTokenImpl.h + StringSearcher.h TokenSearcher): true when the
+  * constant needle occurs bounded by ASCII non-alphanumeric bytes or
+  * string edges on both sides. The needle must not itself contain a
+  * separator — the registration throws on such needles, like the
+  * reference (BAD_ARGUMENTS). CI is the reference's ASCII case fold. */
+case class HasToken(left: Expression, right: Expression, ci: Boolean)
+    extends BinaryExpression with Predicate {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = if (ci) "has_token_ci" else "has_token"
+
+  @transient private lazy val matcher: TokenMatcher = {
+    val needle = right.eval(null).asInstanceOf[UTF8String]
+    new TokenMatcher(needle.getBytes, ci)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    matcher.matches(l.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenMatcher", matcher,
+      classOf[TokenMatcher].getName)
+    defineCodeGen(ctx, ev, (l, _) => s"$ref.matches($l)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HasToken =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Post-optimizer rewrites for constant-substring predicates.

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object MoreFunctions extends QueryModule {
 
+  /** Shared dictionary for q_multi_search_batched — defined ONCE so the
+    * Spark query and the DuckDB oracle use identical needles. The
+    * per-needle entry count is minLen-1 (only offsets 0..minLen-2 are
+    * indexed), so ALL needles are 96 bytes: 89 × 95 = 8455 entries >
+    * the 8192 budget → 2 greedy groups (86 + 3). The last needle is a
+    * marker the query appends to every 7th document, so the match path
+    * runs through the SECOND group while the other 88 junk needles
+    * exercise the miss path on every row. */
+  private val batchedMarker: String = "customer" * 12
+  private val batchedDict: Seq[String] =
+    (0 until 88).map(i => (f"zqxjv$i%03dkwpbd" * 8).take(96)) :+ batchedMarker
+
   def queries: Map[String, Q] = Map(
     // arrayDifference / arrayCumSum / arrayReduce over per-order arrays.
     "q_func_array_numeric" -> ((s, dir) => {
@@ -191,6 +203,87 @@ object MoreFunctions extends QueryModule {
         "q_multi_search_positions: first-position leg is not one-pass")
       require(ops.exists(_.isInstanceOf[graft.functions.MultiSearchAllPositions]),
         "q_multi_search_positions: all-positions leg is not one-pass")
+      q
+    }),
+
+    // BATCHED multiSearchAny (daisy hasMoreToSearch, Volnitsky.h:
+    // MultiVolnitskyBase packs needle sets past one table's bigram
+    // budget into sequential within-budget searchers): an 89-needle
+    // dictionary of 96-byte terms inserts 89x95 = 8455 > 8192 entries,
+    // forcing 2 greedy groups. The last needle (group 2) is a marker
+    // appended to every 7th document, so both the match path (through
+    // the second searcher) and the miss path execute on real rows.
+    // Oracle = the OR/CASE of contains over the same haystack.
+    "q_multi_search_batched" -> ((s, dir) => {
+      val dict = batchedDict
+      val arr = dict.map(n => s"'$n'").mkString(",")
+      t(s, dir, "documents").createOrReplaceTempView("msb_docs")
+      val q = s.sql(
+        s"""SELECT doc_id,
+           | CAST(multi_search_any(h, array($arr)) AS BIGINT) AS ms_any,
+           | coalesce(multi_search_first_index(h, array($arr)), 0)
+           |   AS ms_first_index
+           |FROM (SELECT doc_id,
+           |  CASE WHEN doc_id % 7 = 0 THEN text || ' ' || '$batchedMarker'
+           |       ELSE text END AS h FROM msb_docs)""".stripMargin)
+      val engines = q.queryExecution.analyzed.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case m: graft.functions.MultiSearchAny => m: Any
+          case f: graft.functions.MultiSearchFirstIndex => f: Any
+        })
+      }.flatten
+      require(engines.size == 2,
+        s"q_multi_search_batched: engines not routed: $engines")
+      // the dictionary must genuinely exceed ONE table's budget
+      require(!graft.functions.MultiVolnitskySearcher.fits(
+        dict.map(org.apache.spark.unsafe.types.UTF8String.fromString)),
+        "q_multi_search_batched: dictionary fits one table — not batched")
+      q
+    }),
+
+    // countSubstrings family (daisy countSubstrings.cpp /
+    // countSubstringsCaseInsensitive.cpp over CountSubstringsImpl.h):
+    // NON-overlapping counts — engine path ('table', 5 bytes), short-
+    // needle replace-arithmetic path ('a', 'aa' — also pins the
+    // intersecting-substrings-counted-once semantics), and the CI
+    // engine on the raw column ('TABle' lowered). Engines REQUIREd.
+    "q_count_substrings" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("cs_docs")
+      val q = s.sql(
+        """SELECT doc_id,
+          | count_substrings(text, 'table') AS n_table,
+          | count_substrings(text, 'a') AS n_a_short,
+          | count_substrings(text, 'aa') AS n_aa,
+          | count_substrings_ci(text, 'TABle') AS n_table_ci
+          |FROM cs_docs""".stripMargin)
+      val engines = q.queryExecution.analyzed.expressions.flatMap(_.collect {
+        case e: graft.functions.CountSubstrings => e: Any
+        case e: graft.functions.CountSubstringsCI => e: Any
+      })
+      require(engines.size == 2,
+        s"q_count_substrings: engine not routed: $engines")
+      q
+    }),
+
+    // hasToken family (daisy hasToken.cpp over HasTokenImpl.h +
+    // StringSearcher.h TokenSearcher): needle delimited by ASCII
+    // non-alnum bytes or edges. 'table' occurs as a token; 'tabl' only
+    // as a substring prefix (tests the boundary reject); 'ab' takes the
+    // short-needle naive path; CI folds ASCII case. Engines REQUIREd.
+    "q_has_token" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("ht_docs")
+      val q = s.sql(
+        """SELECT doc_id,
+          | CAST(has_token(text, 'table') AS BIGINT) AS t_table,
+          | CAST(has_token(text, 'tabl') AS BIGINT) AS t_tabl,
+          | CAST(has_token(text, 'ab') AS BIGINT) AS t_ab,
+          | CAST(has_token_ci(text, 'TABLE') AS BIGINT) AS t_table_ci
+          |FROM ht_docs""".stripMargin)
+      val engines = q.queryExecution.analyzed.expressions.flatMap(_.collect {
+        case e: graft.functions.HasToken => e
+      })
+      require(engines.size == 4,
+        s"q_has_token: engine not routed: $engines")
       q
     }),
 
@@ -443,6 +536,44 @@ object MoreFunctions extends QueryModule {
         |   nullif(strpos(text,'vector'),0)), 0)::BIGINT AS ms_first_pos,
         | [strpos(text,'spark')::BIGINT, strpos(text,'hash')::BIGINT,
         |   strpos(text,'vector')::BIGINT] AS ms_all_pos
+        |FROM documents""".stripMargin,
+
+    "q_multi_search_batched" -> {
+      val anyOr = batchedDict
+        .map(n => s"contains(h,'$n')").mkString(" OR ")
+      val firstIdx = batchedDict.zipWithIndex
+        .map { case (n, i) => s"WHEN contains(h,'$n') THEN ${i + 1}" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""SELECT doc_id, ($anyOr)::BIGINT AS ms_any,
+         | ($firstIdx)::BIGINT AS ms_first_index
+         |FROM (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || ' ' || '$batchedMarker'
+         |       ELSE text END AS h FROM documents)""".stripMargin
+    },
+
+    "q_count_substrings" ->
+      """SELECT doc_id,
+        | CAST((length(text) - length(replace(text,'table','')))//5 AS BIGINT)
+        |   AS n_table,
+        | CAST((length(text) - length(replace(text,'a','')))//1 AS BIGINT)
+        |   AS n_a_short,
+        | CAST((length(text) - length(replace(text,'aa','')))//2 AS BIGINT)
+        |   AS n_aa,
+        | CAST((length(lower(text)) -
+        |       length(replace(lower(text),'table','')))//5 AS BIGINT)
+        |   AS n_table_ci
+        |FROM documents""".stripMargin,
+
+    "q_has_token" ->
+      """SELECT doc_id,
+        | regexp_matches(text,
+        |   '(^|[^a-zA-Z0-9])table([^a-zA-Z0-9]|$)')::BIGINT AS t_table,
+        | regexp_matches(text,
+        |   '(^|[^a-zA-Z0-9])tabl([^a-zA-Z0-9]|$)')::BIGINT AS t_tabl,
+        | regexp_matches(text,
+        |   '(^|[^a-zA-Z0-9])ab([^a-zA-Z0-9]|$)')::BIGINT AS t_ab,
+        | regexp_matches(lower(text),
+        |   '(^|[^a-zA-Z0-9])table([^a-zA-Z0-9]|$)')::BIGINT AS t_table_ci
         |FROM documents""".stripMargin,
 
     "q_ilike_scan" ->
