@@ -265,6 +265,22 @@ object MoreFunctions extends QueryModule {
       q
     }),
 
+    // countMatches (daisy src/Functions/countMatches.cpp over
+    // countMatches.h — number of non-overlapping regex matches): maps
+    // 1:1 onto Spark's codegen'd built-in regexp_count; both engines
+    // count leftmost non-overlapping matches, so no custom expression
+    // is warranted (SURVEY §2.9 preference (a): compose existing ops).
+    "q_count_matches" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("cm_docs")
+      s.sql(
+        """SELECT doc_id,
+          | CAST(regexp_count(text, 'ta[bg]le') AS BIGINT) AS n_table_re,
+          | CAST(regexp_count(text, '(?:scan|merge)') AS BIGINT)
+          |   AS n_scanmerge,
+          | CAST(regexp_count(text, 'a+') AS BIGINT) AS n_aruns
+          |FROM cm_docs""".stripMargin)
+    }),
+
     // hasToken family (daisy hasToken.cpp over HasTokenImpl.h +
     // StringSearcher.h TokenSearcher): needle delimited by ASCII
     // non-alnum bytes or edges. 'table' occurs as a token; 'tabl' only
@@ -562,6 +578,15 @@ object MoreFunctions extends QueryModule {
         | CAST((length(lower(text)) -
         |       length(replace(lower(text),'table','')))//5 AS BIGINT)
         |   AS n_table_ci
+        |FROM documents""".stripMargin,
+
+    "q_count_matches" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
+        |   AS n_table_re,
+        | CAST(length(regexp_extract_all(text, '(?:scan|merge)')) AS BIGINT)
+        |   AS n_scanmerge,
+        | CAST(length(regexp_extract_all(text, 'a+')) AS BIGINT) AS n_aruns
         |FROM documents""".stripMargin,
 
     "q_has_token" ->
