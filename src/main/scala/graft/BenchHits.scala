@@ -440,6 +440,15 @@ object BenchHits {
       where = Seq(ctr62, col("DontCountHits") === 0, col("Refresh") === 0,
         col("Title") =!= "") ++ julyWindow,
       clusterIdx = Seq(0))
+    // q39 FULL-KEY state (same treatment): the IsLink slice's GROUP BY
+    // URL with the month window baked — exact-key elimination skips the
+    // string-keyed roll-up (100 M cold residual was 0.15 s = 4.9×, the
+    // last above-floor >2× cell after q37/q38 landed).
+    graft.plans.Projections.registerAggExpr(spark, hits,
+      keys = Seq(col("URL")), measures = Nil,
+      where = Seq(ctr62, col("Refresh") === 0, col("IsLink") === 1,
+        col("IsDownload") === 0) ++ julyWindow,
+      clusterIdx = Seq(0))
     // q37: GROUP BY URL (~30 M state rows at 1 B, clustered on URL) —
     // the WINDOWED state, serving any sub-month EventDate residual
     graft.plans.Projections.registerAggExpr(spark, hits,

@@ -57,6 +57,11 @@ object BenchHitsCheck {
         "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' " +
         "AND DontCountHits = 0 AND Refresh = 0 AND URL != '' " +
         "GROUP BY URL"),
+    "q39_islink_fullkey_state" ->
+      ("SELECT URL, count(*) AS cnt FROM hits WHERE CounterID = 62 " +
+        "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' " +
+        "AND Refresh = 0 AND IsLink = 1 AND IsDownload = 0 " +
+        "GROUP BY URL"),
     "q38_title_fullkey_state" ->
       ("SELECT Title, count(*) AS cnt FROM hits WHERE CounterID = 62 " +
         "AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31' " +

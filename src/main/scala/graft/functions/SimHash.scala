@@ -318,6 +318,76 @@ object GraftScalar {
               .reduce(Or)
         }
       }, "built-in")
+    // CI variants of the position multis (reference
+    // multiSearchFirstIndexCaseInsensitive.cpp,
+    // multiSearchFirstPositionCaseInsensitive.cpp,
+    // multiSearchAllPositionsCaseInsensitive.cpp — same engines over the
+    // case-variant table, Volnitsky.h:63): ASCII lowered needle sets
+    // scan the raw column (non-ASCII rows take the exact lowered-copy
+    // fallback inside the engine); non-ASCII needles or over-cap sets
+    // fall back to the identical composition over Lower(text). Index /
+    // all-positions results align to the needle LIST — no dedup.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_search_first_index_ci", exprs => {
+        val data = constNeedles(exprs, "multi_search_first_index_ci")
+          .map(_.toLowerCase)
+        val longType = org.apache.spark.sql.types.LongType
+        if (data.isEmpty)
+          If(IsNull(exprs.head), Literal.create(null, longType), Literal(0L))
+        else if (MultiVolnitskySearcher.fitsBatched(data, ci = true))
+          MultiSearchFirstIndex(exprs.head, data, ci = true)
+        else
+          If(IsNull(exprs.head), Literal.create(null, longType),
+            CaseWhen(data.zipWithIndex.map { case (s, i) =>
+              (Contains(Lower(exprs.head),
+                Literal(s, org.apache.spark.sql.types.StringType)): Expression,
+                Literal((i + 1).toLong): Expression)
+            }, Some(Literal(0L))))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_search_first_position_ci", exprs => {
+        val data = constNeedles(exprs, "multi_search_first_position_ci")
+          .map(_.toLowerCase)
+        val longType = org.apache.spark.sql.types.LongType
+        val intType = org.apache.spark.sql.types.IntegerType
+        if (data.isEmpty)
+          If(IsNull(exprs.head), Literal.create(null, longType), Literal(0L))
+        else {
+          val distinct = data.distinct
+          if (MultiVolnitskySearcher.fitsBatched(distinct, ci = true))
+            MultiSearchFirstPosition(exprs.head, distinct, ci = true)
+          else {
+            def loc(n: UTF8String): Expression = StringLocate(
+              Literal(n, org.apache.spark.sql.types.StringType),
+              Lower(exprs.head), Literal(1))
+            val nonzero = distinct.map(n =>
+              If(EqualTo(loc(n), Literal(0)),
+                Literal.create(null, intType), loc(n)): Expression)
+            val least =
+              if (nonzero.length == 1) nonzero.head else Least(nonzero)
+            If(IsNull(exprs.head), Literal.create(null, longType),
+              Cast(Coalesce(Seq(least, Literal(0))), longType))
+          }
+        }
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "multi_search_all_positions_ci", exprs => {
+        val data = constNeedles(exprs, "multi_search_all_positions_ci")
+          .map(_.toLowerCase)
+        val longType = org.apache.spark.sql.types.LongType
+        if (data.isEmpty)
+          Literal.create(Array.empty[Long],
+            org.apache.spark.sql.types.ArrayType(longType, false))
+        else if (MultiVolnitskySearcher.fitsBatched(data, ci = true))
+          MultiSearchAllPositions(exprs.head, data, ci = true)
+        else
+          If(IsNull(exprs.head),
+            Literal.create(null,
+              org.apache.spark.sql.types.ArrayType(longType, false)),
+            CreateArray(data.map(n => Cast(StringLocate(
+              Literal(n, org.apache.spark.sql.types.StringType),
+              Lower(exprs.head), Literal(1)), longType): Expression)))
+      }, "built-in")
     // countSubstrings / countSubstringsCaseInsensitive (reference
     // src/Functions/countSubstrings.cpp, countSubstringsCaseInsensitive
     // .cpp over CountSubstringsImpl.h): NON-overlapping occurrence
@@ -381,6 +451,18 @@ object GraftScalar {
         s"$what: needle must not contain whitespace or separator chars")
       n
     }
+    // positionCaseInsensitive (reference positionCaseInsensitive.cpp):
+    // raw-column case-variant Volnitsky scan when the lowered needle is
+    // ASCII and in engine range, else the locate-on-lowered composition
+    // it is result-identical to.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "position_ci", exprs => {
+        val n = constNeedle(exprs, "position_ci").toLowerCase
+        if (volnitskyRange(n) && n.isFullAscii)
+          VolnitskyPositionCI(exprs.head, Literal(n, StringType))
+        else StringLocate(Literal(n, StringType), Lower(exprs.head),
+          Literal(1))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "has_token", exprs => HasToken(exprs.head,
         Literal(tokenNeedle(exprs, "has_token"), StringType), ci = false),

@@ -117,8 +117,10 @@ final class VolnitskySearcher(val needle: Array[Byte],
     false
   }
 
-  /** Byte offset of the FIRST occurrence, -1 when absent (exact tier —
-    * position callers never construct CI searchers). Correctness of
+  /** Byte offset of the FIRST occurrence, -1 when absent (CI searchers
+    * verify case-insensitively; CI position callers must route
+    * non-ASCII haystacks through [[positionCI]]'s fallback first).
+    * Correctness of
     * "first sample with a verified candidate wins": an occurrence at p
     * is discovered at exactly ONE sample — the unique sample in
     * [p, p+n-2] — and samples step by n-1, so for occurrences p1 < p2
@@ -159,6 +161,24 @@ final class VolnitskySearcher(val needle: Array[Byte],
   def position(s: UTF8String): Int = {
     val p = firstBytePos(s)
     if (p < 0) 0 else VolnitskySearcher.charsBefore(s, p) + 1
+  }
+
+  /** CI tier of [[position]] (reference positionCaseInsensitive.cpp
+    * over the same PositionImpl engine): result-identical to
+    * `lower(s).indexOf(needle) + 1` for an ASCII-lowercase needle —
+    * exactly the `locate(c, lower(x))` expression the CI swap
+    * replaces. Full-ASCII haystacks scan the RAW column through the
+    * case-variant bigram table (ASCII lowering is a 1:1 byte map, so
+    * byte offset = offset in the lowered copy and chars = bytes);
+    * non-ASCII haystacks take the lowered-copy fallback, because
+    * Unicode lowering may change char counts (U+0130 lowers to two
+    * code points) and produce ASCII (U+212A → 'k') — the position must
+    * be measured IN the lowered string, as the replaced expression
+    * does. */
+  def positionCI(s: UTF8String): Int = {
+    if (caseInsensitive && !s.isFullAscii)
+      return s.toLowerCase.indexOf(ndStr, 0) + 1
+    position(s)
   }
 
   /** NON-OVERLAPPING occurrence count, left-to-right greedy — the
@@ -314,7 +334,7 @@ object VolnitskySearcher {
   /** Token separator — ASCII non-alphanumeric bytes; non-ASCII bytes are
     * NOT separators (the reference's isTokenSeparator,
     * src/Common/StringSearcher.h:837). `_` IS a separator (non-alnum). */
-  private[functions] def isTokenSep(b: Byte): Boolean =
+  private[graft] def isTokenSep(b: Byte): Boolean =
     b >= 0 && !((b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
       (b >= 'a' && b <= 'z'))
 
@@ -534,14 +554,27 @@ final class MultiVolnitskySearcher(val needles: Array[Array[Byte]],
   /** 1-based CHARACTER position of the LEFTMOST occurrence of ANY
     * needle, 0 when none matches (the reference's
     * multiSearchFirstPosition.cpp over PositionImpl.h; positions in
-    * characters to stay consistent with Spark's locate). Exact tier
-    * only — position callers never construct CI searchers. Same
+    * characters to stay consistent with Spark's locate). CI tier on a
+    * non-ASCII haystack falls back to the lowered copy — positions are
+    * measured IN the lowered string, exactly what the replaced
+    * least-of-locate-on-lower composition computes. Same
     * monotonicity argument as the single-needle firstBytePos, with
     * minLen as the step: a later sample only discovers start positions
     * strictly past every position discoverable at an earlier sample, so
     * the first sample holding a verified candidate yields the global
     * minimum once its chain is fully minimized. */
   def firstPosition(s: UTF8String): Long = {
+    if (caseInsensitive && !s.isFullAscii) {
+      val low = s.toLowerCase
+      var best = 0L
+      var j = 0
+      while (j < ndStrs.length) {
+        val p = low.indexOf(ndStrs(j), 0)
+        if (p >= 0 && (best == 0L || p + 1 < best)) best = p + 1
+        j += 1
+      }
+      return best
+    }
     val m = s.numBytes
     if (m < minLen) return 0L
     val base = s.getBaseObject
@@ -579,6 +612,16 @@ final class MultiVolnitskySearcher(val needles: Array[Array[Byte]],
     * prefix walk over the found offsets in ascending order. */
   def allPositions(s: UTF8String): Array[Long] = {
     val k = nds.length
+    if (caseInsensitive && !s.isFullAscii) {
+      val low = s.toLowerCase
+      val res = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        res(j) = low.indexOf(ndStrs(j), 0) + 1L
+        j += 1
+      }
+      return res
+    }
     val bytePos = new Array[Int](k)
     java.util.Arrays.fill(bytePos, -1)
     val out = new Array[Long](k)
@@ -921,14 +964,17 @@ case class MultiSearchAnyCI(child: Expression, needles: Seq[UTF8String])
   * `CASE WHEN contains(t, n1) THEN 1 WHEN contains(t, n2) THEN 2 …
   * ELSE 0` (modulo that chain's null-collapses-to-0), in one pass
   * instead of k. */
-case class MultiSearchFirstIndex(child: Expression, needles: Seq[UTF8String])
+case class MultiSearchFirstIndex(child: Expression, needles: Seq[UTF8String],
+                                 ci: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "multi_search_first_index"
+  override def prettyName: String =
+    if (ci) "multi_search_first_index_ci" else "multi_search_first_index"
 
   @transient private lazy val searcher: BatchedMultiVolnitsky =
-    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray)
+    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray,
+      caseInsensitive = ci)
 
   override def nullSafeEval(s: Any): Any =
     searcher.firstIndex(s.asInstanceOf[UTF8String]).toLong
@@ -977,20 +1023,55 @@ case class VolnitskyPosition(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Case-insensitive `position` (the reference's
+  * positionCaseInsensitive.cpp over the same PositionImpl/Volnitsky
+  * engine, case-variant bigram table Volnitsky.h:63) — drop-in
+  * result-identical replacement for `instr(lower(x), c)` /
+  * `locate(c, lower(x), 1)` with an ASCII-lowercase constant needle:
+  * full-ASCII rows scan the RAW column, non-ASCII rows fall back to the
+  * replaced lowered-copy expression (exact for all of Unicode). */
+case class VolnitskyPositionCI(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "volnitsky_position_ci"
+
+  @transient private lazy val searcher: VolnitskySearcher = {
+    val needle = right.eval(null).asInstanceOf[UTF8String]
+    new VolnitskySearcher(needle.getBytes, caseInsensitive = true)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    searcher.positionCI(l.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("volnitskyPosCi", searcher,
+      classOf[VolnitskySearcher].getName)
+    defineCodeGen(ctx, ev, (l, _) => s"$ref.positionCI($l)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VolnitskyPositionCI =
+    copy(left = newLeft, right = newRight)
+}
+
 /** multiSearchFirstPosition over constant needles in ONE haystack pass
   * (the reference's multiSearchFirstPosition.cpp): 1-based character
   * position of the LEFTMOST occurrence of any needle, 0 when none
   * matches, NULL on NULL text. Result-identical to
   * `coalesce(least(nullif(locate(n1,t),0), …), 0)` in one pass. */
 case class MultiSearchFirstPosition(child: Expression,
-                                    needles: Seq[UTF8String])
+                                    needles: Seq[UTF8String],
+                                    ci: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "multi_search_first_position"
+  override def prettyName: String =
+    if (ci) "multi_search_first_position_ci" else "multi_search_first_position"
 
   @transient private lazy val searcher: BatchedMultiVolnitsky =
-    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray)
+    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray,
+      caseInsensitive = ci)
 
   override def nullSafeEval(s: Any): Any =
     searcher.firstPosition(s.asInstanceOf[UTF8String])
@@ -1012,15 +1093,18 @@ case class MultiSearchFirstPosition(child: Expression,
   * occurrence, 0 where absent, NULL on NULL text. Result-identical to
   * `array(locate(n1, t), locate(n2, t), …)` in one pass instead of k. */
 case class MultiSearchAllPositions(child: Expression,
-                                   needles: Seq[UTF8String])
+                                   needles: Seq[UTF8String],
+                                   ci: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "multi_search_all_positions"
+  override def prettyName: String =
+    if (ci) "multi_search_all_positions_ci" else "multi_search_all_positions"
 
   @transient private lazy val searcher: BatchedMultiVolnitsky =
-    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray)
+    new BatchedMultiVolnitsky(needles.map(_.getBytes).toArray,
+      caseInsensitive = ci)
 
   override def nullSafeEval(s: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -1453,6 +1537,18 @@ object FastSubstring {
         // (FunctionsStringSearch.h over PositionImpl.h). Same null
         // semantics (start is the non-null literal 1, so StringLocate's
         // null-start branch is unreachable).
+        // CI position (positionCaseInsensitive): instr(lower(x), c) /
+        // locate(c, lower(x)) scan the raw column via the case-variant
+        // table — matched BEFORE the generic swap, same as Contains
+        case StringInstr(Lower(inner), lit @ Literal(v: UTF8String, StringType))
+            if v != null && usableNeedle(v) && asciiLowerLit(v) &&
+              !inner.foldable =>
+          VolnitskyPositionCI(inner, lit)
+        case StringLocate(lit @ Literal(v: UTF8String, StringType),
+            Lower(inner), Literal(1, IntegerType))
+            if v != null && usableNeedle(v) && asciiLowerLit(v) &&
+              !inner.foldable =>
+          VolnitskyPositionCI(inner, lit)
         case StringInstr(str, lit @ Literal(v: UTF8String, StringType))
             if v != null && usableNeedle(v) && !str.foldable =>
           VolnitskyPosition(str, lit)

@@ -106,34 +106,77 @@ object TokenBloomIndex {
       .eval(null).asInstanceOf[Long]
 
   def prunedFiles(spark: SparkSession, tablePath: String, column: String,
-                  pattern: String): (Seq[String], Int) = {
+                  pattern: String): (Seq[String], Int) =
+    prunedFilesForGrams(spark, tablePath, column,
+      n => requiredGrams(pattern, n))
+
+  /** Sidecar bytes above which membership testing moves off the driver.
+    * Below it, collecting the blooms (KB per file — the same cardinality
+    * class as the partition listing) and probing on the driver is one
+    * local pass; above it — ~10^5+ files, where the blooms alone exceed
+    * driver-heap comfort — the probe runs executor-side (one task per
+    * sidecar partition, shipping only the gram hashes) and the driver
+    * collects just file NAMES. Overridable for tests / tight drivers. */
+  def driverMembershipMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.tokenbloom.driverMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+
+  /** Files that may contain a value carrying every gram of
+    * `gramsOf(n)`, plus the table's total file count. `gramsOf` sees
+    * the sidecar's gram width `n`; returning empty declares the
+    * predicate unprunable (all files kept). */
+  def prunedFilesForGrams(spark: SparkSession, tablePath: String,
+                          column: String,
+                          gramsOf: Int => Seq[String]): (Seq[String], Int) = {
     val tableFiles = spark.read.parquet(tablePath).inputFiles.toSeq
-    // SCALE BOUNDARY: this collect holds one bloom per file on the
-    // driver — fine to ~10^4 files (a few hundred MB), but a 100 TB
-    // table at ~10^6 files × 512 KiB is ~50 GB of driver heap. Past
-    // ~10^5 files the membership test must move off the driver: keep
-    // the sidecar distributed and ANTI-JOIN the file list against
-    // per-file bloom probes computed executor-side (one task per
-    // sidecar partition, shipping only the gram hashes), then collect
-    // just the surviving file names — same output, driver holds only
-    // the file list it already holds for planning.
-    val side = spark.read.parquet(sidecarPath(tablePath))
+    val sidePath = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
+    val fs = sidePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sideBytes =
+      try fs.getContentSummary(sidePath).getLength
+      catch { case _: java.io.FileNotFoundException =>
+        return (tableFiles, tableFiles.size) }
+    val sideDf = spark.read.parquet(sidecarPath(tablePath))
       .filter(col("column") === column)
-      .select(col("file"), col("n"), col("bloom")).collect()
-    if (side.isEmpty) return (tableFiles, tableFiles.size)
-    val n = side.map(_.getInt(1)).max
-    val grams = requiredGrams(pattern, n)
-    if (grams.isEmpty) return (tableFiles, tableFiles.size)
-    val hashes = grams.map(gramHash)
-    // membership is checked on the driver: the sidecar is planning
-    // metadata (KB per file), same cardinality class as the partition
-    // listing, and the deserialized blooms answer all grams in one pass
-    val passing = side.iterator.filter { r =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
-      hashes.forall(bf.mightContainLong)
-    }.map(r => pathKey(r.getString(0))).toSet
-    val covered = side.iterator.map(r => pathKey(r.getString(0))).toSet
+      .select(col("file"), col("n"), col("bloom"))
+    val (passing, covered): (Set[String], Set[String]) =
+      if (sideBytes <= driverMembershipMaxBytes(spark)) {
+        // small sidecar: one driver-local pass over the collected blooms
+        val side = sideDf.collect()
+        if (side.isEmpty) return (tableFiles, tableFiles.size)
+        val grams = gramsOf(side.map(_.getInt(1)).max)
+        if (grams.isEmpty) return (tableFiles, tableFiles.size)
+        val hashes = grams.map(gramHash)
+        (side.iterator.filter { r =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+          hashes.forall(bf.mightContainLong)
+        }.map(r => pathKey(r.getString(0))).toSet,
+          side.iterator.map(r => pathKey(r.getString(0))).toSet)
+      } else {
+        // large sidecar: probe executor-side; only file names reach the
+        // driver (O(#files) strings — already held for planning anyway)
+        val nRow = sideDf.agg(max(col("n"))).head()
+        if (nRow.isNullAt(0)) return (tableFiles, tableFiles.size)
+        val grams = gramsOf(nRow.getInt(0))
+        if (grams.isEmpty) return (tableFiles, tableFiles.size)
+        val hashes = grams.map(gramHash).toArray
+        val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.BINARY)
+        val probes = sideDf.select(col("file"), col("bloom")).as(enc)
+          .mapPartitions { it =>
+            it.map { case (f, b) =>
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(b))
+              (f, hashes.forall(bf.mightContainLong))
+            }
+          }(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaBoolean))
+          .collect()
+        (probes.iterator.collect { case (f, true) => pathKey(f) }.toSet,
+          probes.iterator.map(p => pathKey(p._1)).toSet)
+      }
     // a file the sidecar doesn't cover (added after build) is NEVER
     // pruned — the index is an accelerator, not a correctness gate
     val kept = tableFiles.filter(f =>
@@ -155,5 +198,34 @@ object TokenBloomIndex {
       else spark.read.schema(schema).option("basePath", tablePath)
         .parquet(files: _*) // basePath keeps hive partition columns resolvable
     (df.filter(col(column).like(pattern)), files.size, total)
+  }
+
+  /** Index-pruned `hasToken(column, token)` scan. The reference serves
+    * hasToken from BOTH full-text extractors (tokenbf stores whole
+    * tokens; ngrambf stores the token's n-grams —
+    * `MergeTreeIndexFullText.cpp` `hasToken` → `stringToBloomFilter`);
+    * this sidecar is the n-gram one, and the implication is the same:
+    * a value matching hasToken contains the token as a substring, hence
+    * every n-gram of it — files missing any gram cannot match. Tokens
+    * shorter than n yield no grams (unprunable, full scan). Only the
+    * case-SENSITIVE variant prunes: case folding changes grams, so
+    * `has_token_ci` must keep the full scan against this index. */
+  def scanHasToken(spark: SparkSession, tablePath: String, column: String,
+                   token: String): (DataFrame, Int, Int) = {
+    require(token.nonEmpty && !token.getBytes("UTF-8").exists(
+      graft.functions.VolnitskySearcher.isTokenSep),
+      s"hasToken: needle must not contain separator chars: $token")
+    val (files, total) = prunedFilesForGrams(spark, tablePath, column,
+      n => token.sliding(n).filter(_.length == n).toSeq)
+    val schema = spark.read.parquet(tablePath).schema
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(files: _*)
+    graft.functions.GraftScalar.register(spark)
+    // token is separator-free by the require above, so it cannot
+    // contain a quote — direct SQL interpolation is unambiguous
+    (df.filter(expr(s"has_token(`$column`, '$token')")), files.size, total)
   }
 }

@@ -114,6 +114,42 @@ object Coverage extends QueryModule {
           lit(read < total).as("pruned"))
     }),
 
+    // hasToken served by the same full-text sidecar (reference: tokenbf
+    // AND ngrambf both index hasToken, MergeTreeIndexFullText.cpp —
+    // a token match implies every n-gram of the token present). Same
+    // clustered fixture; the scan must prune files AND the surviving
+    // rows must hash-match DuckDB's token-boundary regexp. The second
+    // leg runs the executor-side membership path (driverMaxBytes=0) and
+    // must agree file-for-file with the driver path.
+    "q_has_token_bloom" -> ((s, dir) => {
+      val scratch = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_q_httokbloom/docs").toString
+      val fs = new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
+      t(s, dir, "documents")
+        .withColumn("text",
+          concat_ws(" ", col("text"), concat(lit("origin"), col("source"))))
+        .repartition(8, col("source"))
+        .write.parquet(scratch)
+      graft.plans.TokenBloomIndex.build(s, scratch, Seq("text"), n = 4)
+      val (df, read, total) = graft.plans.TokenBloomIndex.scanHasToken(
+        s, scratch, "text", "originsrc3")
+      val (filesDriver, _) = graft.plans.TokenBloomIndex.prunedFilesForGrams(
+        s, scratch, "text", n => "originsrc3".sliding(n).toSeq)
+      val distributed = try {
+        s.conf.set("spark.graft.tokenbloom.driverMaxBytes", "0")
+        graft.plans.TokenBloomIndex.prunedFilesForGrams(
+          s, scratch, "text", n => "originsrc3".sliding(n).toSeq)._1
+      } finally s.conf.unset("spark.graft.tokenbloom.driverMaxBytes")
+      require(distributed.sorted == filesDriver.sorted,
+        s"q_has_token_bloom: executor-side membership diverged: " +
+          s"$distributed vs $filesDriver")
+      df.agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+        .select(col("n_rows"), col("id_sum"),
+          lit(read < total).as("pruned"))
+    }),
+
     // Filtered projection (the reference's PK-seek analogue,
     // MergeTreeDataSelectExecutor.cpp:495-565, done as an MV-with-WHERE)
     // as a checked end-to-end job: register the hot-key slice, run the
@@ -1114,6 +1150,14 @@ object Coverage extends QueryModule {
         |       TRUE AS pruned
         |FROM documents
         |WHERE (text || ' origin' || source) LIKE '%originsrc7%'""".stripMargin,
+
+    "q_has_token_bloom" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       sum(doc_id)::BIGINT AS id_sum,
+        |       TRUE AS pruned
+        |FROM documents
+        |WHERE regexp_matches(text || ' origin' || source,
+        |        '(^|[^a-zA-Z0-9])originsrc3([^a-zA-Z0-9]|$)')""".stripMargin,
 
     "q_projection_filtered" ->
       """SELECT o_custkey % 100 AS b, count(*)::BIGINT AS n,

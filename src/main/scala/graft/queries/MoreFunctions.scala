@@ -182,6 +182,29 @@ object MoreFunctions extends QueryModule {
       q
     }),
 
+    // positionCaseInsensitive (daisy positionCaseInsensitive.cpp over
+    // the same PositionImpl/Volnitsky engine): both spellings — the SQL
+    // shape locate(c, lower(text)) / instr(lower(text), c) swapped
+    // post-optimizer to a raw-column case-variant scan, and the
+    // registered position_ci function — REQUIREd in-plan.
+    "q_position_ci" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("pci_docs")
+      val q = s.sql(
+        """SELECT doc_id,
+          | CAST(locate('spark', lower(text)) AS BIGINT) AS pos_spark_ci,
+          | CAST(instr(lower(text), 'vector') AS BIGINT) AS pos_vector_ci,
+          | CAST(position_ci(text, 'HASH') AS BIGINT) AS pos_hash_ci
+          |FROM pci_docs""".stripMargin)
+      val cis = q.queryExecution.optimizedPlan.collect {
+        case n => n.expressions.flatMap(_.collect {
+          case v: graft.functions.VolnitskyPositionCI => v
+        })
+      }.flatten
+      require(cis.length >= 3,
+        s"q_position_ci: CI position did not swap: $cis")
+      q
+    }),
+
     // multiSearchFirstPosition / multiSearchAllPositions (daisy
     // src/Functions/multiSearchFirstPosition.cpp,
     // multiSearchAllPositions.cpp — one MultiVolnitsky pass for k
@@ -203,6 +226,32 @@ object MoreFunctions extends QueryModule {
         "q_multi_search_positions: first-position leg is not one-pass")
       require(ops.exists(_.isInstanceOf[graft.functions.MultiSearchAllPositions]),
         "q_multi_search_positions: all-positions leg is not one-pass")
+      q
+    }),
+
+    // CI variants of the position multis (daisy
+    // multiSearchFirstIndex/FirstPosition/AllPositionsCaseInsensitive
+    // .cpp — the case-variant bigram table over the same engines):
+    // mixed-case needles fold to the raw-column CI scan, REQUIREd
+    // in-plan with ci = true on all three.
+    "q_multi_search_ci" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("msci_docs")
+      val q = s.sql(
+        """SELECT doc_id,
+          | CAST(multi_search_first_index_ci(text,
+          |   array('SPARK','Hash')) AS BIGINT) AS ms_fi_ci,
+          | CAST(multi_search_first_position_ci(text,
+          |   array('SPARK','Hash')) AS BIGINT) AS ms_fp_ci,
+          | multi_search_all_positions_ci(text,
+          |   array('SPARK','Hash')) AS ms_ap_ci
+          |FROM msci_docs""".stripMargin)
+      val ops = q.queryExecution.analyzed.expressions.flatMap(_.collect {
+        case e: graft.functions.MultiSearchFirstIndex if e.ci => e: Any
+        case e: graft.functions.MultiSearchFirstPosition if e.ci => e: Any
+        case e: graft.functions.MultiSearchAllPositions if e.ci => e: Any
+      })
+      require(ops.size == 3,
+        s"q_multi_search_ci: CI engines not routed: $ops")
       q
     }),
 
@@ -545,6 +594,13 @@ object MoreFunctions extends QueryModule {
         | strpos(text, 'vector')::BIGINT AS pos_vector
         |FROM documents""".stripMargin,
 
+    "q_position_ci" ->
+      """SELECT doc_id,
+        | strpos(lower(text), 'spark')::BIGINT AS pos_spark_ci,
+        | strpos(lower(text), 'vector')::BIGINT AS pos_vector_ci,
+        | strpos(lower(text), 'hash')::BIGINT AS pos_hash_ci
+        |FROM documents""".stripMargin,
+
     "q_multi_search_positions" ->
       """SELECT doc_id,
         | coalesce(least(nullif(strpos(text,'spark'),0),
@@ -552,6 +608,17 @@ object MoreFunctions extends QueryModule {
         |   nullif(strpos(text,'vector'),0)), 0)::BIGINT AS ms_first_pos,
         | [strpos(text,'spark')::BIGINT, strpos(text,'hash')::BIGINT,
         |   strpos(text,'vector')::BIGINT] AS ms_all_pos
+        |FROM documents""".stripMargin,
+
+    "q_multi_search_ci" ->
+      """SELECT doc_id,
+        | (CASE WHEN contains(lower(text),'spark') THEN 1
+        |       WHEN contains(lower(text),'hash') THEN 2
+        |       ELSE 0 END)::BIGINT AS ms_fi_ci,
+        | coalesce(least(nullif(strpos(lower(text),'spark'),0),
+        |   nullif(strpos(lower(text),'hash'),0)), 0)::BIGINT AS ms_fp_ci,
+        | [strpos(lower(text),'spark')::BIGINT,
+        |   strpos(lower(text),'hash')::BIGINT] AS ms_ap_ci
         |FROM documents""".stripMargin,
 
     "q_multi_search_batched" -> {

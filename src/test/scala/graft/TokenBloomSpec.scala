@@ -97,4 +97,50 @@ class TokenBloomSpec extends AnyFunSuite {
       "pruned scan lost the VolnitskyContains swap — rule ordering broke")
     assert(agg.collect().head.getLong(0) == 100)
   }
+
+  test("hasToken prunes through the same n-gram sidecar (tokenbf/ngrambf " +
+      "hasToken support, MergeTreeIndexFullText.cpp)") {
+    fixture()
+    val (df, read, total) = TokenBloomIndex.scanHasToken(
+      spark, dir, "body", "markerp2")
+    assert(read == 1 && total == 4)
+    val expected: Array[Long] =
+      (0 until 400).filter(_ % 4 == 2).map(_.toLong).toArray
+    assert(df.select($"id").as[Long].collect().sorted.sameElements(expected))
+    // substring-but-not-token: 'markerp' occurs in EVERY file as a
+    // token PREFIX — the gram prune keeps all files (grams present),
+    // and the exact residual rejects every row (boundary is 'p2' not
+    // a separator)
+    val (df2, read2, total2) = TokenBloomIndex.scanHasToken(
+      spark, dir, "body", "markerp")
+    assert(read2 == total2)
+    assert(df2.count() == 0)
+    // a token shorter than n yields no grams: unprunable, full scan,
+    // exact residual still applies
+    val (df3, read3, total3) = TokenBloomIndex.scanHasToken(
+      spark, dir, "body", "tai")
+    assert(read3 == total3)
+    assert(df3.count() == 0)
+    intercept[IllegalArgumentException] {
+      TokenBloomIndex.scanHasToken(spark, dir, "body", "two words")
+    }
+  }
+
+  test("executor-side membership (sidecar past driverMaxBytes) prunes " +
+      "the identical file set as the driver path") {
+    fixture()
+    val driver = TokenBloomIndex.prunedFiles(spark, dir, "body", "%markerp2%")
+    val none = TokenBloomIndex.prunedFiles(spark, dir, "body", "%markerp9%")
+    val all = TokenBloomIndex.prunedFiles(spark, dir, "body", "%ab%")
+    try {
+      spark.conf.set("spark.graft.tokenbloom.driverMaxBytes", "0")
+      assert(TokenBloomIndex.prunedFiles(spark, dir, "body", "%markerp2%")
+        ._1.sorted == driver._1.sorted)
+      assert(TokenBloomIndex.prunedFiles(spark, dir, "body", "%markerp9%")
+        ._1.sorted == none._1.sorted)
+      // unprunable pattern short-circuits identically (no probe job)
+      assert(TokenBloomIndex.prunedFiles(spark, dir, "body", "%ab%")
+        ._1.sorted == all._1.sorted)
+    } finally spark.conf.unset("spark.graft.tokenbloom.driverMaxBytes")
+  }
 }
