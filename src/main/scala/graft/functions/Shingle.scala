@@ -55,6 +55,82 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** char_ngram_hashes(s, n) — distinct xxhash64 (seed 42, Spark's
+  * `xxhash64`) values of every n-CHARACTER substring of `s`, in
+  * first-occurrence order, as one native pass over the string's bytes.
+  *
+  * Replaces the four-layer chain the n-gram bloom sidecar build ran per
+  * value — `transform(sequence(...), i => substr(i+1, n))` (one
+  * UTF8String copy per gram), `array_distinct` over those strings,
+  * `explode`, then `xxhash64` — with a zero-copy sliding byte window:
+  * character starts are found once (UTF-8 first-byte widths), each
+  * window [start(i), start(i+n)) is hashed IN PLACE with the same XXH64
+  * kernel `xxhash64(substring)` uses, so every emitted hash is
+  * bit-identical to the old pipeline's and the sidecar's membership
+  * probes (`TokenBloomIndex.gramHash`) keep matching. Strings shorter
+  * than n chars yield an empty array (the old `when(length(c) >= n, …)`
+  * guard); nulls stay null (explode drops both the same way).
+  */
+case class NgramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType if right.dataType == IntegerType && right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_hashes requires (string, foldable int), got " +
+        s"${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    NgramHashes.compute(l.asInstanceOf[UTF8String], r.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.functions.NgramHashes.compute($s, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramHashes {
+  /** Static kernel shared by eval and generated code. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val totalBytes = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // character start offsets (byte positions); starts(numChars) = end
+    val starts = new Array[Int](totalBytes + 1)
+    var numChars = 0
+    var b = 0
+    while (b < totalBytes) {
+      starts(numChars) = b
+      b += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      numChars += 1
+    }
+    starts(numChars) = totalBytes
+    val count = numChars - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new JHashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var outLen = 0
+    var i = 0
+    while (i < count) {
+      val b0 = starts(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + b0, starts(i + n) - b0, 42L)
+      if (seen.add(h)) { out(outLen) = h; outLen += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (outLen == count) out else java.util.Arrays.copyOf(out, outLen))
+  }
+}
+
 object ShingleHashes {
   private val sep = UTF8String.fromString(" ")
 

@@ -489,6 +489,8 @@ object GraftScalar {
       "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngram_hashes", exprs => NgramHashes(exprs(0), exprs(1)), "built-in")
     registered = true
   }
 
@@ -516,6 +518,12 @@ object GraftScalar {
   def shingleHashes(tokens: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("shingle_hashes", tokens, lit(n))
+  }
+
+  /** Distinct xxhash64 values of character n-grams, one native pass. */
+  def charNgramHashes(s: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("char_ngram_hashes", s, lit(n))
   }
 
   /** Hamming distance between two long fingerprints. */

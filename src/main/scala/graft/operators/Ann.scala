@@ -315,17 +315,40 @@ object Ann {
         .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
       require(seeds.length >= ksub,
         s"pqTrainDeterministic: train sample has ${seeds.length} rows < ksub=$ksub")
-      Array.tabulate(m) { s =>
-        val lo = s * dsub
-        var cents: Array[Array[Double]] = seeds.map(v => v.slice(lo, lo + dsub))
-        val sub = e.select(col("id"), slice(col("emb"), lo + 1, dsub).as("se"))
-        for (_ <- 0 until iters) {
-          val assigned = sub.withColumn("cell", nearestCell(col("se"), cents))
-          val means = cellMeans(assigned, "se")
-          cents = Array.tabulate(ksub)(i => means.getOrElse(i, cents(i)))
-        }
-        cents
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+        seeds.map(v => v.slice(s * dsub, s * dsub + dsub))
       }
+      // One Lloyd step for ALL m subspaces per pass (r16): the per-subspace
+      // loop ran m independent assign+mean jobs over the same capped sample
+      // — m× the job-scheduling and exchange cost for zero extra
+      // information. Each row explodes into its m (subspace, cell,
+      // subvector) assignments and one grouped aggregate keyed on
+      // (subspace, cell, pos) computes every codebook's means at once.
+      // Per-(cell,pos) partial sums see the same values in the same
+      // within-partition row order as the per-subspace jobs did, so the
+      // means — and every downstream code — are bit-identical.
+      for (_ <- 0 until iters) {
+        val perSub = (0 until m).map { s =>
+          val se = slice(col("emb"), s * dsub + 1, dsub)
+          struct(lit(s).as("sub"), nearestCell(se, books(s)).as("cell"),
+            se.as("se"))
+        }
+        val means = e.select(explode(array(perSub: _*)).as("x"))
+          .select(col("x.sub").as("sub"), col("x.cell").as("cell"),
+            posexplode(col("x.se")))
+          .groupBy(col("sub"), col("cell"), col("pos"))
+          .agg(avg(col("col")).as("mv"))
+          .groupBy(col("sub"), col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("ms"))
+          .select(col("sub"), col("cell"),
+            transform(col("ms"), s => s.getField("mv")).as("cent"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+          .toMap
+        books = Array.tabulate(m)(s =>
+          Array.tabulate(ksub)(i => means.getOrElse((s, i), books(s)(i))))
+      }
+      books
     } finally { e.unpersist(false): Unit }
   }
 

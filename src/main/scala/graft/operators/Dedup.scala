@@ -242,12 +242,30 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count(): Unit
     edges0.unpersist(false)
+    // The loop's own shuffles (two joins + one group-by per round, times
+    // O(log diameter) rounds) must track the SAME graph-derived width:
+    // they planned at the session default (cores), so a 1.5 k-edge graph
+    // paid 3×32-task exchanges per round of pure scheduling — the
+    // dominant cost of the whole operator at small scale, and at cluster
+    // scale the session default is equally wrong in the other direction.
+    // Scoped to the loop and restored after (guide §2.2: size partitions
+    // to the data).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE materializes every exchange as its own stage-job: with the
+    // loop's shuffles already sized to the graph there is nothing left
+    // for it to re-optimize, and each round was paying 3-4 extra driver
+    // round-trips (stage submit + re-plan) of pure latency. Scoped to
+    // the loop, restored with the width below.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     // Every round's frame is eagerly localCheckpoint'ed: the self-join
     // makes each round's LOGICAL PLAN reference the previous round's
     // several times, so without lineage truncation the plan grows ~4x
     // per round — exponential analysis/planning cost and an eventual
     // driver OOM (persist caches data but keeps lineage). Checkpointing
     // is the standard contract for iterative Spark algorithms.
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -287,6 +305,10 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "raise maxIter (rounds needed grow with log(component diameter))")
     labels.select(col("id"), col("comp"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Keep one canonical document per near-dup component: docs not in

@@ -54,12 +54,20 @@ object TokenBloomIndex {
     * sidecar next to it stays a separate, atomically-replaced table. */
   def build(spark: SparkSession, tablePath: String, cols: Seq[String],
             n: Int = 3, numBits: Long = 1L << 22): Unit = {
+    graft.functions.GraftScalar.register(spark) // char_ngram_hashes
     val base = spark.read.parquet(tablePath)
       .select(input_file_name().as("file") +: cols.map(col): _*)
     val perCol = cols.map { cname =>
-      base.select(col("file"), explode(ngrams(col(cname), n)).as("gram"))
+      // r16: grams are hashed in one native pass over the value's bytes
+      // (functions.NgramHashes) instead of materializing every n-char
+      // substring, distinct-ing the strings, and hashing post-explode —
+      // bit-identical hash stream into the bloom (same XXH64 seed-42
+      // kernel as xxhash64(substr)), a fraction of the allocation.
+      base.select(col("file"),
+          explode(graft.functions.GraftScalar.charNgramHashes(
+            col(cname), n)).as("gh"))
         .groupBy(col("file"))
-        .agg(call_function("bloom_filter_agg", xxhash64(col("gram")),
+        .agg(call_function("bloom_filter_agg", col("gh"),
           lit(numBits / 8), lit(numBits)).as("bloom"))
         .select(col("file"), lit(cname).as("column"), lit(n).as("n"),
           col("bloom"))

@@ -188,7 +188,12 @@ object MoreAggregates extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") / 10000).as("y"),
           array(col("l_quantity") / 10).as("xs"))
-        .repartition(1)
+        // coalesce, not repartition: the round-robin exchange paid a
+        // 14 MB shuffle write+read plus the sort-before-repartition pass
+        // only to land every row in the same single partition anyway;
+        // coalesce(1) folds the scan into the one ordered task (the sort
+        // below pins the SGD visit order identically either way)
+        .coalesce(1)
         .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
         .agg(stochastic_linear_regression(0.01, 0.0, 256, 1)(col("y"), col("xs"))
           .as("model"))

@@ -30,6 +30,24 @@ object StreamingGate extends QueryModule {
   private def sinkName(prefix: String): String =
     s"${prefix}_${seq.incrementAndGet()}"
 
+  /** Run one gate's stream (start → feed → stop) with the state/shuffle
+    * width sized to the gate's input row count — the same scale-adaptive
+    * rule as Dedup.connectedComponents (guide §2: partitions track data).
+    * The inputs here are the driver-staged fixture arrays, so the width
+    * is known exactly; at the session default a few-thousand-row gate
+    * paid `cores` state-store partitions × every microbatch in pure task
+    * scheduling and per-partition delta-file churn. Restored afterward —
+    * the post-stop sink reduction plans under the session default as
+    * before. State is per-key and the folds are order-independent, so
+    * the emitted rows are identical at any width. */
+  private def withGateWidth[T](s: SparkSession, nRows: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1, math.min(
+      s.sparkContext.defaultParallelism, nRows / 50000 + 1))
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def queries: Map[String, Q] = Map(
 
     // Streaming CollapsingMergeTree (StreamOps.collapsingState): orders
@@ -48,13 +66,15 @@ object StreamingGate extends QueryModule {
       val (b1, b2) = rows.partition(_.seq % 2 == 0)
       val src = MemoryStream[SignedRow]
       val name = sinkName("stream_collapse")
-      val q = StreamOps.collapsingState(src.toDS())
-        .writeStream.outputMode("update").format("memory").queryName(name)
-        .start()
-      try {
-        src.addData(b1.toIndexedSeq); q.processAllAvailable()
-        src.addData(b2.toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
+      withGateWidth(s, rows.length) {
+        val q = StreamOps.collapsingState(src.toDS())
+          .writeStream.outputMode("update").format("memory").queryName(name)
+          .start()
+        try {
+          src.addData(b1.toIndexedSeq); q.processAllAvailable()
+          src.addData(b2.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       // final state per key = the update with the most rows folded
       val w = Window.partitionBy(col("user_id"))
         .orderBy((col("cnt_pos") + col("cnt_neg")).desc)
@@ -79,13 +99,15 @@ object StreamingGate extends QueryModule {
       val (b1, b2) = rows.partition(_.doc_id % 2 == 0)
       val src = MemoryStream[ContentRow]
       val name = sinkName("stream_dedup")
-      val q = StreamOps.streamingExactDedup(src.toDS())
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .start()
-      try {
-        src.addData(b1.toIndexedSeq); q.processAllAvailable()
-        src.addData(b2.toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
+      withGateWidth(s, rows.length) {
+        val q = StreamOps.streamingExactDedup(src.toDS())
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .start()
+        try {
+          src.addData(b1.toIndexedSeq); q.processAllAvailable()
+          src.addData(b2.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(name)
     }),
 
@@ -111,13 +133,15 @@ object StreamingGate extends QueryModule {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val src = MemoryStream[IngestRow]
       val name = sinkName("stream_idem")
-      val q = StreamOps.dedupByIdem(src.toDF(), watermark = "99999 days")
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .start()
-      try {
-        src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
-        src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
+      withGateWidth(s, rows.length) {
+        val q = StreamOps.dedupByIdem(src.toDF(), watermark = "99999 days")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .start()
+        try {
+          src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
+          src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(name)
         .select(col("_idem").cast("long").as("idem"), col("_time"),
           col("user_id"), col("event_type"), col("value"))
@@ -139,14 +163,16 @@ object StreamingGate extends QueryModule {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val src = MemoryStream[IngestRow]
       val name = sinkName("stream_tumble")
-      val q = StreamOps.tumblingAgg(src.toDF(), "_time", "5 minutes",
-          watermark = "99999 days")
-        .writeStream.outputMode("update").format("memory").queryName(name)
-        .start()
-      try {
-        src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
-        src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
+      withGateWidth(s, rows.length) {
+        val q = StreamOps.tumblingAgg(src.toDF(), "_time", "5 minutes",
+            watermark = "99999 days")
+          .writeStream.outputMode("update").format("memory").queryName(name)
+          .start()
+        try {
+          src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
+          src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       val w = Window.partitionBy(col("bucket_start"), col("event_type"))
         .orderBy(col("n").desc)
       s.table(name)
@@ -174,13 +200,15 @@ object StreamingGate extends QueryModule {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       val src = MemoryStream[IngestRow]
       val name = sinkName("stream_enrich")
-      val q = StreamOps.enrich(src.toDF(), dim, "user_id", "n_nationkey")
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .start()
-      try {
-        src.addData(b1.toIndexedSeq); q.processAllAvailable()
-        src.addData(b2.toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
+      withGateWidth(s, rows.length) {
+        val q = StreamOps.enrich(src.toDF(), dim, "user_id", "n_nationkey")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .start()
+        try {
+          src.addData(b1.toIndexedSeq); q.processAllAvailable()
+          src.addData(b2.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(name)
         .groupBy(col("n_name"), col("n_regionkey"))
         .agg(count(lit(1)).as("n_orders"),
@@ -205,14 +233,16 @@ object StreamingGate extends QueryModule {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val src = MemoryStream[IngestRow]
       val name = sinkName("stream_slide")
-      val q = StreamOps.slidingAgg(src.toDF(), "_time", "10 minutes",
-          "5 minutes", watermark = "99999 days")
-        .writeStream.outputMode("update").format("memory").queryName(name)
-        .start()
-      try {
-        src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
-        src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
+      withGateWidth(s, rows.length) {
+        val q = StreamOps.slidingAgg(src.toDF(), "_time", "10 minutes",
+            "5 minutes", watermark = "99999 days")
+          .writeStream.outputMode("update").format("memory").queryName(name)
+          .start()
+        try {
+          src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
+          src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       val w = Window.partitionBy(col("bucket_start"), col("event_type"))
         .orderBy(col("n").desc)
       s.table(name)
@@ -238,14 +268,16 @@ object StreamingGate extends QueryModule {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val src = MemoryStream[IngestRow]
       val name = sinkName("stream_session")
-      val q = StreamOps.sessionAggFull(src.toDF(), "_time", "30 minutes",
-          watermark = "99999 days")
-        .writeStream.outputMode("complete").format("memory").queryName(name)
-        .start()
-      try {
-        src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
-        src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
+      withGateWidth(s, rows.length) {
+        val q = StreamOps.sessionAggFull(src.toDF(), "_time", "30 minutes",
+            watermark = "99999 days")
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .start()
+        try {
+          src.addData(b1.map(_._2).toIndexedSeq); q.processAllAvailable()
+          src.addData(b2.map(_._2).toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(name)
     }),
 
@@ -270,13 +302,15 @@ object StreamingGate extends QueryModule {
       val (b1, b2) = rows.partition(_._idem.toLong % 2 == 0)
       val src = MemoryStream[IngestRow]
       val name = sinkName("stream_latest")
-      val q = StreamOps.latestPerKey(src.toDS())
-        .writeStream.outputMode("update").format("memory").queryName(name)
-        .start()
-      try {
-        src.addData(b1.toIndexedSeq); q.processAllAvailable()
-        src.addData(b2.toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
+      withGateWidth(s, rows.length) {
+        val q = StreamOps.latestPerKey(src.toDS())
+          .writeStream.outputMode("update").format("memory").queryName(name)
+          .start()
+        try {
+          src.addData(b1.toIndexedSeq); q.processAllAvailable()
+          src.addData(b2.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").desc)
       s.table(name)
         .withColumn("rn", row_number().over(w))

@@ -39,8 +39,13 @@ object NativeIO {
       val t = chType(f.dataType)
       writeString(out, if (f.nullable) s"Nullable($t)" else t)
       if (f.nullable) {
+        // one buffered write per block, not one synchronized call per row
+        val mask = new Array[Byte](rows.length)
         var r = 0
-        while (r < rows.length) { out.write(if (rows(r).isNullAt(c)) 1 else 0); r += 1 }
+        while (r < rows.length) {
+          mask(r) = if (rows(r).isNullAt(c)) 1 else 0; r += 1
+        }
+        out.write(mask)
       }
       var r = 0
       while (r < rows.length) {
@@ -98,8 +103,15 @@ object NativeIO {
       val nullable = typeName.startsWith("Nullable(")
       val mask = new Array[Boolean](nrows)
       if (nullable) {
+        val mb = new Array[Byte](nrows)
+        var off = 0
+        while (off < nrows) {
+          val n = in.read(mb, off, nrows - off)
+          if (n < 0) throw new java.io.EOFException("NativeIO: EOF in null mask")
+          off += n
+        }
         var r = 0
-        while (r < nrows) { mask(r) = in.read() == 1; r += 1 }
+        while (r < nrows) { mask(r) = mb(r) == 1; r += 1 }
       }
       val vals = new Array[Any](nrows)
       var r = 0

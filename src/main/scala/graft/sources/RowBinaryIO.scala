@@ -76,33 +76,52 @@ object RowBinaryIO {
     v
   }
 
+  // Fixed-width values move through a per-thread scratch array so each
+  // costs ONE buffered-stream call, not one per byte: BufferedInput/
+  // OutputStream's single-byte methods are synchronized, and the r16
+  // stage probe showed the format codecs spending their time in ~24M
+  // such calls per 600k-row pass. Byte layout on the wire is identical.
+  private val scratch8 = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8)
+  }
+
   private[sources] def writeLongLE(out: java.io.OutputStream, v: Long): Unit = {
+    val b = scratch8.get()
     var i = 0
-    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out.write(b, 0, 8)
   }
 
   private[sources] def writeIntLE(out: java.io.OutputStream, v: Int): Unit = {
+    val b = scratch8.get()
     var i = 0
-    while (i < 4) { out.write((v >>> (8 * i)) & 0xff); i += 1 }
+    while (i < 4) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out.write(b, 0, 4)
+  }
+
+  private def readFully(in: java.io.InputStream, b: Array[Byte], len: Int,
+                        what: String): Unit = {
+    var off = 0
+    while (off < len) {
+      val n = in.read(b, off, len - off)
+      if (n < 0) throw new java.io.EOFException(s"RowBinaryIO: EOF in $what")
+      off += n
+    }
   }
 
   private[sources] def readLongLE(in: java.io.InputStream): Long = {
+    val b = scratch8.get()
+    readFully(in, b, 8, "Int64")
     var v = 0L; var i = 0
-    while (i < 8) {
-      val b = in.read()
-      if (b < 0) throw new java.io.EOFException("RowBinaryIO: EOF in Int64")
-      v |= (b & 0xffL) << (8 * i); i += 1
-    }
+    while (i < 8) { v |= (b(i) & 0xffL) << (8 * i); i += 1 }
     v
   }
 
   private[sources] def readIntLE(in: java.io.InputStream): Int = {
+    val b = scratch8.get()
+    readFully(in, b, 4, "Int32")
     var v = 0; var i = 0
-    while (i < 4) {
-      val b = in.read()
-      if (b < 0) throw new java.io.EOFException("RowBinaryIO: EOF in Int32")
-      v |= (b & 0xff) << (8 * i); i += 1
-    }
+    while (i < 4) { v |= (b(i) & 0xff) << (8 * i); i += 1 }
     v
   }
 

@@ -143,4 +143,36 @@ class TokenBloomSpec extends AnyFunSuite {
         ._1.sorted == all._1.sorted)
     } finally spark.conf.unset("spark.graft.tokenbloom.driverMaxBytes")
   }
+
+  test("char_ngram_hashes equals the substr→distinct→xxhash64 pipeline " +
+      "(r16 fused sidecar build kernel)") {
+    graft.functions.GraftScalar.register(spark)
+    // randomized multi-byte strings: ASCII, 2-byte (é), 3-byte (日),
+    // 4-byte surrogate-pair (🙂), empties and shorter-than-n values
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "abXY éß日本語🙂🜁 "
+    val rows = (0 until 300).map { i =>
+      val len = rnd.nextInt(12)
+      (i.toLong, (0 until len).map(_ =>
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+        .replaceAll("[\\uD800-\\uDFFF]$", "")) // no dangling surrogate
+    } :+ ((300L, "")) :+ ((301L, "ab"))
+    val df = rows.toDF("id", "s")
+    for (n <- Seq(3, 4)) {
+      val fused = df.select($"id", graft.functions.GraftScalar
+        .charNgramHashes($"s", n).as("h"))
+      val ref = df.select($"id",
+        when(length($"s") >= n,
+          array_distinct(transform(sequence(lit(0), length($"s") - n),
+            i => xxhash64($"s".substr(i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>")).as("h"))
+      val got = fused.orderBy($"id").collect().map(r => r.getSeq[Long](1))
+      val want = ref.orderBy($"id").collect().map(r => r.getSeq[Long](1))
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        // reference keeps duplicate grams' duplicate hashes distinct-ed
+        // the same way (first occurrence order)
+        assert(g == w, s"n=$n row $i: $g vs $w (s=${rows(i)._2})")
+      }
+    }
+  }
 }
