@@ -783,7 +783,13 @@ object Coverage extends QueryModule {
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
-      t(s, dir, "lineitem").repartition(64).write.parquet(scratch)
+      // hash-spread, not round-robin: keyless repartition(64) pays a
+      // local sort of the whole scan (sortBeforeRepartition) just to
+      // fragment the fixture; the key spread fragments identically and
+      // compact() re-sorts globally anyway, so the checked content is
+      // unchanged
+      t(s, dir, "lineitem").repartition(64, col("l_orderkey"))
+        .write.parquet(scratch)
       graft.operators.Maintenance.compact(s, scratch, 4,
         sortBy = Seq("l_orderkey", "l_linenumber"))
       val files = graft.operators.Maintenance.fileCount(s, scratch).toLong

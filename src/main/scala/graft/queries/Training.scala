@@ -43,7 +43,12 @@ object Training extends QueryModule {
         transform(toks, (_, i) =>
           when(i % 4 === 0, array_join(slice(toks, i + 1, lit(4)), " "))),
         x => x.isNotNull)
+      // a single-file corpus arrives one-partition, making the CPU-bound
+      // normalize+segment stage single-threaded (probed: 1.9 s of the
+      // query's 3.4 s wall); a bounded hash spread splits it without the
+      // 32-way task-scheduling churn a full-width repartition costs
       val docs = t(s, dir, "documents")
+        .repartition(8, col("doc_id"))
         .withColumn("toks", split(Dedup.normalized(col("text")), " "))
         .withColumn("paras", paras)
       CorpusOps.paragraphDedup(docs, "doc_id", col("paras"))
@@ -55,7 +60,9 @@ object Training extends QueryModule {
     // [start, end) interval is emitted, so the oracle checks positions,
     // not just counts.
     "q_dedup_substring" -> ((s, dir) => {
+      // same bounded spread as q_dedup_paragraph (one-partition corpus)
       val docs = t(s, dir, "documents")
+        .repartition(8, col("doc_id"))
         .withColumn("toks", split(Dedup.normalized(col("text")), " "))
       CorpusOps.dupSpans(docs, "doc_id", col("toks"), k = 3)
     }),
