@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which has kept the
+// bench's one-line JSON unparsable by the driver since r13
+// (BENCH_r13..r16 all show parsed: null). With StdoutOutput the
+// {"metric":...} lines reach stdout verbatim.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,8 +37,22 @@ object MicroProbe {
       }
     })
 
+    // Drain the async listener bus before clearing, so a stage-completed
+    // event from run r cannot land after the clear and be attributed to
+    // run r+1 (advisor r16). listenerBus is private[spark] — reflection,
+    // with a sleep fallback.
+    def drainListeners(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .fold(Thread.sleep(200))(_.invoke(bus): Unit)
+      } catch { case _: Throwable => Thread.sleep(200) }
+
     val fn = SparkEntry.queries(name)
     for (r <- 1 to runs) {
+      drainListeners()
       stages.clear()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

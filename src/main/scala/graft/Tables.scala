@@ -101,6 +101,22 @@ object Tables {
     while (df != null) { df.unpersist(false); df = scratch.poll() }
   }
 
+  /** RAM-backed scratch root for gate fixtures and streaming
+    * checkpoints: /dev/shm when present and writable (Linux tmpfs —
+    * the same placement the bench already uses for spark.local.dir;
+    * guide §6: keep transient small-file scratch I/O off slow disk),
+    * falling back to java.io.tmpdir elsewhere (advisor r16: a /dev/shm
+    * literal breaks hosts without that mount). Layout matches the
+    * previous fixed tmpdir paths: one directory per fixture name,
+    * deleted and rebuilt inside every query invocation — nothing
+    * written here survives a query, so nothing is reusable across
+    * runs. */
+  lazy val scratchRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-scratch"
+    else System.getProperty("java.io.tmpdir")
+  }
+
   /** Apply engine-level session tuning once per session. Values chosen for
     * local[32] testing but expressed scale-independently: AQE handles
     * runtime coalescing/skew at any cluster size.

@@ -69,7 +69,11 @@ case class ShingleHashes(left: Expression, right: Expression)
   * bit-identical to the old pipeline's and the sidecar's membership
   * probes (`TokenBloomIndex.gramHash`) keep matching. Strings shorter
   * than n chars yield an empty array (the old `when(length(c) >= n, …)`
-  * guard); nulls stay null (explode drops both the same way).
+  * guard); nulls stay null. NOTE: the replaced ngrams() pipeline
+  * returned an EMPTY ARRAY for a null string — equivalent under explode
+  * (the only caller: both produce zero rows) but divergent for any
+  * future direct use of the registered char_ngram_hashes function
+  * (advisor r16).
   */
 case class NgramHashes(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -326,7 +326,11 @@ object Ann {
       // (subspace, cell, pos) computes every codebook's means at once.
       // Per-(cell,pos) partial sums see the same values in the same
       // within-partition row order as the per-subspace jobs did, so the
-      // means — and every downstream code — are bit-identical.
+      // means — and every downstream code — are identical up to the
+      // reduce-side merge order of double partial sums (advisor r16:
+      // that order depends on shuffle fetch arrival, true of the old
+      // per-subspace jobs too; the oracle gate compares the query's
+      // integer/rounded outputs, not raw codebook doubles).
       for (_ <- 0 until iters) {
         val perSub = (0 until m).map { s =>
           val se = slice(col("emb"), s * dsub + 1, dsub)

@@ -250,6 +250,12 @@ object Dedup {
     // scale the session default is equally wrong in the other direction.
     // Scoped to the loop and restored after (guide §2.2: size partitions
     // to the data).
+    // NOTE (advisor r16): these conf flips are session-global for the
+    // duration of the loop — a CONCURRENT query on the same SparkSession
+    // would plan under the temporary width/AQE settings. The engine's
+    // query harness (Bench/Verify/gates) runs queries sequentially per
+    // session, which is the assumption here; a multi-tenant caller
+    // should wrap this operator in spark.newSession().
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     // AQE materializes every exchange as its own stage-job: with the

@@ -16,16 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Exact row count of a parquet directory from file FOOTERS — a
+    * metadata read, not a scan job (guide §1.2: don't re-read the data
+    * to learn what its metadata already records). Every maintenance
+    * rewrite below used to run 1-3 full-table `count()` actions purely
+    * for its returned bookkeeping counts; footer sums answer the same
+    * question exactly (parquet block metadata is authoritative) for the
+    * cost of the directory listing the next scan would repeat anyway.
+    * Footers are read driver-side in parallel — at a 100 TB table this
+    * is O(files) small reads instead of a full data pass. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    java.util.Arrays.stream(files).parallel().mapToLong { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum()
+  }
+
   /** TTL expiry: drop rows whose `timeCol` is older than `cutoffIso`.
     * Returns (kept, dropped) counts. */
   def expireOlderThan(spark: SparkSession, path: String,
                       timeCol: String, cutoffIso: String): (Long, Long) = {
     val df = spark.read.parquet(path)
-    val total = df.count()
+    val total = parquetRowCount(spark, path)
     val kept = df.filter(col(timeCol) >= lit(cutoffIso).cast("timestamp"))
     val tmp = path + ".ttl_tmp"
     kept.write.mode("overwrite").parquet(tmp)
-    val keptCount = spark.read.parquet(tmp).count()
+    val keptCount = parquetRowCount(spark, tmp)
     swap(spark, tmp, path)
     (keptCount, total - keptCount)
   }
@@ -43,7 +66,7 @@ object Maintenance {
       else df.coalesce(targetFiles)
     val tmp = path + ".opt_tmp"
     arranged.write.mode("overwrite").parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
+    val n = parquetRowCount(spark, tmp)
     swap(spark, tmp, path)
     n
   }
@@ -93,10 +116,11 @@ object Maintenance {
     val tmp = path + ".ttlagg_tmp"
     kept.select(cols.map(col): _*).unionAll(rollup)
       .write.mode("overwrite").parquet(tmp)
+    // one predicate count job; total and after come from footers
     val expiredCount = expired.count()
-    val total = df.count()
+    val total = parquetRowCount(spark, path)
     swap(spark, tmp, path)
-    val after = spark.read.parquet(path).count()
+    val after = parquetRowCount(spark, path)
     (total - expiredCount, expiredCount, after - (total - expiredCount))
   }
 
@@ -144,9 +168,11 @@ object Maintenance {
     val tmp = path + ".ttlrc_tmp"
     df.filter(expired).write.mode("overwrite")
       .option("compression", coldCodec).parquet(tmp)
+    // cold count from the cold slice's footers BEFORE the hot append —
+    // removes two more full passes (the old filter-count + total-count)
+    val cold = parquetRowCount(spark, tmp)
     df.filter(!expired).write.mode("append").parquet(tmp)
-    val cold = df.filter(expired).count()
-    val total = df.count()
+    val total = parquetRowCount(spark, tmp)
     swap(spark, tmp, path)
     (total - cold, cold)
   }
@@ -173,11 +199,11 @@ object Maintenance {
   def mutateDelete(spark: SparkSession, path: String,
                    predicateSql: String): (Long, Long) = {
     val df = spark.read.parquet(path)
-    val total = df.count()
+    val total = parquetRowCount(spark, path)
     val kept = df.filter(!coalesce(expr(predicateSql), lit(false)))
     val tmp = path + ".del_tmp"
     kept.write.mode("overwrite").parquet(tmp)
-    val keptCount = spark.read.parquet(tmp).count()
+    val keptCount = parquetRowCount(spark, tmp)
     swap(spark, tmp, path)
     (keptCount, total - keptCount)
   }

@@ -71,7 +71,7 @@ object Coverage extends QueryModule {
     // (row counts AND content checksum), not just a filter expression.
     "q_ttl_expiry" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_ttl/orders").toString
+        graft.Tables.scratchRoot, "graft_q_ttl/orders").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -97,7 +97,7 @@ object Coverage extends QueryModule {
     // asserted in TokenBloomSpec (the oracle can't see files).
     "q_like_bloom_scan" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_likebloom/docs").toString
+        graft.Tables.scratchRoot, "graft_q_likebloom/docs").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -123,7 +123,7 @@ object Coverage extends QueryModule {
     // must agree file-for-file with the driver path.
     "q_has_token_bloom" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_httokbloom/docs").toString
+        graft.Tables.scratchRoot, "graft_q_httokbloom/docs").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -419,7 +419,7 @@ object Coverage extends QueryModule {
     // table so the gate sees the union content, not just counts.
     "q_ttl_aggregate" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_ttlagg/orders").toString
+        graft.Tables.scratchRoot, "graft_q_ttlagg/orders").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -480,7 +480,7 @@ object Coverage extends QueryModule {
 
     "q_rest_pipeline" -> ((s, dir) => {
       val root = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_rest").toString
+        graft.Tables.scratchRoot, "graft_q_rest").toString
       val fsys = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fsys.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -667,7 +667,7 @@ object Coverage extends QueryModule {
     // of orders; pre-1996 o_orderpriority resets to '0-EXPIRED'.
     "q_ttl_column" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_ttlcol/orders").toString
+        graft.Tables.scratchRoot, "graft_q_ttlcol/orders").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -690,7 +690,7 @@ object Coverage extends QueryModule {
     // is asserted from the part-file names.
     "q_ttl_recompress" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_ttlrc/orders").toString
+        graft.Tables.scratchRoot, "graft_q_ttlrc/orders").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -715,7 +715,7 @@ object Coverage extends QueryModule {
     // against the statically-known answer.
     "q_system_catalog" -> ((s, dir) => {
       val root = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_system").toString
+        graft.Tables.scratchRoot, "graft_q_system").toString
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -737,7 +737,7 @@ object Coverage extends QueryModule {
     // mutated table — content checksums, not just row counts.
     "q_mutation_delete" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_mutdel/orders").toString
+        graft.Tables.scratchRoot, "graft_q_mutdel/orders").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -753,7 +753,7 @@ object Coverage extends QueryModule {
 
     "q_mutation_update" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_mutupd/orders").toString
+        graft.Tables.scratchRoot, "graft_q_mutupd/orders").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -779,7 +779,7 @@ object Coverage extends QueryModule {
     // plus the achieved file count as data.
     "q_optimize_compact" -> ((s, dir) => {
       val scratch = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_q_opt/lineitem").toString
+        graft.Tables.scratchRoot, "graft_q_opt/lineitem").toString
       val fs = new org.apache.hadoop.fs.Path(scratch)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(scratch).getParent, true)
@@ -1084,7 +1084,7 @@ object Coverage extends QueryModule {
         => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val root = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"), scratch).toString
+      graft.Tables.scratchRoot, scratch).toString
     val fsys = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(root), true)

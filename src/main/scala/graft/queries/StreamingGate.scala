@@ -45,16 +45,18 @@ object StreamingGate extends QueryModule {
     val parts = math.max(1, math.min(
       s.sparkContext.defaultParallelism, nRows / 50000 + 1))
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    // Checkpoint (offset/commit logs + state deltas) on tmpfs: the
-    // default temp location sits under /tmp (disk on this box), so every
-    // microbatch paid small-file fsyncs that the bench's own scratch
-    // (spark.local.dir on /dev/shm) deliberately avoids. Unique per
-    // invocation (pid + counter) so a recycled queryName can never see a
-    // stale offset log; removed afterward. Fresh-dir semantics are
-    // identical to the default temp-dir path.
+    // Checkpoint (offset/commit logs + state deltas) on tmpfs when the
+    // host has one: the default temp location sits under /tmp (disk on
+    // this box), so every microbatch paid small-file fsyncs that the
+    // bench's own scratch (spark.local.dir on /dev/shm) deliberately
+    // avoids. Tables.scratchRoot falls back to java.io.tmpdir on hosts
+    // without /dev/shm (advisor r16). Unique per invocation (pid +
+    // counter) so a recycled queryName can never see a stale offset
+    // log; removed afterward. Fresh-dir semantics are identical to the
+    // default temp-dir path.
     val prevCk = s.conf.getOption("spark.sql.streaming.checkpointLocation")
-    val ckDir = s"/dev/shm/graft-ckpt-${ProcessHandle.current().pid()}-" +
-      s"${seq.incrementAndGet()}"
+    val ckDir = s"${graft.Tables.scratchRoot}/graft-ckpt-" +
+      s"${ProcessHandle.current().pid()}-${seq.incrementAndGet()}"
     s.conf.set("spark.sql.streaming.checkpointLocation", ckDir)
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)

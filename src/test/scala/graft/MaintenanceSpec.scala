@@ -157,6 +157,20 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(out.contains("HashAggregate") || out.contains("Aggregate"))
   }
 
+  test("parquetRowCount (footer metadata) equals a full count() scan") {
+    val dir = "/root/repo/target/footer_count_test"
+    // multi-file dir so the footer sum actually sums across files
+    Tables.load(spark, sf, "orders").repartition(5, $"o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val exact = spark.read.parquet(dir).count()
+    assert(Maintenance.parquetRowCount(spark, dir) == exact)
+    // empty result set → zero rows, not an error
+    val emptyDir = "/root/repo/target/footer_count_empty"
+    Tables.load(spark, sf, "orders").filter(lit(false))
+      .coalesce(1).write.mode("overwrite").parquet(emptyDir)
+    assert(Maintenance.parquetRowCount(spark, emptyDir) == 0L)
+  }
+
   test("HLL sketch states survive parquet round-trip and merge in a fresh read") {
     val dir = "/root/repo/target/sketch_test"
     val li = Tables.load(spark, sf, "lineitem")
