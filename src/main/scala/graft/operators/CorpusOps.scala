@@ -20,6 +20,37 @@ import graft.functions.GraftScalar
   */
 object CorpusOps {
 
+  /** Size-gated persist for multi-consumer frames (guide §5: caching is
+    * only worth it when the frame is reused AND recomputing costs more
+    * than the memory pressure). [[lmScore]] consumes its exploded gram
+    * frame twice (model build + scoring join); at bench scale
+    * recomputing the scan+normalize+explode lineage per consumer is
+    * CHEAPER than a cache write + barrier (r16 measured persist
+    * variants slower at sf0.1; r17 measured neutral at a 50× corpus),
+    * but past that each extra consumer is a full corpus pass — at a
+    * 200× corpus the persisted shape measured 82-84 s vs 99-118 s
+    * recomputed. Gate on the optimizer's size estimate: below the
+    * threshold the plan is untouched (bench shape preserved), above it
+    * the frame is persisted once and feeds every consumer from
+    * memory/disk. Threshold conf `spark.graft.corpus.persistThreshold`
+    * (bytes, default 256 MB of estimated plan output — scan estimates
+    * derive from file sizes, so heavily-compressed corpora may need
+    * spark.sql.sources.fileCompressionFactor or a lower threshold).
+    * Persisted frames register with [[graft.Tables.registerScratch]] so
+    * the bench/verify harness unpersists them after the query. NOT
+    * applied to [[repetitionSignals]] — measured worse there (see the
+    * note at its base frame). */
+  private[graft] def persistIfLarge(df: DataFrame): DataFrame = {
+    val thr = df.sparkSession.conf
+      .get("spark.graft.corpus.persistThreshold", (256L << 20).toString)
+      .toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est >= thr)
+      graft.Tables.registerScratch(df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else df
+  }
+
   // ---------------------------------------------------------------- SemDeDup
 
   /** Intra-cluster near-duplicate pairs over a deterministic IVF
@@ -126,6 +157,13 @@ object CorpusOps {
   def repetitionSignals(df: DataFrame, idCol: String, toksCol: Column,
                         topNs: Seq[Int] = Seq(2, 3, 4),
                         dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    // The base fans into 1 + |topNs| + |dupNs| plan branches, but a
+    // size-gated persist was MEASURED WORSE here (r17, 50× corpus:
+    // 64-86 s recompute vs 76-107 s persisted): the cached frame holds
+    // the exploded token ARRAYS — far fatter than the compact parquet
+    // strings each branch re-reads — and the explode+window stages
+    // dominate regardless. Recompute stands; contrast lmScore, whose
+    // narrower gram frame DOES win from the same gate.
     val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
     val ids = base.select(col("id"), col("n_toks"))
@@ -477,7 +515,9 @@ object CorpusOps {
     * bounded: the join key is the gram, and even a viral gram only
     * fans out to its occurrence count, never pairs. */
   def lmScore(df: DataFrame, idCol: String, toksCol: Column): DataFrame = {
-    val grams = df.select(col(idCol), explode(ngrams(toksCol, 2)).as("g"))
+    // consumed twice (model build + scoring join) — size-gated persist
+    val grams = persistIfLarge(
+      df.select(col(idCol), explode(ngrams(toksCol, 2)).as("g")))
     val c12 = grams.groupBy(col("g")).agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy(substring_index(col("g"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("c1"))
