@@ -350,7 +350,15 @@ object CorpusOps {
       .withColumn("toks", Dedup.tokenize(col(textCol)))
       .select(col(idCol).as("id"),
         explode(Dedup.shinglesFromToks(col("toks"), n)).as("gram"))
-    val evalGrams = grams(evalDf).select(col("gram")).distinct()
+    // Consumed three times (count for bloom sizing, bloom_filter_agg,
+    // exact broadcast semi-join) — without a persist each consumer
+    // re-runs the eval explode + distinct SHUFFLE. The eval set is a
+    // query parameter by design (benchmark-sized, not corpus-sized), so
+    // an unconditional persist is safe at any scale; released by the
+    // harness via registerScratch.
+    val evalGrams = graft.Tables.registerScratch(
+      grams(evalDf).select(col("gram")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nItems = math.max(evalGrams.count(), 1L)
     val bloom = evalGrams
       .agg(call_function("bloom_filter_agg", xxhash64(col("gram")),

@@ -370,12 +370,21 @@ object Formats extends QueryModule {
       t(s, dir, "lineitem")
         .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("_part"),
           spark_partition_id().as("_shard_num"))
+        // pre-group by the two virtual columns before the two-distinct
+        // aggregate: Spark plans multi-column countDistinct as an
+        // Expand (3 rows out per row in), so the ungrouped shape pushed
+        // 3x the TABLE through the aggregate — grouped, the Expand sees
+        // one row per (file, split) pair. Every table row still flows
+        // through both virtual columns (the gate's point) and n_rows =
+        // sum of group counts is value-identical.
+        .groupBy(col("_part"), col("_shard_num"))
+        .agg(count(lit(1)).as("n"))
         // boolean has_parts, not the literal count: the part count is a
         // physical-layout property (file split of the test data), and a
         // hash-checked literal would turn any re-generation into a
         // false correctness failure.
         .agg((countDistinct(col("_part")) >= 1).as("has_parts"),
-          count(lit(1)).as("n_rows"),
+          sum(col("n")).as("n_rows"),
           (countDistinct(col("_shard_num")) >= 1).as("sharded"))
     }))
 
