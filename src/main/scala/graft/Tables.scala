@@ -125,6 +125,17 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Let AQE re-plan (coalesce) the shuffle that MATERIALIZES a cached
+    // frame: off by default (Spark preserves a cached plan's output
+    // partitioning for downstream reuse), which pinned every operator-
+    // internal persist — e.g. the CC edge frame, a few-KB distinct — to
+    // the session's full shuffle width, 32 tasks per tiny cache build
+    // (guide §2.2: partitions track data). Content is unchanged; only
+    // the cached frame's partition count adapts. Explicit
+    // repartition(n) frames (the events cache) keep their width — AQE
+    // never overrides user-specified numPartitions.
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftScalar.register(spark)
     // Stats-driven shuffle-first aggregation: inert until a table is
